@@ -1,0 +1,128 @@
+"""Table registration & warehouse bootstrap (SURVEY §7 M1).
+
+The reference assumes a pre-loaded Iceberg warehouse and only issues
+``USE catalog.db`` (IcebergBenchmark.java:153). This module supplies the
+missing bootstrap:
+
+- ``register_views``: register the driver-generated parquet fixtures
+  (TESTDATA.md) as temp views — the no-dependency path used by tests and
+  the correctness gate.
+- ``bootstrap_iceberg``: CTAS every parquet into an Iceberg catalog, with an
+  optional partitioned layout mirroring the reference's flat/partitioned
+  warehouse axis (runner.sh:11-12 vs partitioned_runner.sh:11-12). Requires
+  the iceberg-spark-runtime jar; no-ops (with a warning) otherwise.
+
+At 100 TB the same code path holds: `spark.read.parquet` over a prefix is a
+distributed scan, and CTAS into Iceberg is a distributed write; nothing here
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import iceberg_available
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Partition spec for the partitioned-warehouse variant: mirrors the
+# reference's partitioned catalog axis (partitioned_runner.sh:11-12).
+# Iceberg hidden-partitioning transforms; chosen so partition counts stay
+# sane at SF1000 (months(date) ~ 84 partitions for 7 years of TPC-H dates;
+# bucket(16, key) bounds fan-out for key-partitioned facts).
+PARTITION_SPECS: dict[str, str] = {
+    "lineitem": "months(l_shipdate)",
+    "orders": "months(o_orderdate)",
+    "events": "days(ts)",
+}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # session-settable; needed when the caller's session was not built
+        # by session.build_session (e.g. the verification driver's).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), read as LONG nanos under
+        # spark.sql.legacy.parquet.nanosAsLong (session.py). Convert to a
+        # microsecond timestamp (integer div — no double precision loss).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view; return the DataFrames."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        if not os.path.exists(table_path(sf_dir, name)):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def bootstrap_iceberg(
+    spark: SparkSession,
+    sf_dir: str,
+    catalog: str,
+    database: str,
+    partitioned: bool = False,
+) -> list[str]:
+    """CTAS parquet fixtures into an Iceberg database; returns created names.
+
+    Flat layout: plain ``CREATE TABLE ... USING iceberg AS SELECT``.
+    Partitioned layout: adds ``PARTITIONED BY`` per PARTITION_SPECS, the
+    rebuild's equivalent of the reference's partitioned warehouse.
+    """
+    if not iceberg_available():
+        import warnings
+
+        warnings.warn(
+            "iceberg-spark-runtime jar not on classpath; skipping Iceberg "
+            "bootstrap (parquet views remain the active path)",
+            stacklevel=2,
+        )
+        return []
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{database}")
+    created = []
+    for name in TABLES:
+        p = table_path(sf_dir, name)
+        if not os.path.exists(p):
+            continue
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"_src_{name}")
+        fq = f"{catalog}.{database}.{name}"
+        part = ""
+        if partitioned and name in PARTITION_SPECS:
+            part = f" PARTITIONED BY ({PARTITION_SPECS[name]})"
+        spark.sql(f"DROP TABLE IF EXISTS {fq}")
+        spark.sql(f"CREATE TABLE {fq} USING iceberg{part} AS SELECT * FROM _src_{name}")
+        created.append(fq)
+    return created
+
+
+def use_database(spark: SparkSession, catalog: str, database: str) -> None:
+    """Database selection, harness operator A5 (IcebergBenchmark.java:153)."""
+    spark.sql(f"USE {catalog}.{database}")

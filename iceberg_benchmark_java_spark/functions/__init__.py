@@ -1,0 +1,86 @@
+"""Deterministic aggregation helpers shared by the query catalog.
+
+Problem: ``sum`` over DOUBLE is partition-order dependent in any distributed
+engine (floating-point addition is not associative), so a Spark result and a
+DuckDB oracle can disagree in the low bits — and a value-hash comparison
+fails. The fix used throughout this engine:
+
+1. accumulate money/quantity aggregates in exact DECIMAL arithmetic
+   (order-independent, so also stable on a 1000-executor cluster);
+2. ROUND the exact decimal total to scale 2 *in the decimal domain*;
+3. only then cast to DOUBLE.
+
+Step 2 matters: a decimal→double cast is only guaranteed correctly rounded
+in every engine when the unscaled value fits in 2^53 (DuckDB converts via
+unscaled/10^scale double division; Java via BigDecimal.doubleValue — both
+exact iff numerator and 10^scale are exactly representable). Scale-2 totals
+keep the unscaled value < 2^53 for any realistic sum, making the final
+double bit-identical across engines and partitionings.
+
+Matching oracle-SQL idioms (DuckDB) are provided as string helpers so the
+Spark expression and the SQL stay in lock-step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Per-row cast scale: 4 fractional digits captures synthetic money values;
+# 18 digits total holds ~1e13 row magnitude.
+DEC = "decimal(18,4)"
+# Wide accumulator for per-row double products (price * (1-disc) * (1+tax)):
+# 12 fractional digits so the per-row double→decimal rounding is far below
+# any comparison granularity.
+DEC_WIDE = "decimal(38,12)"
+# Output scale after the final decimal-domain ROUND.
+OUT_SCALE = 2
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent SUM of a double column → DOUBLE, exact to 2dp."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)), OUT_SCALE).cast("double").alias(alias)
+
+
+def dsum_expr(expr: Column, alias: str) -> Column:
+    """Order-independent SUM of a derived double expression → DOUBLE."""
+    return F.round(F.sum(expr.cast(DEC_WIDE)), OUT_SCALE).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Deterministic AVG: exact decimal sum (cast exactly to double — scale-4
+    unscaled values stay below 2^53 at test scale) / count, divided in
+    IEEE double → bit-identical across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
+
+
+def dec(col: Column | str) -> Column:
+    """Per-row cast to the standard decimal, for building exact products."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+# --- matching DuckDB oracle idioms -------------------------------------------
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,4))), {OUT_SCALE}) AS DOUBLE)"
+        f" AS {alias}"
+    )
+
+
+def sql_dsum_wide(expr: str, alias: str) -> str:
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,12))), {OUT_SCALE}) AS DOUBLE)"
+        f" AS {alias}"
+    )
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )

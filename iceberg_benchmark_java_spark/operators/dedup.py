@@ -1,0 +1,228 @@
+"""Deduplication operators over a document corpus.
+
+Four strategies, all expressed as declarative DataFrame plans (no Python
+row loops — everything stays JVM-side and scales horizontally):
+
+- exact        — hash-groupBy on a content digest. One shuffle on the digest.
+- ngram_jaccard— blocked brute-force: pairwise Jaccard over word-shingle
+                 sets within a blocking key. The shingle self-join is the
+                 classic |A∩B| computation; blocking bounds the pair space.
+- minhash_lsh  — the 100 TB path: per-doc MinHash signatures (k independent
+                 hash functions = md5 with k salts, min over shingles),
+                 banded into LSH buckets; only same-band docs become
+                 candidate pairs. Cost is O(docs × shingles) + bucket joins,
+                 never O(docs²).
+- simhash      — bitwise majority fingerprint of token hashes; near-dups =
+                 pairs within a blocking key at small Hamming distance.
+
+Hashing uses md5 (deterministic, engine-portable) rather than engine-native
+hash functions, so results are reproducible across Spark versions and match
+the DuckDB oracles bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- shared shingling --------------------------------------------------------
+
+
+def with_word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Explode each document into its distinct n-word shingles.
+
+    Columns in: doc_id, text (+ any passthrough). Out: doc_id, shingle.
+    Pure JVM expression (split/transform/explode) — no Python UDF.
+    """
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate groups by content digest.
+
+    Returns (fingerprint, n_copies, canonical_id) for groups with >1 doc —
+    canonical = min doc_id (the keep-one policy). Single shuffle on the
+    16-byte digest regardless of document size.
+    """
+    return (
+        docs.select(F.md5(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# --- n-gram Jaccard (blocked brute force) ------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicate pairs by n-word-shingle Jaccard similarity.
+
+    |A∩B| via shingle self-join, |A|,|B| via per-doc counts; J rounded to
+    6dp for cross-engine determinism. Pairs restricted to doc_a < doc_b.
+    At scale, pair explosion is bounded by blocking: callers should
+    pre-partition docs (e.g. by language/source) — here the corpus-wide
+    join is acceptable because shingle selectivity bounds candidates.
+    """
+    sh = with_word_shingles(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.toDF("doc_a", "shingle")
+    b = sh.toDF("doc_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.toDF("doc_a", "sz_a")
+    sz_b = sizes.toDF("doc_b", "sz_b")
+    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn("jaccard", F.round(jacc, 6))
+        .filter(jacc >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+N_HASHES = 8
+BAND_SIZE = 2  # → 4 bands
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: h_k = min over shingles of md5(k || '|' ||
+    shingle). One pass over exploded shingles, k min-aggregates — a single
+    shuffle on doc_id."""
+    sh = with_word_shingles(docs, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"h{k}")
+        for k in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
+    """LSH candidate pairs: signatures banded (BAND_SIZE hashes per band);
+    docs sharing any band bucket pair up. Returns (doc_a, doc_b,
+    n_shared_bands). The bucket join is equi-join on (band_idx, band_key) —
+    the O(docs²) pair space never materializes."""
+    sig = minhash_signatures(docs, n)
+    n_bands = N_HASHES // BAND_SIZE
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat(
+                            *[F.col(f"h{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a = bands.toDF("doc_a", "band_idx", "band_key")
+    b = bands.toDF("doc_b", "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """SIMHASH_BITS-bit SimHash per doc.
+
+    Each distinct word hashes to a bit pattern (md5 → first 16 hex chars →
+    64-bit int, low SIMHASH_BITS used); fingerprint bit i is the weighted
+    majority of word-bit i over the doc's words (weight = occurrence count).
+    Expressed as explode(words) × sequence(bits) → conditional sum —
+    all JVM-side; shuffles on (doc_id) once.
+    """
+    words = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("wh", F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long"))
+    )
+    bits = words.select(
+        "doc_id",
+        "cnt",
+        "wh",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    )
+    signed = bits.withColumn(
+        "vote",
+        F.when(F.shiftright(F.col("wh"), F.col("bit").cast("int")).bitwiseAND(1) == 1, F.col("cnt")).otherwise(
+            -F.col("cnt")
+        ),
+    )
+    return (
+        signed.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bitval", F.when(F.col("v") > 0, 1).otherwise(0))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("bitval").cast("long") * F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, blocking_cols: list[str], max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs = same blocking key + Hamming(simhash) <= max_hamming.
+    Blocking keeps the pair join linear-ish; at 100 TB block by
+    (lang, source, length-bucket)."""
+    fp = simhash_fingerprints(docs).join(
+        docs.select("doc_id", *blocking_cols), "doc_id"
+    )
+    a = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        *blocking_cols,
+    )
+    b = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        *blocking_cols,
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, blocking_cols)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

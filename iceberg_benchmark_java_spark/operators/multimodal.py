@@ -1,0 +1,133 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Design (per the engine's 100 TB charter): media payloads are opaque
+``binary`` columns riding next to typed metadata (mime, width/height,
+duration...). All *plumbing* — schema, partitioning, Arrow batch transfer,
+mapInPandas signatures — is real and tested; the decode kernels themselves
+are STUBBED behind ``DecodeNotAvailable`` / deterministic fakes because the
+media libraries (PIL/ffmpeg/librosa) are not present in this environment.
+Swap ``_decode_image_kernel`` for a real decoder and nothing else changes.
+
+At scale: binary columns live in parquet/Iceberg alongside metadata, so
+metadata-only queries never read the payload bytes (column pruning), and
+decode fan-out is an embarrassingly parallel mapInPandas over row-group
+sized Arrow batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("meta_width", IntegerType(), True),
+        StructField("meta_height", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("payload_digest", StringType(), True),
+        StructField("decoded_width", IntegerType(), True),
+        StructField("decoded_height", IntegerType(), True),
+    ]
+)
+
+
+class DecodeNotAvailable(NotImplementedError):
+    """Raised by real-decode paths: media codecs absent in this container."""
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table derived from the documents fixture:
+    payload = utf-8 bytes of the text (stand-in for image bytes), metadata
+    derived arithmetically. Lets every downstream plumbing path run real
+    Spark jobs without real codecs."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image/png").otherwise("audio/wav").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        (F.col("n_chars") % 1024 + 16).cast("int").alias("meta_width"),
+        (F.col("n_chars") % 768 + 16).cast("int").alias("meta_height"),
+    )
+
+
+def _decode_image_kernel(payload: bytes) -> tuple[int, int]:
+    """STUB decode: real implementation would be PIL.Image.open(...).size.
+    Deterministic fake: dimensions derived from payload length so tests
+    can assert exact values."""
+    n = len(payload)
+    return (n % 1024 + 16, n % 768 + 16)
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (Arrow-batched, parallel per
+    partition). The kernel is pure-Python per batch — the pattern (not the
+    stub kernel) is the deliverable: identical plumbing serves real codecs.
+    """
+    import hashlib
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["payload"].map(
+                lambda p: _decode_image_kernel(p) if p is not None else (None, None)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else None),
+                    "payload_digest": pdf["payload"].map(
+                        lambda p: hashlib.md5(p).hexdigest() if p is not None else None
+                    ),
+                    "decoded_width": dims.map(lambda d: d[0]),
+                    "decoded_height": dims.map(lambda d: d[1]),
+                }
+            )
+
+    return media.mapInPandas(decode_batches, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: expands each video row into frame-index
+    rows (sequence+explode, JVM-side); the frame decode itself would plug
+    into extract_features. Demonstrates the explode-then-decode shape used
+    for video corpora."""
+    n_frames = (F.length(F.col("payload")) / 100).cast("int")
+    return (
+        media.filter(F.col("mime").startswith("image/"))
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def metadata_only_stats(media: DataFrame) -> DataFrame:
+    """Metadata aggregate that must NOT read payload bytes (column pruning —
+    verified in tests via the physical plan's ReadSchema)."""
+    return media.groupBy("mime").agg(
+        F.count("*").alias("n_media"),
+        F.avg("meta_width").alias("avg_width"),
+        F.avg("meta_height").alias("avg_height"),
+    )

@@ -1,0 +1,103 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, mirroring how ANN is deployed on large corpora:
+
+- ``cosine_topk_bruteforce`` — exact baseline: query-set × corpus join with
+  a JVM-side fold for the dot product. Correct at any scale but O(Q×N);
+  use for small query sets / golden evaluation.
+- ``cosine_topk_lsh``        — the scale path: sign-LSH bucketing (the sign
+  bits of leading dimensions form the bucket key), candidates restricted to
+  the query's bucket, exact re-rank within. One equi-join on the bucket key
+  instead of a cross join.
+
+Determinism: embeddings are float32; all arithmetic is promoted to double
+(exact promotion), the sequential fold order is fixed by array order, and
+similarities are rounded to 6dp with doc-id tie-breaks — so top-k sets are
+stable across engines and partitionings.
+
+No Python UDFs: dot products use F.zip_with + F.aggregate (Catalyst
+HigherOrderFunctions, whole-stage codegen'd).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SIM_SCALE = 6
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``embeddings``: (vec_id, embedding); ``queries``: (query_id, q_embedding).
+    Returns (query_id, vec_id, sim, rnk). Self-matches excluded.
+    """
+    joined = queries.crossJoin(embeddings).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_embedding"), F.col("embedding")), SIM_SCALE).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "sim", "rnk")
+    )
+
+
+def sign_bucket(emb: Column, n_bits: int = 8) -> Column:
+    """Sign-LSH bucket key: concatenated sign bits of the first n_bits dims.
+
+    A degenerate but deterministic random-hyperplane LSH (hyperplanes =
+    coordinate axes). At 100 TB: compute once, store as a partition column,
+    and ANN queries prune to one bucket."""
+    bits = F.transform(
+        F.slice(emb, 1, n_bits),
+        lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8
+) -> DataFrame:
+    """Bucketed ANN: candidates share the query's sign bucket; exact cosine
+    re-rank inside the bucket. Recall < 1.0 by design — the oracle defines
+    the same bucketed semantics, so results are exactly comparable."""
+    emb_b = embeddings.withColumn("bucket", sign_bucket(F.col("embedding"), n_bits))
+    q_b = queries.withColumn("bucket", sign_bucket(F.col("q_embedding"), n_bits))
+    joined = q_b.join(emb_b, "bucket").filter(F.col("query_id") != F.col("vec_id"))
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_embedding"), F.col("embedding")), SIM_SCALE).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "sim", "rnk")
+    )

@@ -1,0 +1,186 @@
+"""Join-shape operators beyond the TPC-H module (SURVEY §2-B "Joins").
+
+FULL OUTER with multi-key ON, self-joins with theta predicates,
+equality-on-expression joins, and the case/coalesce scalar-function surface
+— each cited to its corpus source.
+
+Scale notes: self-joins re-use the same scan (Spark reuses the exchange
+under AQE); full outer joins shuffle both sides on the join key — keys here
+are group keys of pre-aggregated inputs, so cardinality is bounded before
+the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import sql_dsum
+from .registry import query
+
+
+# --- FULL OUTER JOIN with two-key ON (tpcds/q51.sql:47-48, q97.sql:33) -------
+@query(
+    "join_full_outer_channels",
+    oracle=f"""
+    WITH open_m AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, EXTRACT(MONTH FROM o_orderdate) AS mth,
+             {sql_dsum("o_totalprice", "open_sales")}
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1, 2
+    ),
+    fin_m AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, EXTRACT(MONTH FROM o_orderdate) AS mth,
+             {sql_dsum("o_totalprice", "fin_sales")}
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2
+    )
+    SELECT COALESCE(o.yr, f.yr) AS yr, COALESCE(o.mth, f.mth) AS mth,
+           COALESCE(o.open_sales, 0.0) AS open_sales,
+           COALESCE(f.fin_sales, 0.0) AS fin_sales
+    FROM open_m o FULL JOIN fin_m f ON o.yr = f.yr AND o.mth = f.mth
+    """,
+)
+def full_outer_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL JOIN aligning two channel aggregates on a two-part key, with
+    COALESCE on both key and measure (tpcds/q51.sql:43-59 web/store
+    alignment; COALESCE idiom of tpcds/q80.sql:6-7)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def monthly(status: str, alias: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderstatus") == status)
+            .groupBy(
+                F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mth")
+            )
+            .agg(
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias(alias)
+            )
+        )
+
+    om = monthly("O", "open_sales")
+    fm = monthly("F", "fin_sales").withColumnsRenamed({"yr": "f_yr", "mth": "f_mth"})
+    return om.join(
+        fm, (om.yr == fm.f_yr) & (om.mth == fm.f_mth), "full"
+    ).select(
+        F.coalesce(om.yr, fm.f_yr).alias("yr"),
+        F.coalesce(om.mth, fm.f_mth).alias("mth"),
+        F.coalesce(F.col("open_sales"), F.lit(0.0)).alias("open_sales"),
+        F.coalesce(F.col("fin_sales"), F.lit(0.0)).alias("fin_sales"),
+    )
+
+
+# --- self-join with <> and <= theta predicates (tpcds/q64.sql:102-109) -------
+@query(
+    "join_self_theta",
+    oracle="""
+    WITH per_year AS (
+      SELECT o_custkey AS custkey, EXTRACT(YEAR FROM o_orderdate) AS yr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT y1.custkey AS custkey, y1.yr AS yr1, y1.cnt AS cnt1,
+           y2.yr AS yr2, y2.cnt AS cnt2
+    FROM per_year y1 JOIN per_year y2
+      ON y1.custkey = y2.custkey AND y2.yr = y1.yr + 1 AND y2.cnt <= y1.cnt
+    WHERE y1.cnt >= 3
+    """,
+)
+def self_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join of a grouped CTE on offset key + <= theta residual —
+    the cs1/cs2 cross_sales shape of tpcds/q64.sql:102-109 and the
+    inv1/inv2 month-offset shape of tpcds/q39_1.sql:44-51."""
+    o = load_table(spark, sf_dir, "orders")
+    per_year = o.groupBy(
+        F.col("o_custkey").alias("custkey"), F.year("o_orderdate").alias("yr")
+    ).agg(F.count("*").alias("cnt"))
+    y1 = per_year.alias("y1")
+    y2 = per_year.alias("y2")
+    return (
+        y1.filter(F.col("cnt") >= 3)
+        .join(
+            y2,
+            (F.col("y1.custkey") == F.col("y2.custkey"))
+            & (F.col("y2.yr") == F.col("y1.yr") + 1)
+            & (F.col("y2.cnt") <= F.col("y1.cnt")),
+        )
+        .select(
+            F.col("y1.custkey").alias("custkey"),
+            F.col("y1.yr").alias("yr1"),
+            F.col("y1.cnt").alias("cnt1"),
+            F.col("y2.yr").alias("yr2"),
+            F.col("y2.cnt").alias("cnt2"),
+        )
+    )
+
+
+# --- equality-on-expression join (tpcds/q08.sql:438, q24_1.sql:27) -----------
+@query(
+    "join_on_expression",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM supplier s JOIN customer c
+      ON (s.s_suppkey % 25) = (c.c_custkey % 25)
+         AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def on_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join keyed on computed expressions (substr/upper equality joins of
+    tpcds/q08.sql:438 and q24_1.sql:27 — here modulo-bucket equality).
+    Still an equi-join: Spark hashes the expression values."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(
+            c,
+            ((s.s_suppkey % 25) == (c.c_custkey % 25))
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# --- scalar-function surface: CASE forms, coalesce, round, abs, upper, concat
+@query(
+    "join_scalar_function_surface",
+    oracle="""
+    SELECT CONCAT(UPPER(p_brand), '-', SUBSTR(p_type, 1, 3)) AS brand_code,
+           CASE WHEN p_size < 10 THEN 'small'
+                WHEN p_size < 30 THEN 'medium'
+                ELSE 'large' END AS size_class,
+           CASE p_type WHEN 'PROMO' THEN 1 ELSE 0 END AS is_promo,
+           ROUND(ABS(p_retailprice - 1000.0), 2) AS price_dist,
+           COALESCE(NULLIF(p_brand, 'Brand#1'), '<hidden>') AS brand_masked,
+           p_partkey AS partkey
+    FROM part
+    WHERE p_partkey <= 100
+    """,
+)
+def scalar_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete scalar-function surface of SURVEY §2-B in one
+    projection: searched CASE (tpch/q14.sql:1), simple CASE
+    (tpcds/q39_1.sql:10), concat (tpcds/q80.sql:81), coalesce
+    (tpcds/q78.sql:54), round (tpcds/q02.sql:39), abs (tpcds/q57.sql:56),
+    upper (tpcds/q24_1.sql:27), substr (tpch/q22.sql:8)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        F.concat(F.upper("p_brand"), F.lit("-"), F.substring("p_type", 1, 3)).alias(
+            "brand_code"
+        ),
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .otherwise("large")
+        .alias("size_class"),
+        F.when(F.col("p_type") == "PROMO", 1).otherwise(0).alias("is_promo"),
+        F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("price_dist"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#1")), F.lit("<hidden>")).alias(
+            "brand_masked"
+        ),
+        F.col("p_partkey").alias("partkey"),
+    )

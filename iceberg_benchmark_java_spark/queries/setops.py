@@ -1,0 +1,137 @@
+"""Set operations (SURVEY §2-B "Set operations").
+
+UNION ALL feeding re-aggregation, UNION (distinct), INTERSECT, EXCEPT —
+matching the reference corpus's channel-combination idioms. Note the
+semantics called out in SURVEY: SQL INTERSECT/EXCEPT are DISTINCT-semantics
+→ DataFrame ``intersect`` / ``subtract`` (not exceptAll).
+
+Scale notes: UNION ALL is a no-shuffle concatenation; the distinct variants
+shuffle once on the full row. The re-aggregation after UNION ALL keeps
+partial aggregation per branch (map-side combine before the single shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import sql_dsum
+from .registry import query
+
+
+def _channel(spark: SparkSession, sf_dir: str, status: str) -> DataFrame:
+    """A 'sales channel': orders of one status, keyed by customer."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == status).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("price"),
+        F.year("o_orderdate").alias("yr"),
+    )
+
+
+# --- UNION ALL + re-aggregation (tpcds/q74.sql:18, q05.sql:20-133) -----------
+@query(
+    "set_union_all_reagg",
+    oracle=f"""
+    WITH all_channels AS (
+      SELECT o_custkey AS custkey, o_totalprice AS price, 'open' AS channel
+      FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_custkey AS custkey, o_totalprice AS price, 'finished' AS channel
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT channel, {sql_dsum("price", "total_sales")},
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM all_channels
+    GROUP BY channel
+    """,
+)
+def union_all_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of tagged channel branches, re-aggregated — the
+    store/web/catalog combination idiom (tpcds/q74.sql:18, q05.sql:20-133)."""
+    open_ch = _channel(spark, sf_dir, "O").withColumn("channel", F.lit("open"))
+    fin_ch = _channel(spark, sf_dir, "F").withColumn("channel", F.lit("finished"))
+    return (
+        open_ch.unionByName(fin_ch)
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum(F.col("price").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_sales"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# --- UNION distinct (tpcds/q75.sql:28,43) ------------------------------------
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT custkey, yr FROM (
+      SELECT o_custkey AS custkey, EXTRACT(YEAR FROM o_orderdate) AS yr
+      FROM orders WHERE o_orderstatus = 'O'
+      UNION
+      SELECT o_custkey AS custkey, EXTRACT(YEAR FROM o_orderdate) AS yr
+      FROM orders WHERE o_orderstatus = 'F'
+    ) u
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with distinct semantics (tpcds/q75.sql:28,43):
+    DataFrame union + distinct."""
+    a = _channel(spark, sf_dir, "O").select("custkey", "yr")
+    b = _channel(spark, sf_dir, "F").select("custkey", "yr")
+    return a.union(b).distinct()
+
+
+# --- INTERSECT (tpcds/q38.sql:15,26; q08.sql:417) ----------------------------
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_loyal
+    FROM (
+      SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998
+    ) i
+    """,
+)
+def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way INTERSECT (distinct semantics) + count — the
+    customers-active-in-all-channels shape of tpcds/q38.sql:4-30."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def active(yr: int) -> DataFrame:
+        return o.filter(F.year("o_orderdate") == yr).select("o_custkey")
+
+    return (
+        active(1996)
+        .intersect(active(1997))
+        .intersect(active(1998))
+        .agg(F.count("*").alias("n_loyal"))
+    )
+
+
+# --- EXCEPT (tpcds/q87.sql:16,28) --------------------------------------------
+@query(
+    "set_except",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lost
+    FROM (
+      SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998
+    ) e
+    """,
+)
+def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT with distinct semantics → DataFrame ``subtract``
+    (tpcds/q87.sql:5-30; SURVEY §2-B: EXCEPT = distinct → subtract, not
+    exceptAll)."""
+    o = load_table(spark, sf_dir, "orders")
+    y1996 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y1998 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y1996.subtract(y1998).agg(F.count("*").alias("n_lost"))

@@ -1,0 +1,279 @@
+"""Window-function operators (SURVEY §2-B "Window functions" — all TPC-DS).
+
+Covers every window shape the reference corpus exercises: global rank,
+partitioned rank, window-aggregate-over-grouped-aggregate, ratio-to-report,
+and the cumulative ROWS UNBOUNDED PRECEDING frame — each cited to its
+TPC-DS source file.
+
+Scale notes: a window with PARTITION BY shuffles once on the partition key
+and sorts within partitions — fine at 100 TB when keys are well-distributed.
+The two *global* windows here (rank with no PARTITION BY) are computed over
+already-aggregated inputs (≤ thousands of rows after groupBy), never over raw
+fact rows — the one place a global window is safe at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import dsum, dsum_expr, sql_dsum, sql_dsum_wide
+from .registry import query
+
+
+# --- rank() OVER (ORDER BY ...) — global best/worst (tpcds/q44.sql:12,40) ----
+@query(
+    "win_rank_global_best_worst",
+    oracle=f"""
+    WITH perf AS (
+      SELECT l_suppkey AS suppkey, {sql_dsum_wide("l_extendedprice * (1 - l_discount)", "revenue")}
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT best.suppkey AS best_suppkey, best.rnk AS rnk, worst.suppkey AS worst_suppkey
+    FROM (SELECT suppkey, RANK() OVER (ORDER BY revenue DESC, suppkey) AS rnk FROM perf) best,
+         (SELECT suppkey, RANK() OVER (ORDER BY revenue ASC, suppkey) AS rnk FROM perf) worst
+    WHERE best.rnk = worst.rnk AND best.rnk <= 10
+    """,
+)
+def rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ascending + descending global ranks joined on rank position —
+    the best/worst-performer shape of tpcds/q44.sql:1-45."""
+    l = load_table(spark, sf_dir, "lineitem")
+    perf = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+    best = perf.select(
+        F.col("suppkey").alias("best_suppkey"),
+        F.rank().over(Window.orderBy(F.desc("revenue"), F.asc("suppkey"))).alias("rnk"),
+    )
+    worst = perf.select(
+        F.col("suppkey").alias("worst_suppkey"),
+        F.rank().over(Window.orderBy(F.asc("revenue"), F.asc("suppkey"))).alias("rnk"),
+    )
+    return (
+        best.join(worst, "rnk")
+        .filter(F.col("rnk") <= 10)
+        .select("best_suppkey", "rnk", "worst_suppkey")
+    )
+
+
+# --- rank() OVER (PARTITION BY ... ORDER BY ...) (tpcds/q67.sql:14) ----------
+@query(
+    "win_rank_per_group",
+    oracle=f"""
+    WITH sales AS (
+      SELECT n.n_name AS nation, c.c_custkey AS custkey,
+             {sql_dsum("o.o_totalprice", "spend")}
+      FROM customer c, orders o, nation n
+      WHERE c.c_custkey = o.o_custkey AND c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_custkey
+    )
+    SELECT nation, custkey, spend, rk
+    FROM (SELECT nation, custkey, spend,
+                 RANK() OVER (PARTITION BY nation ORDER BY spend DESC, custkey) AS rk
+          FROM sales) ranked
+    WHERE rk <= 3
+    """,
+)
+def rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition rank over a grouped aggregate, filtered to top-N per
+    group (tpcds/q67.sql:6-44 shape: rank within category, keep rank<=N)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    sales = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_custkey").alias("custkey"))
+        .agg(dsum("o_totalprice", "spend"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.desc("spend"), F.asc("custkey"))
+    return (
+        sales.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("nation", "custkey", "spend", "rk")
+    )
+
+
+# --- avg(sum(x)) OVER (PARTITION BY ...) (tpcds/q53.sql:7) -------------------
+@query(
+    "win_avg_over_grouped_sum",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT p.p_brand AS brand,
+             EXTRACT(YEAR FROM l.l_shipdate) AS yr,
+             EXTRACT(MONTH FROM l.l_shipdate) AS mth,
+             {sql_dsum("l.l_extendedprice", "sum_sales")}
+      FROM lineitem l, part p
+      WHERE l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, EXTRACT(YEAR FROM l.l_shipdate), EXTRACT(MONTH FROM l.l_shipdate)
+    )
+    SELECT brand, yr, mth, sum_sales,
+           ROUND(AVG(sum_sales) OVER (PARTITION BY brand, yr), 6) AS avg_monthly_sales
+    FROM monthly
+    WHERE yr = 1998
+    """,
+)
+def avg_over_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window aggregate stacked on a grouped aggregate — the
+    avg(sum(x)) OVER (PARTITION BY ...) shape of tpcds/q53.sql:7 /
+    q89.sql:12. AVG here runs over exact-decimal-derived doubles of a small
+    grouped input and is rounded to 6dp on both sides."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    monthly = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").alias("yr"),
+            F.month("l_shipdate").alias("mth"),
+        )
+        .agg(dsum("l_extendedprice", "sum_sales"))
+    )
+    w = Window.partitionBy("brand", "yr")
+    return (
+        monthly.withColumn("avg_monthly_sales", F.round(F.avg("sum_sales").over(w), 6))
+        .filter(F.col("yr") == 1998)
+        .select("brand", "yr", "mth", "sum_sales", "avg_monthly_sales")
+    )
+
+
+# --- ratio-to-report: sum(x)*100/sum(sum(x)) OVER (...) (tpcds/q98.sql:8) ----
+@query(
+    "win_ratio_to_report",
+    oracle=f"""
+    WITH by_type AS (
+      SELECT p.p_type AS ptype, p.p_brand AS brand,
+             {sql_dsum_wide("l.l_extendedprice * (1 - l.l_discount)", "itemrevenue")}
+      FROM lineitem l, part p
+      WHERE l.l_partkey = p.p_partkey
+      GROUP BY p.p_type, p.p_brand
+    )
+    SELECT ptype, brand, itemrevenue,
+           ROUND(itemrevenue * 100.0 / SUM(itemrevenue) OVER (PARTITION BY ptype), 6)
+             AS revenueratio
+    FROM by_type
+    """,
+)
+def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report via windowed total of a grouped sum
+    (tpcds/q98.sql:8, q20.sql:8, q12.sql:8).
+
+    The window SUM re-adds doubles, but its inputs are the exact decimal
+    group sums and the per-partition group count is small (≤25 brands), and
+    the unordered-window sum order is engine-stable; result rounded to 6dp."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    by_type = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("ptype"), F.col("p_brand").alias("brand"))
+        .agg(dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")), "itemrevenue"))
+    )
+    w = Window.partitionBy("ptype")
+    return by_type.select(
+        "ptype",
+        "brand",
+        "itemrevenue",
+        F.round(F.col("itemrevenue") * 100.0 / F.sum("itemrevenue").over(w), 6).alias(
+            "revenueratio"
+        ),
+    )
+
+
+# --- cumulative frame ROWS UNBOUNDED PRECEDING (tpcds/q51.sql:6,19) ----------
+@query(
+    "win_cumulative_monthly",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT o_custkey AS custkey, DATE_TRUNC('month', o_orderdate) AS month,
+             {sql_dsum("o_totalprice", "sales")}
+      FROM orders GROUP BY o_custkey, DATE_TRUNC('month', o_orderdate)
+    )
+    SELECT custkey, CAST(month AS DATE) AS month, sales,
+           ROUND(SUM(sales) OVER (PARTITION BY custkey ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cume_sales,
+           ROUND(MAX(sales) OVER (PARTITION BY custkey ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS max_sales
+    FROM monthly
+    WHERE custkey <= 100
+    """,
+)
+def cumulative_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running SUM and running MAX over an explicit
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW frame
+    (tpcds/q51.sql:6,19,36-37). The frame order (custkey, month) is unique
+    per partition row, so the cumulative sequence is deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(dsum("o_totalprice", "sales"))
+        .filter(F.col("custkey") <= 100)
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "custkey",
+        F.col("month").cast("date").alias("month"),
+        "sales",
+        F.round(F.sum("sales").over(w), 6).alias("cume_sales"),
+        F.round(F.max("sales").over(w), 6).alias("max_sales"),
+    )
+
+
+# --- lag + cumulative flag: sessionization (extension; uses events) ----------
+@query(
+    "win_sessionize_events",
+    oracle="""
+    WITH ev AS (
+      -- truncate to microseconds to match Spark's timestamp precision
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ),
+    seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM seq
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions via LAG + cumulative SUM —
+    a training-pipeline extension beyond the reference corpus (which uses
+    no lead/lag, SURVEY §2-B windows "not present" note), expressed with
+    the same windowed primitives. One shuffle on user_id serves both
+    windows (same partition key)."""
+    e = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # double epoch keeps sub-second precision (µs fits exactly in a double),
+    # matching the oracle's INTERVAL comparison at full timestamp precision
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(order)
+    seq = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    cume = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = seq.withColumn("session_id", F.sum("new_session").over(cume))
+    return sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))

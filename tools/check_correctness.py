@@ -1,0 +1,108 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over the
+same parquet fixtures, then compares row count, schema width, and an
+order-insensitive value comparison (columns sorted by name, rows sorted by
+all columns, exact equality after canonicalization).
+
+Usage:  python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif s.dtype == object:
+            df[c] = s.apply(lambda v: str(v))
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    errs = []
+    if len(spark_df) != len(duck_df):
+        errs.append(f"rowcount spark={len(spark_df)} duck={len(duck_df)}")
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        errs.append(f"columns spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+    if errs:
+        return errs
+    a, b = canon(spark_df), canon(duck_df)
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(av, bv)) if not values_equal(x, y)
+        ]
+        if bad:
+            i, x, y = bad[0]
+            errs.append(f"col {col}: {len(bad)} mismatches, first row {i}: spark={x!r} duck={y!r}")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from iceberg_benchmark_java_spark.queries import all_oracles, all_queries
+    from iceberg_benchmark_java_spark.session import build_session, local_test_config
+
+    spark = build_session(local_test_config("correctness-check"))
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries, oracles = all_queries(), all_oracles()
+    n_pass = n_fail = n_noracle = 0
+    for name, builder in sorted(queries.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = builder(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"NOOR  {name}: rows={len(sdf)} (rows-only check)")
+            n_noracle += 1
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        errs = compare(name, sdf, ddf)
+        if errs:
+            n_fail += 1
+            print(f"FAIL  {name}: " + "; ".join(errs))
+        else:
+            n_pass += 1
+            print(f"PASS  {name}: rows={len(sdf)}")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
