@@ -1,0 +1,79 @@
+"""Benchmark entry: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Timing method mirrors the reference (IcebergBenchmark.java:179-190):
+wall-clock around execute-and-discard via the noop sink — result
+materialization excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iceberg_benchmark_java_spark.queries import all_queries
+from iceberg_benchmark_java_spark.session import build_session, local_test_config
+
+# Representative slice of the inventory: scan/agg, joins, subqueries,
+# windows, rollup, set ops, and the pipeline extensions' scale paths.
+HEADLINE = [
+    "tpch_q01_pricing_summary",
+    "tpch_q03_shipping_priority",
+    "tpch_q05_local_supplier_volume",
+    "tpch_q06_revenue_forecast",
+    "tpch_q13_customer_distribution",
+    "sub_in_having",
+    "sub_exists_not_exists_theta",
+    "win_rank_per_group",
+    "win_cumulative_monthly",
+    "win_sessionize_events",
+    "agg_rollup_grouping",
+    "agg_monthly_pivot",
+    "set_union_all_reagg",
+    "pipe_minhash_lsh_candidates",
+    "pipe_ann_cosine_topk",
+    "pipe_text_quality",
+    "pipe_events_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(local_test_config("ibx-bench"))
+    queries = all_queries()
+
+    # warm the JVM + parquet footers with one tiny action
+    queries["tpch_q06_revenue_forecast"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall_sec_noop_sink",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""CLI driver (harness operators A1/A2/A15).
+
+Mirrors the reference's picocli surface (IcebergBenchmark.java:31-90):
+
+  --tpcds-dir / --tpch-dir      query corpus directories (sorted *.sql)
+  --tpcds-data-db / --tpch-data-db   database names per suite
+  --catalog-name                Spark catalog holding the warehouse
+  --output-gcs-path             results root (any Hadoop-compatible path)
+  --run-id                      run identifier (results land under it)
+
+Plus rebuild-specific axes replacing runner.sh/partitioned_runner.sh:
+  --sf-dir          parquet fixture dir → registered as temp views when no
+                    Iceberg catalog is configured (local mode)
+  --shuffle-partitions / --no-aqe / --schema-size
+
+Run:  python -m iceberg_benchmark_java_spark.cli --tpch-dir corpus/tpch \
+          --run-id local-1 --output-gcs-path /tmp/ibx-results --sf-dir \
+          /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .catalog import register_views
+from .harness.runner import BenchmarkRunner
+from .session import SparkConfig, build_session
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="PySpark benchmark harness")
+    p.add_argument("--tpcds-dir", default=None)
+    p.add_argument("--tpch-dir", default=None)
+    p.add_argument("--tpcds-data-db", default="tpcds")
+    p.add_argument("--tpch-data-db", default="tpch")
+    p.add_argument("--catalog-name", default="")
+    p.add_argument("--output-gcs-path", required=True)
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--sf-dir", default=None, help="parquet fixtures → temp views")
+    p.add_argument("--schema-size", default="sf?")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--no-aqe", action="store_true")
+    p.add_argument("--no-metrics", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = make_parser().parse_args(argv)
+    cfg = SparkConfig(
+        app_name=f"ibx-{args.run_id}",
+        shuffle_partitions=args.shuffle_partitions,
+        adaptive=not args.no_aqe,
+        catalog_name=args.catalog_name or "local",
+    )
+    spark = build_session(cfg)
+    if args.sf_dir:
+        register_views(spark, args.sf_dir)
+    runner = BenchmarkRunner(
+        spark,
+        run_id=args.run_id,
+        schema_size=args.schema_size,
+        collect_metrics=not args.no_metrics,
+    )
+    # suite order mirrors the reference: TPC-DS then TPC-H
+    # (IcebergBenchmark.java:121-122)
+    use_db = bool(args.catalog_name)
+    if args.tpcds_dir:
+        runner.run_suite(
+            "TPC-DS", args.tpcds_dir, args.catalog_name, args.tpcds_data_db, use_db
+        )
+    if args.tpch_dir:
+        runner.run_suite(
+            "TPC-H", args.tpch_dir, args.catalog_name, args.tpch_data_db, use_db
+        )
+    target = runner.flush_csv(args.output_gcs_path)
+    failed = [r.query_name for r in runner.results if r.status == "FAILED"]
+    print(f"results: {target}  queries: {len(runner.results)}  failed: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

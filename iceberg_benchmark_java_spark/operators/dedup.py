@@ -182,9 +182,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     )
     signed = bits.withColumn(
         "vote",
-        F.when(F.shiftright(F.col("wh"), F.col("bit").cast("int")).bitwiseAND(1) == 1, F.col("cnt")).otherwise(
-            -F.col("cnt")
-        ),
+        F.when(F.expr("(wh >> bit) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt")),
     )
     return (
         signed.groupBy("doc_id", "bit")
@@ -192,9 +190,9 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         .withColumn("bitval", F.when(F.col("v") > 0, 1).otherwise(0))
         .groupBy("doc_id")
         .agg(
-            F.sum(
-                F.col("bitval").cast("long") * F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int"))
-            ).alias("simhash")
+            F.sum(F.expr("CAST(bitval AS BIGINT) * shiftleft(CAST(1 AS BIGINT), bit)")).alias(
+                "simhash"
+            )
         )
     )
 

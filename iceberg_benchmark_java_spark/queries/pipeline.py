@@ -1,1 +1,394 @@
-"""Placeholder — populated incrementally this round."""
+"""Training-data pipeline queries (the engine's north-star extensions).
+
+Registers the operators/* implementations — dedup, similarity search, text
+analysis, events analytics — as gate-checked queries with full DuckDB
+oracles. These go beyond the reference's relational surface (SURVEY §2-B
+notes no UDFs/streams exist there) but are first-class engine components
+for 100 TB training-data curation.
+
+Determinism across engines relies on: md5 (identical everywhere) instead of
+engine-native hashes, double promotion of float embeddings, fixed fold
+order for array arithmetic, decimal accumulation for sums, and fixed-scale
+rounding of every ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup, similarity, text
+from .registry import query
+
+# DuckDB-side shared fragments ------------------------------------------------
+
+_DUCK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_DUCK_SHINGLES = f"""
+  words AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+    FROM words, UNNEST(generate_series(1, GREATEST(len(w) - 2, 1))) AS t(i)
+  )
+"""
+
+# 60-bit hex→int parse (matches Spark's conv(substr(md5(w),1,15),16,10)).
+_DUCK_HEX15 = (
+    "list_sum(list_transform(generate_series(1,15), i -> "
+    "(strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1)::BIGINT"
+    " * (1::BIGINT << (4 * (15 - i)))))"
+)
+
+
+# --- exact digest + corpus summary -------------------------------------------
+@query(
+    "pipe_dedup_exact_digest",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           MIN(md5(text)) AS min_digest
+    FROM documents
+    """,
+)
+def dedup_exact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup accounting by content digest (hash-groupBy dedup summary).
+    md5 is engine-portable, so min_digest cross-checks the digest itself."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+        F.min(h).alias("min_digest"),
+    )
+
+
+# --- normalization-fingerprint clusters --------------------------------------
+@query(
+    "pipe_fingerprint_clusters",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def fingerprint_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the sorted distinct lowercase token
+    set — order/repetition-insensitive dup clusters (keep-min-id policy)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.fingerprint_clusters(d).select("fp", "n_docs", "canonical_id")
+
+
+# --- n-gram Jaccard near-dup pairs -------------------------------------------
+@query(
+    "pipe_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.inter,
+           ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM inter i, sizes sa, sizes sb
+    WHERE sa.doc_id = i.doc_a AND sb.doc_id = i.doc_b
+      AND i.inter / (sa.sz + sb.sz - i.inter) >= 0.2
+    """,
+)
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-word-shingle Jaccard near-dup pairs via shingle self-join
+    (|A∩B| aggregation — no O(n²) materialization before the threshold)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2)
+
+
+# --- MinHash + LSH candidates ------------------------------------------------
+@query(
+    "pipe_minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5(concat('{k}|', shingle))) AS h{k}" for k in range(dedup.N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, concat(h{2 * b}, h{2 * b + 1}) AS band_key FROM sig" for b in range(dedup.N_HASHES // dedup.BAND_SIZE))}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 salted-md5 mins) → 4 LSH bands → same-bucket candidate
+    pairs. The scale path for corpus dedup: cost O(docs × shingles), the
+    pair space never materializes."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(d, n=3)
+
+
+# --- SimHash fingerprints ----------------------------------------------------
+@query(
+    "pipe_simhash_fingerprints",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt,
+             {_DUCK_HEX15} AS wh
+      FROM (SELECT doc_id, UNNEST({_DUCK_TOKENS}) AS w FROM documents) t
+      GROUP BY doc_id, w
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (wh >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+      FROM words, UNNEST(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b(bit)
+      GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: md5-derived word hashes, count-weighted
+    bitwise majority. Near-dup = small Hamming distance (see
+    operators.dedup.simhash_near_pairs for the pairing step)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(d)
+
+
+# --- brute-force cosine top-k ------------------------------------------------
+_DUCK_ANN_BASE = """
+  q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 10),
+  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings)
+"""
+
+
+@query(
+    "pipe_ann_cosine_topk",
+    oracle=f"""
+    WITH {_DUCK_ANN_BASE},
+    s AS (
+      SELECT query_id, vec_id,
+             ROUND(list_dot_product(qe, ee)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee))),
+                   6) AS sim
+      FROM q, e WHERE query_id <> vec_id
+    )
+    SELECT query_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT query_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM s) r
+    WHERE rnk <= 5
+    """,
+)
+def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors over the corpus — the ANN
+    correctness baseline. Dot products via zip_with/aggregate fold (JVM,
+    codegen); float→double promotion keeps both engines bit-identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.cosine_topk_bruteforce(e.select("vec_id", "embedding"), queries_df, k=5)
+
+
+# --- sign-LSH bucketed ANN ---------------------------------------------------
+@query(
+    "pipe_ann_lsh_bucketed",
+    oracle=f"""
+    WITH {_DUCK_ANN_BASE},
+    qb AS (SELECT query_id, qe,
+             array_to_string(list_transform(qe[1:8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket FROM q),
+    eb AS (SELECT vec_id, ee,
+             array_to_string(list_transform(ee[1:8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket FROM e),
+    s AS (
+      SELECT query_id, vec_id,
+             ROUND(list_dot_product(qe, ee)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee))),
+                   6) AS sim
+      FROM qb JOIN eb USING (bucket) WHERE query_id <> vec_id
+    )
+    SELECT query_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT query_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM s) r
+    WHERE rnk <= 5
+    """,
+)
+def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: sign-LSH on the leading 8 dims restricts candidates to
+    one bucket (equi-join instead of cross join) — the 100 TB query path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.cosine_topk_lsh(e.select("vec_id", "embedding"), queries_df, k=5)
+
+
+# --- embedding norm stats ----------------------------------------------------
+@query(
+    "pipe_embedding_norms",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(ROUND(SUM(CAST(ROUND(sqrt(list_dot_product(
+                 CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6)
+               AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm stats over the embedding array — array aggregate
+    (fold) + decimal-exact re-aggregation (round norms to 6dp, sum in
+    decimal, emit at 4dp)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm6 = F.round(similarity._norm(F.col("embedding")), 6)
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum(norm6.cast("decimal(18,6)")), 4).cast("double").alias("sum_norm"),
+    )
+
+
+# --- text quality metrics ----------------------------------------------------
+@query(
+    "pipe_text_quality",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars_actual,
+             len({_DUCK_TOKENS}) AS n_tokens,
+             length(regexp_replace(text, '\\s+', '', 'g'))
+               / CAST(len({_DUCK_TOKENS}) AS DOUBLE) AS atl,
+             len(list_filter({_DUCK_TOKENS}, t -> t IN ('the','a','of','and')))
+               / CAST(len({_DUCK_TOKENS}) AS DOUBLE) AS sw
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_chars_actual AS INTEGER) AS n_chars_actual,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND(atl, 6) AS avg_token_len,
+           ROUND(sw, 6) AS stopword_ratio,
+           ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5
+                 + LEAST(sw * 5.0, 1.0) * 0.3
+                 + LEAST(atl / 8.0, 1.0) * 0.2, 6) AS quality_score
+    FROM m
+    """,
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: length/token/stopword metrics and a
+    bounded composite score — pure column expressions, no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.quality_metrics(d).withColumns(
+        {
+            "n_chars_actual": F.col("n_chars_actual").cast("int"),
+            "n_tokens": F.col("n_tokens").cast("int"),
+        }
+    )
+
+
+# --- language-ID confusion ---------------------------------------------------
+@query(
+    "pipe_langid_confusion",
+    oracle=f"""
+    SELECT lang AS actual,
+           CASE WHEN len(list_filter({_DUCK_TOKENS}, t -> t IN ('the','a','of','and')))
+                     / CAST(len({_DUCK_TOKENS}) AS DOUBLE) >= 0.05
+                THEN 'en' ELSE 'other' END AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def langid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID vs the labeled lang column — confusion
+    counts (the n-gram-table LID plan shape at minimal vocabulary)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.langid_confusion(d)
+
+
+# --- per-language token stats ------------------------------------------------
+@query(
+    "pipe_token_stats",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(len({_DUCK_TOKENS})) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rolled up by (lang, source) — integer-exact sums."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = text.token_count(F.col("text"))
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        (F.sum(n_tok).cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
+# --- events: hourly channel aggregate (streaming batch-equivalent) -----------
+@query(
+    "pipe_events_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour aggregate over the events stream table — the exact
+    batch equivalent of the Structured Streaming windowed aggregation in
+    streaming/events.py (same grouping, same measures)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+# --- events: JSON property extraction ----------------------------------------
+@query(
+    "pipe_events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON path extraction + integer-exact
+    aggregation (get_json_object — JVM-side, no UDF)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -72,6 +72,7 @@ def _load_all() -> None:
         setops,
         subqueries,
         tpch,
+        tpch2,
         windows,
     )
 

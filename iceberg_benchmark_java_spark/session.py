@@ -86,6 +86,11 @@ def build_session(cfg: SparkConfig | None = None) -> SparkSession:
         # Parquet TIMESTAMP(NANOS) columns (events.ts) surface as LONG
         # nanos; catalog.load_table converts them to timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4.1's ChecksumCheckpointFileManager deadlocks when many
+        # concurrent stateful-streaming tasks await its shared checksum
+        # writer pool (observed: all 32 local tasks parked in
+        # ChecksumCheckpointFileManager.awaitResult).
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     )
     if cfg.shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))

@@ -1,0 +1,13 @@
+from .events import (
+    hourly_aggregate_stream,
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+)
+
+__all__ = [
+    "hourly_aggregate_stream",
+    "read_events_stream",
+    "run_stream_to_memory",
+    "sessionize_stream",
+]

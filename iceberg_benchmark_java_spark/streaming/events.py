@@ -1,0 +1,208 @@
+"""Structured Streaming ingestion over the events table.
+
+The reference has no streaming surface (SURVEY §2-B: "Streaming: none") —
+this module is the engine's extension for continuous ingestion, built on
+the standard Structured Streaming triad:
+
+- ``read_events_stream``      — file-source readStream with the events
+                                schema (at scale: swap the source for
+                                Kafka/Kinesis; the plan is unchanged).
+- ``hourly_aggregate_stream`` — watermarked tumbling-window aggregate;
+                                late data beyond the watermark is dropped
+                                deterministically. Batch-equivalent:
+                                queries/pipeline.py::pipe_events_hourly.
+- ``sessionize_stream``       — custom stateful operator via
+                                applyInPandasWithState (30-min-gap
+                                sessions); the streaming twin of
+                                queries/windows.py::win_sessionize_events.
+
+Tests drive these with a file source and a memory sink
+(tests/test_streaming.py) — the same code runs against a real broker by
+swapping the reader.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of event rows (one file per micro-batch in
+    tests). ``maxFilesPerTrigger=1`` keeps micro-batches deterministic."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def hourly_aggregate_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-hour aggregate per event_type.
+
+    Same grouping/measures as the batch query pipe_events_hourly, so the
+    two can be diffed directly. The watermark bounds state: at 100 TB/day
+    the state store holds only open windows within the watermark horizon.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_GAP_SECONDS = 30 * 60
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_id", LongType(), True),
+        StructField("last_ts_epoch", DoubleType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("session_id", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("closed", IntegerType(), True),
+    ]
+)
+
+
+def _make_sessionize_group(use_timeout: bool):
+    def _sessionize_group(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user stateful sessionizer: events ordered by ts extend the
+        current session unless the gap exceeds SESSION_GAP_SECONDS; a session
+        emits (possibly updated) counts per micro-batch and closes on
+        timeout."""
+        (user_id,) = key
+        if state.hasTimedOut:
+            session_id, _last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_id": [session_id],
+                    "n_events": [n],
+                    "closed": [1],
+                }
+            )
+            return
+        rows = pd.concat(list(batches), ignore_index=True).sort_values("ts")
+        if state.exists:
+            session_id, last_epoch, n = state.get
+        else:
+            session_id, last_epoch, n = 0, None, 0
+        out_rows = []
+        for ts in rows["ts"]:
+            epoch = ts.timestamp()
+            if last_epoch is not None and (epoch - last_epoch) > SESSION_GAP_SECONDS:
+                out_rows.append((user_id, session_id, n, 1))  # close previous
+                session_id += 1
+                n = 0
+            n += 1
+            last_epoch = epoch
+        state.update((session_id, last_epoch, n))
+        if use_timeout:
+            state.setTimeoutDuration(SESSION_GAP_SECONDS * 1000)
+        out_rows.append((user_id, session_id, n, 0))  # open session snapshot
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "session_id", "n_events", "closed"]
+        )
+
+    return _sessionize_group
+
+
+def sessionize_stream(events: DataFrame, close_by_timeout: bool = True) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    30-minute-gap sessionization. The state is one tiny tuple per active
+    user — bounded by active users, not by throughput.
+
+    ``close_by_timeout=True`` (production): processing-time timeouts close
+    idle sessions with no further input. Note a stateful operator with
+    pending timeouts reports shouldRunAnotherBatch=true, so even an
+    availableNow run keeps triggering micro-batches until every timeout has
+    fired — correct for a live pipeline, unbounded for a finite test drain.
+    ``close_by_timeout=False``: no timeouts; sessions close only when a
+    later event exceeds the gap. Finite sources then terminate cleanly
+    under availableNow, with open sessions visible as closed=0 snapshots.
+    """
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if close_by_timeout
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_sessionize_group(close_by_timeout),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "update",
+    available_now: bool = False,
+) -> Any:
+    """Start the stream into a memory sink for inspection/testing; returns
+    the StreamingQuery (caller awaits/stops).
+
+    ``available_now=True`` drains all currently-available source data and
+    stops — the right trigger for finite verification runs. Without it a
+    stateful query with processing-time timeouts runs micro-batches forever
+    (by design: session timeouts must fire with no new data), so
+    ``processAllAvailable`` never settles.
+    """
+    w = stream_df.writeStream.format("memory").queryName(query_name).outputMode(output_mode)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,118 @@
+"""Harness operator tests (SURVEY §5.2 item 3: A1-A15 semantics)."""
+
+from __future__ import annotations
+
+import glob
+
+from iceberg_benchmark_java_spark.harness import (
+    RESULTS_SCHEMA,
+    BenchmarkRunner,
+    discover_queries,
+    render_query,
+    results_dataframe,
+)
+from iceberg_benchmark_java_spark.harness.runner import ERROR_TRUNCATE
+from tests.conftest import SF_SMOKE
+
+
+def test_discovery_sorted_and_filtered(tmp_path):
+    # IcebergBenchmark.java:162-167: only regular *.sql, sorted by name
+    (tmp_path / "q10.sql").write_text("SELECT 10")
+    (tmp_path / "q02.sql").write_text("SELECT 2")
+    (tmp_path / "q1.txt").write_text("not sql")
+    (tmp_path / "sub.sql").mkdir()  # directory with .sql name → excluded
+    found = discover_queries(tmp_path)
+    assert [p.name for p in found] == ["q02.sql", "q10.sql"]
+
+
+def test_discovery_missing_dir_warns_returns_empty(recwarn, tmp_path):
+    assert discover_queries(tmp_path / "nope") == []
+    assert any("not found" in str(w.message) for w in recwarn.list)
+
+
+def test_templating():
+    # IcebergBenchmark.java:174-175
+    sql = "SELECT * FROM ${database}.${schema}.lineitem, ${database}.${schema}.orders"
+    assert (
+        render_query(sql, "cat", "db")
+        == "SELECT * FROM cat.db.lineitem, cat.db.orders"
+    )
+
+
+def test_results_schema_matches_reference():
+    # IcebergBenchmark.java:131-147: 13 fields, exact names
+    names = [f.name for f in RESULTS_SCHEMA.fields]
+    assert names == [
+        "run_id",
+        "schema_size",
+        "benchmark_type",
+        "query_name",
+        "execution_id",
+        "start_time_ms",
+        "end_time_ms",
+        "execution_time_sec",
+        "status",
+        "error_message",
+        "analytics_core_enabled",
+        "timestamp",
+        "metric_json",
+    ]
+
+
+def test_runner_noop_execution_and_error_capture(spark):
+    from iceberg_benchmark_java_spark.catalog import register_views
+
+    register_views(spark, SF_SMOKE)
+    r = BenchmarkRunner(spark, run_id="t1", collect_metrics=False)
+    ok = r.run_sql("TPC-H", "q_ok", "SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1")
+    assert ok.status == "SUCCESS" and ok.error_message is None
+    assert ok.execution_time_sec >= 0
+
+    bad = r.run_sql("TPC-H", "q_bad", "SELECT * FROM missing_table_xyz")
+    assert bad.status == "FAILED"
+    assert bad.error_message and len(bad.error_message) <= ERROR_TRUNCATE
+    # run continues after failure (A9) and buffers both (A11)
+    assert [x.query_name for x in r.results] == ["q_ok", "q_bad"]
+
+
+def test_runner_suite_and_csv_flush(spark, tmp_path):
+    from iceberg_benchmark_java_spark.catalog import register_views
+
+    register_views(spark, SF_SMOKE)
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    (qdir / "q01.sql").write_text("SELECT count(*) FROM lineitem")
+    (qdir / "q02.sql").write_text("SELECT count(*) FROM ${schema}orders")
+    r = BenchmarkRunner(spark, run_id="t2", collect_metrics=False)
+    results = r.run_suite("TPC-H", qdir, catalog="", schema="")
+    assert [x.query_name for x in results] == ["q01.sql", "q02.sql"]
+    assert all(x.status == "SUCCESS" for x in results)
+
+    out = r.flush_csv(str(tmp_path / "out"))
+    files = glob.glob(out + "/*.csv")
+    assert len(files) == 1  # repartition(1) → single CSV file
+    header = open(files[0]).readline().strip()
+    assert header.startswith('"run_id"')  # quoteAll + header
+
+
+def test_metrics_collection_smoke(spark):
+    from iceberg_benchmark_java_spark.catalog import register_views
+
+    register_views(spark, SF_SMOKE)
+    r = BenchmarkRunner(spark, run_id="t3", collect_metrics=True)
+    res = r.run_sql("TPC-H", "qm", "SELECT sum(l_quantity) FROM lineitem")
+    assert res.metric_json is not None
+    import json
+
+    m = json.loads(res.metric_json)
+    assert "total_executor_run_time_ms" in m
+    if m["metrics_source"] == "rest":  # UI available → stages attached
+        assert isinstance(m["stages"], list)
+
+
+def test_results_dataframe_round_trip(spark):
+    r = BenchmarkRunner(spark, run_id="t4", collect_metrics=False)
+    r.run_sql("TPC-H", "q", "SELECT 1")
+    df = results_dataframe(spark, [x.as_row() for x in r.results])
+    row = df.collect()[0]
+    assert row.run_id == "t4" and row.status == "SUCCESS"

@@ -1,0 +1,137 @@
+"""Unit tests for the pipeline operators (dedup/similarity/text/multimodal)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_benchmark_java_spark.catalog import load_table
+from iceberg_benchmark_java_spark.operators import dedup, multimodal, similarity, text
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def _planted(spark):
+    """Corpus with known duplicates: 0≡1 exact, 2 near-dup of 0, 3 distinct."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates_planted(spark):
+    out = dedup.exact_duplicates(_planted(spark)).collect()
+    assert len(out) == 1
+    assert out[0].n_copies == 2 and out[0].canonical_id == 0
+
+
+def test_ngram_jaccard_planted(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(_planted(spark), threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs
+    assert 0.3 <= pairs[(0, 2)] < 1.0  # near-dup
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_minhash_lsh_planted(spark):
+    cands = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in dedup.minhash_lsh_candidates(_planted(spark)).collect()
+    }
+    assert cands[(0, 1)] == dedup.N_HASHES // dedup.BAND_SIZE  # identical: all bands
+    assert (0, 3) not in cands  # unrelated docs never bucket together
+
+
+def test_simhash_planted(spark):
+    fps = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(_planted(spark)).collect()}
+    assert fps[0] == fps[1]  # identical text → identical fingerprint
+    ham02 = bin(fps[0] ^ fps[2]).count("1")
+    ham03 = bin(fps[0] ^ fps[3]).count("1")
+    assert ham02 <= ham03  # near-dup at most as far as unrelated doc
+    assert all(0 <= v < 2**dedup.SIMHASH_BITS for v in fps.values())
+
+
+def test_simhash_near_pairs_blocking(spark):
+    d = _planted(spark).withColumn("lang", F.lit("en"))
+    pairs = dedup.simhash_near_pairs(d, ["lang"], max_hamming=0).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} >= {(0, 1)}
+
+
+def test_cosine_topk_self_similarity(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.7, 0.7, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    top = similarity.cosine_topk_bruteforce(emb, q, k=3).collect()
+    assert [r.vec_id for r in top] == [1, 3, 2]  # identical > 45° > orthogonal
+    assert top[0].sim == 1.0
+
+
+def test_lsh_bucket_recall_subset(spark, docs):
+    """LSH results are a subset of brute-force candidates per query."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    brute = similarity.cosine_topk_bruteforce(e, q, k=500)
+    lsh = similarity.cosine_topk_lsh(e, q, k=500)
+    bs = {(r.query_id, r.vec_id) for r in brute.collect()}
+    ls = {(r.query_id, r.vec_id) for r in lsh.collect()}
+    assert ls <= bs and len(ls) > 0
+
+
+def test_text_quality_bounds(spark, docs):
+    m = text.quality_metrics(docs).collect()
+    assert all(0 <= r.quality_score <= 1.0 + 1e-9 for r in m)
+    assert all(r.n_tokens > 0 for r in m)
+
+
+def test_fingerprint_order_insensitive(spark):
+    d = spark.createDataFrame(
+        [(0, "b a c"), (1, "c b a a"), (2, "x y z")], ["doc_id", "text"]
+    )
+    out = text.fingerprint_clusters(d).collect()
+    assert len(out) == 1 and out[0].n_docs == 2 and out[0].canonical_id == 0
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.synthesize_media(docs)
+    feats = multimodal.extract_features(media)
+    rows = feats.limit(5).collect()
+    assert all(r.n_bytes > 0 and len(r.payload_digest) == 32 for r in rows)
+    # decode stub is deterministic: dims derive from payload length
+    assert all(r.decoded_width == r.n_bytes % 1024 + 16 for r in rows)
+
+
+def test_multimodal_metadata_pruning(spark, docs):
+    """Metadata-only aggregates must not read the payload column."""
+    media = multimodal.synthesize_media(docs)
+    tmp = "/tmp/ibx_media_test.parquet"
+    media.write.mode("overwrite").parquet(tmp)
+    stats = spark.read.parquet(tmp).groupBy("mime").agg(F.count("*").alias("n"))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan  # column pruned at the scan
+
+
+def test_frame_sample_plan(spark, docs):
+    media = multimodal.synthesize_media(docs)
+    frames = multimodal.frame_sample_plan(media, every_n=10)
+    r = frames.groupBy("media_id").count().limit(3).collect()
+    assert all(x["count"] >= 1 for x in r)

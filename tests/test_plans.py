@@ -1,0 +1,101 @@
+"""Physical-plan assertions: the scale guarantees, checked mechanically.
+
+These tests pin the properties that matter at 100 TB: filters reach the
+parquet scan, projections prune columns, dimension joins broadcast, top-k
+avoids global sorts, and the hot path contains no Python row UDFs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_benchmark_java_spark.queries import all_queries
+from tests.conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q06_filter_pushdown(spark):
+    """Range + BETWEEN predicates must reach the parquet scan."""
+    plan = _plan(spark, "tpch_q06_revenue_forecast")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:400]
+
+
+def test_q01_column_pruning(spark):
+    """Q1 reads 7 of 11 lineitem columns — ReadSchema must not include
+    join keys it doesn't use."""
+    plan = _plan(spark, "tpch_q01_pricing_summary")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q05_broadcasts_dimensions(spark):
+    """nation/region/supplier joins must be broadcast (no fact shuffle
+    for dimension joins)."""
+    plan = _plan(spark, "tpch_q05_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q03_topk_avoids_global_sort(spark):
+    """orderBy+limit must plan TakeOrderedAndProject, not a global Sort."""
+    plan = _plan(spark, "tpch_q03_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_udf_in_relational_queries(spark):
+    """The §2-B inventory must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes)."""
+    for name in QUERIES:
+        if name.startswith(("tpch_", "win_", "agg_", "sub_", "set_", "join_")):
+            plan = _plan(spark, name)
+            assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_q01_partial_aggregation(spark):
+    """Aggregates must be map-side combinable: partial_ functions before
+    the exchange."""
+    plan = _plan(spark, "tpch_q01_pricing_summary")
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_whole_stage_codegen_present(spark):
+    df = QUERIES["tpch_q01_pricing_summary"](spark, SF_SMOKE)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan  # WholeStageCodegen stage markers
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["sub_exists_semi", "sub_not_exists_anti", "sub_not_in_null_aware"],
+)
+def test_semi_anti_join_strategies(spark, name):
+    """EXISTS/NOT EXISTS/NOT IN must plan semi/anti joins, not inner joins
+    plus dedup."""
+    plan = _optimized(spark, name)
+    assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_minhash_single_shuffle_signature(spark):
+    """MinHash signatures: one aggregate over exploded shingles — the plan
+    must contain exactly one shuffle for the signature aggregation (plus
+    the band-join shuffles), not one per hash function."""
+    from iceberg_benchmark_java_spark.catalog import load_table
+    from iceberg_benchmark_java_spark.operators import dedup
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    plan = dedup.minhash_signatures(d)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1

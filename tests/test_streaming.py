@@ -1,0 +1,82 @@
+"""Structured Streaming tests: file source → memory sink, vs batch truth."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from iceberg_benchmark_java_spark import streaming
+from iceberg_benchmark_java_spark.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def stream_source_dir(spark, tmp_path_factory):
+    """Events split into 3 parquet files → 3 deterministic micro-batches."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    events = load_table(spark, SF_SMOKE, "events")
+    # Range-partition by ts so the 3 files cover disjoint, ascending time
+    # ranges: the file stream source processes them in path order, so event
+    # time advances monotonically across micro-batches and the watermark
+    # never drops in-order data.
+    events.withColumn("ts", events.ts.cast("timestamp")).repartitionByRange(
+        3, "ts"
+    ).sortWithinPartitions("ts").write.mode("overwrite").parquet(d)
+    return d
+
+
+def _await_done(query, timeout=300):
+    # availableNow trigger: the query self-terminates once the source drains.
+    assert query.awaitTermination(timeout), "stream did not terminate in time"
+
+
+def test_hourly_aggregate_stream_matches_batch(spark, stream_source_dir):
+    src = streaming.read_events_stream(spark, stream_source_dir)
+    agg = streaming.hourly_aggregate_stream(src)
+    # complete mode: the memory table is the full final aggregate, so the
+    # comparison is insensitive to micro-batch ordering and watermarking.
+    q = streaming.run_stream_to_memory(
+        agg, "hourly_test", output_mode="complete", available_now=True
+    )
+    try:
+        _await_done(q)
+        got = {
+            (r.hour, r.event_type): (r.n_events, r.total_value)
+            for r in spark.sql(
+                "SELECT hour, event_type, n_events, total_value FROM hourly_test"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    # batch truth: the registered batch-equivalent query
+    from iceberg_benchmark_java_spark.queries import all_queries
+
+    batch = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in all_queries()["pipe_events_hourly"](spark, SF_SMOKE).collect()
+    }
+    # every batch window appears in the stream output with matching final counts
+    missing = {k: v for k, v in batch.items() if got.get(k) != v}
+    assert not missing, f"{len(missing)} windows disagree, e.g. {list(missing.items())[:2]}"
+
+
+def test_sessionize_stream_emits_sessions(spark, stream_source_dir):
+    src = streaming.read_events_stream(spark, stream_source_dir)
+    # close_by_timeout=False: finite drain — see sessionize_stream docstring.
+    sess = streaming.sessionize_stream(src, close_by_timeout=False)
+    q = streaming.run_stream_to_memory(
+        sess, "sessions_test", output_mode="append", available_now=True
+    )
+    try:
+        _await_done(q)
+        rows = spark.sql("SELECT * FROM sessions_test").collect()
+    finally:
+        q.stop()
+    assert rows, "sessionizer emitted nothing"
+    assert all(r.n_events >= 1 for r in rows)
+    # session ids increase per user; snapshot rows for open sessions exist
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, set()).add(r.session_id)
+    assert all(min(s) >= 0 for s in by_user.values())
