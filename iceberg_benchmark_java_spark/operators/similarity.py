@@ -81,6 +81,41 @@ def sign_bucket(emb: Column, n_bits: int = 8) -> Column:
     return F.array_join(bits, "")
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.25, n_bits: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: self-join restricted to
+    the sign-LSH bucket, exact cosine inside, keep pairs ≥ threshold.
+
+    The dedup twin of ``cosine_topk_lsh``: instead of per-query top-k it
+    yields all high-similarity pairs (vec_id < vec_id2 canonical order) for
+    a downstream keep-one policy. At 100 TB: one shuffle on the bucket key;
+    within-bucket pair counts are quadratic in bucket size, so raise
+    ``n_bits`` (more, smaller buckets) as the corpus grows, or band over
+    multiple sign-bit slices for recall like MinHash-LSH.
+    """
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        sign_bucket(F.col("embedding"), n_bits).alias("bucket"),
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        sign_bucket(F.col("embedding"), n_bits).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), SIM_SCALE).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8
 ) -> DataFrame:

@@ -237,6 +237,33 @@ def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(e.select("vec_id", "embedding"), queries_df, k=5)
 
 
+# --- embedding-cosine near-duplicate pairs -----------------------------------
+@query(
+    "pipe_embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee,
+                 array_to_string(list_transform(CAST(embedding AS DOUBLE[])[1:8],
+                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.ee, b.ee)
+                 / (sqrt(list_dot_product(a.ee, a.ee))
+                    * sqrt(list_dot_product(b.ee, b.ee))), 6) AS sim
+    FROM e a JOIN e b USING (bucket)
+    WHERE a.vec_id < b.vec_id
+      AND ROUND(list_dot_product(a.ee, b.ee)
+                / (sqrt(list_dot_product(a.ee, a.ee))
+                   * sqrt(list_dot_product(b.ee, b.ee))), 6) >= 0.25
+    """,
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs ≥ 0.25 cosine within a sign-LSH
+    bucket (canonical vec_a < vec_b order) — the ANN-side dedup path
+    alongside MinHash/SimHash text dedup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(e.select("vec_id", "embedding"))
+
+
 # --- embedding norm stats ----------------------------------------------------
 @query(
     "pipe_embedding_norms",
