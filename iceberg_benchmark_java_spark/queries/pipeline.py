@@ -114,7 +114,7 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_DUCK_SHINGLES},
     sig AS (
       SELECT doc_id,
-             {", ".join(f"MIN(md5(concat('{k}|', shingle))) AS h{k}" for k in range(dedup.N_HASHES))}
+             {", ".join(f"MIN(substr(md5(concat('{'a' if k < dedup.N_HASHES // 2 else 'b'}|', shingle)), {(k % (dedup.N_HASHES // 2)) * 8 + 1}, 8)) AS h{k}" for k in range(dedup.N_HASHES))}
       FROM sh GROUP BY doc_id
     ),
     bands AS (
@@ -128,7 +128,7 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(8 salted-md5 mins) → 4 LSH bands → same-bucket candidate
+    """MinHash(8×32-bit sliced salted-md5 mins) → 4 LSH bands → bucket candidate
     pairs. The scale path for corpus dedup: cost O(docs × shingles), the
     pair space never materializes."""
     d = load_table(spark, sf_dir, "documents")
