@@ -39,8 +39,12 @@ HEADLINE = [
     "set_union_all_reagg",
     "pipe_minhash_lsh_candidates",
     "pipe_ann_cosine_topk",
+    "pipe_ann_ivf_topk",
+    "pipe_embedding_near_dup",
     "pipe_text_quality",
     "pipe_events_hourly",
+    "tpch_q08_market_share",
+    "tpch_q21_waiting_supplier",
 ]
 
 

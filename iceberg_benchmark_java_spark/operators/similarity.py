@@ -81,6 +81,92 @@ def sign_bucket(emb: Column, n_bits: int = 8) -> Column:
     return F.array_join(bits, "")
 
 
+def ivf_assignments(
+    embeddings: DataFrame, n_centroids: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization: deterministic centroids + nearest-centroid
+    assignment.
+
+    Centroids are the first ``n_centroids`` vectors by vec_id — a
+    deterministic seeding (k-means|| iterations would refine them; the
+    index structure and query path are identical, so the plumbing is what
+    matters here). Assignment is argmax cosine, ties to the lowest
+    cent_id.
+
+    At 100 TB: centroids are a broadcast table; assignment is a single
+    O(N×C) map-side pass (no shuffle of the corpus); the assignment would
+    be persisted as a partition column so queries prune to probed lists.
+    Returns (centroids, assignments).
+    """
+    w_cent = Window.orderBy("vec_id")
+    centroids = (
+        embeddings.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(w_cent) - 1).alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    scored = embeddings.select("vec_id", "embedding").crossJoin(
+        F.broadcast(centroids)
+    ).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(cosine(F.col("embedding"), F.col("c_emb")), SIM_SCALE).alias("csim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    assignments = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    return centroids, assignments
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: nearest-centroid inverted lists, query probes the
+    ``n_probe`` closest lists, exact cosine re-rank inside.
+
+    The candidate set is bounded by the probed lists (≈ N·n_probe/C rows
+    per query) instead of the corpus — the standard recall/latency dial.
+    Join shape: broadcast(queries × probes) ⋈ assignments on cent_id.
+    """
+    centroids, assignments = ivf_assignments(embeddings, n_centroids)
+    q_scored = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "q_embedding",
+        "cent_id",
+        F.round(cosine(F.col("q_embedding"), F.col("c_emb")), SIM_SCALE).alias("csim"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_embedding", "cent_id")
+    )
+    cand = probes.join(assignments, "cent_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_embedding"), F.col("embedding")), SIM_SCALE).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "sim", "rnk")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.25, n_bits: int = 8
 ) -> DataFrame:

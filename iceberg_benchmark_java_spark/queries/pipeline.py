@@ -237,6 +237,66 @@ def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(e.select("vec_id", "embedding"), queries_df, k=5)
 
 
+# --- IVF ANN -----------------------------------------------------------------
+@query(
+    "pipe_ann_ivf_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+    cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cent_id,
+                    ee AS ce
+             FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+    ascore AS (
+      SELECT e.vec_id, c.cent_id,
+             ROUND(list_dot_product(ee, ce)
+                   / (sqrt(list_dot_product(ee, ee)) * sqrt(list_dot_product(ce, ce))),
+                   6) AS csim
+      FROM e, cent c),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+        FROM ascore) x WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, ee AS qe FROM e WHERE vec_id < 10),
+    qscore AS (
+      SELECT query_id, cent_id,
+             ROUND(list_dot_product(qe, ce)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                   6) AS csim
+      FROM q, cent c),
+    probes AS (
+      SELECT query_id, cent_id FROM (
+        SELECT query_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY csim DESC, cent_id) AS rn
+        FROM qscore) x WHERE rn <= 4),
+    s AS (
+      SELECT p.query_id, a.vec_id,
+             ROUND(list_dot_product(q.qe, e.ee)
+                   / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.ee, e.ee))),
+                   6) AS sim
+      FROM probes p JOIN assign a USING (cent_id)
+      JOIN q ON p.query_id = q.query_id
+      JOIN e ON a.vec_id = e.vec_id
+      WHERE p.query_id <> a.vec_id)
+    SELECT query_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT query_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM s) r
+    WHERE rnk <= 5
+    """,
+)
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-centroid inverted lists (16 deterministic
+    centroids), 4 probed lists per query, exact cosine re-rank — the third
+    ANN path beside brute-force and sign-LSH."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.cosine_topk_ivf(
+        e.select("vec_id", "embedding"), queries_df, k=5, n_centroids=16, n_probe=4
+    )
+
+
 # --- embedding-cosine near-duplicate pairs -----------------------------------
 @query(
     "pipe_embedding_near_dup",

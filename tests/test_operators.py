@@ -97,6 +97,30 @@ def test_lsh_bucket_recall_subset(spark, docs):
     assert ls <= bs and len(ls) > 0
 
 
+def test_ivf_topk_sims_exact_within_candidates(spark):
+    """IVF results carry exact cosine sims (match brute force for the same
+    pairs) and well-formed per-query rankings."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    brute = {
+        (r.query_id, r.vec_id): r.sim
+        for r in similarity.cosine_topk_bruteforce(e, q, k=10**6).collect()
+    }
+    ivf = similarity.cosine_topk_ivf(e, q, k=5, n_centroids=8, n_probe=2).collect()
+    assert ivf, "IVF returned nothing"
+    by_q: dict = {}
+    for r in ivf:
+        assert brute[(r.query_id, r.vec_id)] == r.sim  # exact re-rank inside lists
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.sim))
+    for ranks in by_q.values():
+        ranks.sort()
+        assert [rk for rk, _ in ranks] == list(range(1, len(ranks) + 1))
+        sims = [s for _, s in ranks]
+        assert sims == sorted(sims, reverse=True)
+
+
 def test_text_quality_bounds(spark, docs):
     m = text.quality_metrics(docs).collect()
     assert all(0 <= r.quality_score <= 1.0 + 1e-9 for r in m)
