@@ -106,6 +106,55 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
     return media.mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("meta_width", IntegerType(), True),
+        StructField("meta_height", IntegerType(), True),
+    ]
+)
+
+
+def _resize_kernel(payload: bytes, max_dim: int) -> tuple[bytes, int, int]:
+    """STUB resize: real implementation would be PIL resize + re-encode.
+    Deterministic fake: payload truncated proportionally to the scale
+    factor, dims clamped to max_dim preserving aspect ratio."""
+    w, h = _decode_image_kernel(payload)
+    scale = min(1.0, max_dim / max(w, h))
+    nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+    nbytes = max(int(len(payload) * scale * scale), 1)
+    return (payload[:nbytes], nw, nh)
+
+
+def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Image resize via mapInPandas — same Arrow-batched shape as
+    extract_features, but payload-to-payload (media in, media out), so
+    resize stages chain with decode/feature stages in one pipeline.
+    Non-image rows pass through untouched."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(row):
+            if row["payload"] is None or not str(row["mime"]).startswith("image/"):
+                return (row["payload"], row["meta_width"], row["meta_height"])
+            return _resize_kernel(row["payload"], max_dim)
+
+        for pdf in batches:
+            out = pdf.apply(one, axis=1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "payload": out.map(lambda t: t[0]),
+                    "meta_width": out.map(lambda t: t[1]),
+                    "meta_height": out.map(lambda t: t[2]),
+                }
+            )
+
+    return media.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: expands each video row into frame-index
     rows (sequence+explode, JVM-side); the frame decode itself would plug

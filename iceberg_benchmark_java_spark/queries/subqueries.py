@@ -427,3 +427,35 @@ def correlated_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AND l.l_quantity > 45) > 2
         """
     )
+
+
+# --- IN-subquery under OR with IN-list (tpcds/q45.sql:14-20) -----------------
+@query(
+    "sub_in_or_inlist",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS numcust
+    FROM customer c, nation n
+    WHERE c.c_nationkey = n.n_nationkey
+      AND (SUBSTR(c.c_name, 18, 1) IN ('1', '3', '5')
+           OR c.c_nationkey IN (SELECT n2.n_nationkey FROM nation n2
+                                WHERE n2.n_regionkey = 0))
+    GROUP BY n.n_name
+    """,
+)
+def in_or_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated IN-subquery disjoined with a literal IN-list
+    (tpcds/q45.sql:14-20). A disjunction blocks the semi-join rewrite, so
+    Catalyst plans the subquery as an ExistenceJoin feeding the OR filter —
+    the subquery side here is a filtered dimension, kept broadcastable."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, COUNT(*) AS numcust
+        FROM customer c, nation n
+        WHERE c.c_nationkey = n.n_nationkey
+          AND (SUBSTR(c.c_name, 18, 1) IN ('1', '3', '5')
+               OR c.c_nationkey IN (SELECT n2.n_nationkey FROM nation n2
+                                    WHERE n2.n_regionkey = 0))
+        GROUP BY n.n_name
+        """
+    )

@@ -144,6 +144,21 @@ def test_multimodal_plumbing(spark, docs):
     assert all(r.decoded_width == r.n_bytes % 1024 + 16 for r in rows)
 
 
+def test_multimodal_resize_chain(spark, docs):
+    """Resize chains into feature extraction; images clamp to max_dim while
+    non-image rows pass through untouched."""
+    media = multimodal.synthesize_media(docs)
+    resized = multimodal.resize_images(media, max_dim=64)
+    feats = multimodal.extract_features(resized)  # stage chaining
+    rows = resized.limit(50).collect()
+    assert rows and feats.limit(1).count() == 1
+    for r in rows:
+        if r.mime.startswith("image/"):
+            assert max(r.meta_width, r.meta_height) <= 64
+        else:
+            assert r.meta_width >= 16  # untouched passthrough
+
+
 def test_multimodal_metadata_pruning(spark, docs):
     """Metadata-only aggregates must not read the payload column."""
     media = multimodal.synthesize_media(docs)
