@@ -89,6 +89,43 @@ def test_semi_anti_join_strategies(spark, name):
     assert "LeftSemi" in plan or "LeftAnti" in plan
 
 
+@pytest.mark.parametrize(
+    "name,min_bhj",
+    [
+        ("tpch_q02_min_cost_supplier", 2),  # region⋈nation dim + eu_sup
+        ("tpch_q08_market_share", 3),  # part, supplier, both nations
+        ("tpch_q09_product_profit", 3),  # part, supplier, nation
+        ("tpch_q17_small_qty_revenue", 1),  # filtered part dim
+    ],
+)
+def test_tpch2_broadcasts_dimensions(spark, name, min_bhj):
+    """The TPC-H completion queries must broadcast their dimension sides —
+    the fact table never shuffles for a dim join."""
+    plan = _plan(spark, name)
+    assert plan.count("BroadcastHashJoin") >= min_bhj, plan[:2000]
+
+
+def test_q21_plans_semi_and_anti(spark):
+    """q21's EXISTS/NOT EXISTS self-joins must decorrelate to one semi and
+    one anti join on l_orderkey."""
+    plan = _optimized(spark, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q22_scalar_subquery_broadcast_no_cartesian(spark):
+    """The scalar-avg threshold join must not plan a cartesian product of
+    the fact side (1-row side broadcast instead)."""
+    plan = _plan(spark, "tpch_q22_sales_opportunity")
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    """IVF: the centroid table must broadcast — corpus assignment is a
+    map-side pass, not a shuffle."""
+    plan = _plan(spark, "pipe_ann_ivf_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_minhash_single_shuffle_signature(spark):
     """MinHash signatures: one aggregate over exploded shingles — the plan
     must contain exactly one shuffle for the signature aggregation (plus
