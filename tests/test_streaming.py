@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import time
+from pathlib import Path
 
 import pytest
 
@@ -23,6 +24,16 @@ def stream_source_dir(spark, tmp_path_factory):
     events.withColumn("ts", events.ts.cast("timestamp")).repartitionByRange(
         3, "ts"
     ).sortWithinPartitions("ts").write.mode("overwrite").parquet(d)
+    # The file stream source orders micro-batches by file MODIFICATION time
+    # (ties broken arbitrarily) — all parts get the same mtime from one
+    # write, so stamp increasing mtimes in filename order to make batch
+    # order = time order deterministically.
+    import os
+    import time as _time
+
+    base = _time.time()
+    for i, part in enumerate(sorted(Path(d).glob("part-*.parquet"))):
+        os.utime(part, (base + i, base + i))
     return d
 
 
@@ -75,8 +86,27 @@ def test_sessionize_stream_emits_sessions(spark, stream_source_dir):
         q.stop()
     assert rows, "sessionizer emitted nothing"
     assert all(r.n_events >= 1 for r in rows)
-    # session ids increase per user; snapshot rows for open sessions exist
-    by_user = {}
+    # Reconstruct final per-session state: within a session the emitted
+    # count only grows (open snapshots then the closing row), so
+    # max(n_events) per (user, session) is the final count.
+    stream_sessions: dict = {}
     for r in rows:
-        by_user.setdefault(r.user_id, set()).add(r.session_id)
-    assert all(min(s) >= 0 for s in by_user.values())
+        k = (r.user_id, r.session_id)
+        stream_sessions[k] = max(stream_sessions.get(k, 0), r.n_events)
+    # Batch truth: the registered windowed sessionization query must agree
+    # on sessions-per-user and events-per-user (batch ids are 1-based).
+    from iceberg_benchmark_java_spark.queries import all_queries
+
+    batch = all_queries()["win_sessionize_events"](spark, SF_SMOKE).collect()
+    batch_count: dict = {}
+    batch_events: dict = {}
+    for r in batch:
+        batch_count[r.user_id] = max(batch_count.get(r.user_id, 0), r.session_id)
+        batch_events[r.user_id] = batch_events.get(r.user_id, 0) + r.n_events
+    stream_count: dict = {}
+    stream_events: dict = {}
+    for (u, sid), n in stream_sessions.items():
+        stream_count[u] = max(stream_count.get(u, 0), sid + 1)
+        stream_events[u] = stream_events.get(u, 0) + n
+    assert stream_count == batch_count
+    assert stream_events == batch_events
