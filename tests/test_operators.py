@@ -174,3 +174,58 @@ def test_frame_sample_plan(spark, docs):
     frames = multimodal.frame_sample_plan(media, every_n=10)
     r = frames.groupBy("media_id").count().limit(3).collect()
     assert all(x["count"] >= 1 for x in r)
+
+
+# --- skew utilities (operators.scale) ---------------------------------------
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from iceberg_benchmark_java_spark.operators import scale
+
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    plain = {
+        (r.l_returnflag): (r.s, r.c, r.mn)
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("s"),
+            F.count("*").alias("c"),
+            F.min("l_extendedprice").alias("mn"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag): (r.s, r.c, r.mn)
+        for r in scale.salted_aggregate(
+            l,
+            ["l_returnflag"],
+            {
+                "s": F.sum(F.col("l_quantity").cast("decimal(18,4)")),
+                "c": F.count("*"),
+                "mn": F.min("l_extendedprice"),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    from iceberg_benchmark_java_spark.operators import scale
+
+    l = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = l.join(o, ["l_orderkey"]).groupBy("o_orderpriority").count()
+    salted = (
+        scale.salted_join(l, o, ["l_orderkey"], n_salts=4)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    assert {(r.o_orderpriority, r["count"]) for r in plain.collect()} == {
+        (r.o_orderpriority, r["count"]) for r in salted.collect()
+    }
+    # left join keeps unmatched probe rows exactly once
+    l_extra = l.union(spark.createDataFrame([(-1, 0.0)], ["l_orderkey", "l_quantity"]))
+    left = scale.salted_join(l_extra, o, ["l_orderkey"], n_salts=4, how="left")
+    assert left.filter("l_orderkey = -1").count() == 1
