@@ -95,6 +95,90 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q4: order priority checking (tpch/q04.sql) ------------------------------
+@query(
+    "tpch_q04_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT * FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority ORDER BY priority
+    """,
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-windowed EXISTS semi join counted by priority
+    (tpch/q04.sql:1-14; the late-delivery predicate re-expressed as
+    l_returnflag = 'R', commit/receipt dates being absent). The
+    key-correlated variant of sub_exists_semi, whose correlation adds a
+    non-key comparison."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("priority")
+    )
+
+
+# --- Q18: large-volume customers (tpch/q18.sql) ------------------------------
+@query(
+    "tpch_q18_large_volume",
+    oracle=f"""
+    SELECT c.c_name AS name, c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate, o.o_totalprice AS totalprice,
+           {sql_dsum("l.l_quantity", "sum_qty")}
+    FROM customer c, orders o, lineitem l
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150)
+      AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY totalprice DESC, orderdate, orderkey
+    LIMIT 100
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: IN over an aggregated-HAVING subquery, then
+    re-join and top-100 by price (tpch/q18.sql:1-23 incl. the ORDER BY +
+    LIMIT of :21-23; threshold scaled to the fixture's ~4-line orders).
+    Ties broken on orderkey for a deterministic top-k set."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .agg(dsum("l_quantity", "sum_qty"))
+        .select(
+            "name", "custkey", "orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "orderdate", "orderkey")
+        .limit(100)
+    )
+
+
 # --- Q8: national market share (tpch/q08.sql) --------------------------------
 @query(
     "tpch_q08_market_share",
