@@ -237,6 +237,47 @@ def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(e.select("vec_id", "embedding"), queries_df, k=5)
 
 
+# --- end-to-end curation funnel ----------------------------------------------
+@query(
+    "pipe_curation_funnel",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_DUCK_TOKENS} AS w FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             len(list_filter(w, t -> t IN ('the','a','of','and'))) * 1.0 / len(w)
+               AS sw_ratio
+      FROM toks
+    ),
+    lang_kept AS (SELECT doc_id, text FROM scored WHERE sw_ratio >= 0.05),
+    deduped AS (
+      SELECT md5(text) AS fp, MIN(doc_id) AS keeper
+      FROM lang_kept GROUP BY md5(text)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_raw,
+           CAST((SELECT COUNT(*) FROM lang_kept) AS BIGINT) AS n_lang,
+           CAST((SELECT COUNT(*) FROM deduped) AS BIGINT) AS n_unique
+    """,
+)
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: raw → language-ID keep → exact-dedup
+    keep — the composed pipeline (text.predict_lang + dedup digest) as one
+    declarative plan with per-stage retention counts. At 100 TB each stage
+    is a narrow transformation or a single digest shuffle; the counts come
+    from one pass over each stage's output."""
+    d = load_table(spark, sf_dir, "documents")
+    lang_kept = d.filter(text.predict_lang(F.col("text")) == "en")
+    unique = lang_kept.select(F.md5("text").alias("fp")).agg(
+        F.countDistinct("fp").alias("n_unique")
+    )
+    return (
+        d.agg(F.count("*").alias("n_raw"))
+        .join(F.broadcast(lang_kept.agg(F.count("*").alias("n_lang"))))
+        .join(F.broadcast(unique))
+    )
+
+
 # --- IVF ANN -----------------------------------------------------------------
 @query(
     "pipe_ann_ivf_topk",

@@ -1,13 +1,17 @@
 from .events import (
+    enrich_events_stream,
     hourly_aggregate_stream,
     read_events_stream,
     run_stream_to_memory,
+    run_stream_to_parquet,
     sessionize_stream,
 )
 
 __all__ = [
+    "enrich_events_stream",
     "hourly_aggregate_stream",
     "read_events_stream",
     "run_stream_to_memory",
+    "run_stream_to_parquet",
     "sessionize_stream",
 ]

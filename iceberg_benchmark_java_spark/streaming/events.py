@@ -187,6 +187,43 @@ def sessionize_stream(events: DataFrame, close_by_timeout: bool = True) -> DataF
     )
 
 
+def enrich_events_stream(events: DataFrame) -> DataFrame:
+    """Stateless ingestion enrichment: event-time derivatives + value
+    bucket. The ETL-to-table path — at scale this lands in hour-partitioned
+    Iceberg/parquet and is the input to every batch query downstream."""
+    return events.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_trunc("hour", F.col("ts")).alias("event_hour"),
+        F.when(F.col("value") >= 100, "high")
+        .when(F.col("value") >= 10, "mid")
+        .otherwise("low")
+        .alias("value_bucket"),
+    )
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str, available_now: bool = True
+) -> Any:
+    """Parquet file sink with checkpointed exactly-once semantics: the
+    sink's _spark_metadata log records committed files, so a restart from
+    the same checkpoint neither reprocesses nor duplicates. Partitioned by
+    event_hour — the layout batch readers prune on."""
+    w = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("event_hour")
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

@@ -6,6 +6,7 @@ import time
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 from iceberg_benchmark_java_spark import streaming
 from iceberg_benchmark_java_spark.catalog import load_table
@@ -110,3 +111,35 @@ def test_sessionize_stream_emits_sessions(spark, stream_source_dir):
         stream_events[u] = stream_events.get(u, 0) + n
     assert stream_count == batch_count
     assert stream_events == batch_events
+
+
+def test_enrich_stream_to_parquet_exactly_once(spark, stream_source_dir, tmp_path):
+    """File-sink ingestion: streamed enrichment equals the batch plan, and
+    a restart from the same checkpoint adds nothing (exactly-once)."""
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt")
+    src = streaming.read_events_stream(spark, stream_source_dir)
+    q = streaming.run_stream_to_parquet(streaming.enrich_events_stream(src), out, ckpt)
+    _await_done(q)
+    got = spark.read.parquet(out)
+    batch = streaming.enrich_events_stream(
+        spark.read.parquet(stream_source_dir)
+    )
+    assert got.count() == batch.count()
+    a = {(r.event_id, r.value_bucket) for r in got.select("event_id", "value_bucket").collect()}
+    b = {(r.event_id, r.value_bucket) for r in batch.select("event_id", "value_bucket").collect()}
+    assert a == b
+    # partition pruning works on the sink layout
+    one_hour = got.select("event_hour").first().event_hour
+    pruned = spark.read.parquet(out).filter(F.col("event_hour") == F.lit(one_hour))
+    assert 0 < pruned.count() < got.count()
+    # restart with the same checkpoint: no new data -> no new rows
+    q2 = streaming.run_stream_to_parquet(
+        streaming.enrich_events_stream(
+            streaming.read_events_stream(spark, stream_source_dir)
+        ),
+        out,
+        ckpt,
+    )
+    _await_done(q2)
+    assert spark.read.parquet(out).count() == batch.count()
