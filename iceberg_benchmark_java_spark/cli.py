@@ -55,11 +55,26 @@ def main(argv: list[str] | None = None) -> int:
     spark = build_session(cfg)
     if args.sf_dir:
         register_views(spark, args.sf_dir)
+    # A4 config introspection (IcebergBenchmark.java:107-118): tag results
+    # with the catalog's connector config; same keys and defaults.
+    cat = args.catalog_name or "local"
+    analytics_core = (
+        spark.conf.get(f"spark.sql.catalog.{cat}.gcs.analytics-core.enabled", "false")
+        == "true"
+    )
+    client_type = (
+        "GRPC"
+        if spark.conf.get(f"spark.sql.catalog.{cat}.gcs.client.type", "HTTP_CLIENT")
+        == "GRPC_CLIENT"
+        else "HTTP"
+    )
     runner = BenchmarkRunner(
         spark,
         run_id=args.run_id,
         schema_size=args.schema_size,
         collect_metrics=not args.no_metrics,
+        analytics_core_enabled=analytics_core,
+        client_type=client_type,
     )
     # suite order mirrors the reference: TPC-DS then TPC-H
     # (IcebergBenchmark.java:121-122)

@@ -13,7 +13,7 @@ recommendation — this module uses the race-free substitute:
 
 Aggregation mirrors IcebergBenchmark.java:269-355: Σ executorRunTime,
 executorCpuTime, jvmGcTime over the query's stages, plus per-stage entries,
-JSON-serialized into ``metric_json``. The reference's
+JSON-serialized into ``metrics_json``. The reference's
 ``total_batch_scan_time_ms`` comes from a patched Iceberg jar's custom
 accumulable (SURVEY §4) and is not reproducible from stock artifacts; the
 substitute records per-stage ``inputBytes``/``inputRecords`` as the

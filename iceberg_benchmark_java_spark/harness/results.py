@@ -20,22 +20,28 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# Mirrors IcebergBenchmark.java:131-147 (names and types 1:1).
+# Mirrors IcebergBenchmark.java:131-147 (names, types, and order 1:1),
+# with three rebuild-extension columns appended after the reference set
+# (execution_id / start_time_ms / end_time_ms — the reference keeps start/
+# end only in its in-memory maps).
 RESULTS_SCHEMA = StructType(
     [
         StructField("run_id", StringType(), False),
         StructField("schema_size", StringType(), True),
         StructField("benchmark_type", StringType(), True),
         StructField("query_name", StringType(), True),
-        StructField("execution_id", LongType(), True),
-        StructField("start_time_ms", LongType(), True),
-        StructField("end_time_ms", LongType(), True),
         StructField("execution_time_sec", DoubleType(), True),
         StructField("status", StringType(), True),
         StructField("error_message", StringType(), True),
+        StructField("metrics_json", StringType(), True),
         StructField("analytics_core_enabled", BooleanType(), True),
-        StructField("timestamp", TimestampType(), True),
-        StructField("metric_json", StringType(), True),
+        StructField("client_type", StringType(), True),
+        StructField("total_batch_scan_time_ms", LongType(), True),
+        StructField("timestamp", TimestampType(), False),
+        # -- rebuild extensions --
+        StructField("execution_id", LongType(), True),
+        StructField("start_time_ms", LongType(), True),
+        StructField("end_time_ms", LongType(), True),
     ]
 )
 

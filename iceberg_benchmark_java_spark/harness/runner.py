@@ -43,7 +43,9 @@ class QueryResult:
     error_message: str | None
     analytics_core_enabled: bool
     timestamp: datetime
-    metric_json: str | None = None
+    metrics_json: str | None = None
+    client_type: str = "HTTP"
+    total_batch_scan_time_ms: int | None = None
 
     def as_row(self) -> dict[str, Any]:
         return self.__dict__.copy()
@@ -55,6 +57,10 @@ class BenchmarkRunner:
     run_id: str
     schema_size: str = "sf0.1"
     collect_metrics: bool = True
+    # A4 tags (IcebergBenchmark.java:107-118): introspected from catalog
+    # confs by the CLI; plain fields here so any caller can set them.
+    analytics_core_enabled: bool = False
+    client_type: str = "HTTP"
     results: list[QueryResult] = field(default_factory=list)
 
     def __post_init__(self) -> None:
@@ -76,10 +82,15 @@ class BenchmarkRunner:
         except Exception as e:  # A9: record, truncate, continue
             status, error = "FAILED", str(e)[:ERROR_TRUNCATE]
         end_ms = int(time.time() * 1000)
-        metric_json = None
+        metrics_json, scan_ms = None, None
         if self.collect_metrics:
             self._collector.end()
-            metric_json = json.dumps(self._collector.collect(query_name))
+            metrics = self._collector.collect(query_name)
+            metrics_json = json.dumps(metrics)
+            # best-effort stand-in for the reference's patched-jar
+            # custom_scan_time accumulable (SURVEY §4): not derivable from
+            # stock Spark, recorded only if a collector ever provides it.
+            scan_ms = metrics.get("total_batch_scan_time_ms")
         execution_id = self._next_execution_id
         self._next_execution_id += 1
         result = QueryResult(
@@ -93,9 +104,11 @@ class BenchmarkRunner:
             execution_time_sec=(end_ms - start_ms) / 1000.0,
             status=status,
             error_message=error,
-            analytics_core_enabled=False,
+            analytics_core_enabled=self.analytics_core_enabled,
             timestamp=datetime.now(timezone.utc).replace(tzinfo=None),
-            metric_json=metric_json,
+            metrics_json=metrics_json,
+            client_type=self.client_type,
+            total_batch_scan_time_ms=scan_ms,
         )
         self.results.append(result)
         return result

@@ -40,23 +40,24 @@ def test_templating():
 
 
 def test_results_schema_matches_reference():
-    # IcebergBenchmark.java:131-147: 13 fields, exact names
+    # IcebergBenchmark.java:131-147: the reference's 12 columns first, in
+    # its order and names; rebuild extensions strictly after.
     names = [f.name for f in RESULTS_SCHEMA.fields]
-    assert names == [
+    assert names[:12] == [
         "run_id",
         "schema_size",
         "benchmark_type",
         "query_name",
-        "execution_id",
-        "start_time_ms",
-        "end_time_ms",
         "execution_time_sec",
         "status",
         "error_message",
+        "metrics_json",
         "analytics_core_enabled",
+        "client_type",
+        "total_batch_scan_time_ms",
         "timestamp",
-        "metric_json",
     ]
+    assert names[12:] == ["execution_id", "start_time_ms", "end_time_ms"]
 
 
 def test_runner_noop_execution_and_error_capture(spark):
@@ -101,10 +102,10 @@ def test_metrics_collection_smoke(spark):
     register_views(spark, SF_SMOKE)
     r = BenchmarkRunner(spark, run_id="t3", collect_metrics=True)
     res = r.run_sql("TPC-H", "qm", "SELECT sum(l_quantity) FROM lineitem")
-    assert res.metric_json is not None
+    assert res.metrics_json is not None
     import json
 
-    m = json.loads(res.metric_json)
+    m = json.loads(res.metrics_json)
     assert "total_executor_run_time_ms" in m
     if m["metrics_source"] == "rest":  # UI available → stages attached
         assert isinstance(m["stages"], list)
