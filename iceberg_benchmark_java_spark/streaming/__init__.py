@@ -1,5 +1,6 @@
 from .events import (
     enrich_events_stream,
+    enrich_with_customer_stream,
     hourly_aggregate_stream,
     read_events_stream,
     run_stream_to_memory,
@@ -9,6 +10,7 @@ from .events import (
 
 __all__ = [
     "enrich_events_stream",
+    "enrich_with_customer_stream",
     "hourly_aggregate_stream",
     "read_events_stream",
     "run_stream_to_memory",

@@ -205,6 +205,21 @@ def enrich_events_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_customer_stream(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static dimension join: each micro-batch broadcast-joins the
+    static customer dim (user_id = c_custkey) — the standard streaming
+    enrichment pattern. The static side is re-resolved per batch, so a
+    dim-table refresh is picked up without restarting the stream; at scale
+    the dim stays broadcast (or becomes a state-store join if it outgrows
+    the driver)."""
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+        )
+    )
+    return events.join(dim, "user_id", "left")
+
+
 def run_stream_to_parquet(
     stream_df: DataFrame, path: str, checkpoint: str, available_now: bool = True
 ) -> Any:

@@ -143,3 +143,30 @@ def test_enrich_stream_to_parquet_exactly_once(spark, stream_source_dir, tmp_pat
     )
     _await_done(q2)
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_stream_static_customer_join(spark, stream_source_dir):
+    """Stream-static dim join equals the batch join on the same inputs."""
+    customers = load_table(spark, SF_SMOKE, "customer")
+    src = streaming.read_events_stream(spark, stream_source_dir)
+    q = streaming.run_stream_to_memory(
+        streaming.enrich_with_customer_stream(src, customers),
+        "enriched_test",
+        output_mode="append",
+        available_now=True,
+    )
+    try:
+        _await_done(q)
+        got = {
+            (r.event_id, r.c_mktsegment)
+            for r in spark.sql("SELECT event_id, c_mktsegment FROM enriched_test").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.event_id, r.c_mktsegment)
+        for r in streaming.enrich_with_customer_stream(
+            spark.read.parquet(stream_source_dir), customers
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
