@@ -1,7 +1,7 @@
 -- Sessionization via lag + running sum (engine extension)
 WITH seq AS (
   SELECT user_id, ts,
-         CASE WHEN cast(ts AS DOUBLE) - lag(cast(ts AS DOUBLE))
+         CASE WHEN cast(cast(ts AS TIMESTAMP) AS DOUBLE) - lag(cast(cast(ts AS TIMESTAMP) AS DOUBLE))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session,
