@@ -31,8 +31,10 @@ def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="PySpark benchmark harness")
     p.add_argument("--tpcds-dir", default=None)
     p.add_argument("--tpch-dir", default=None)
+    p.add_argument("--pipeline-dir", default=None, help="training-data pipeline suite")
     p.add_argument("--tpcds-data-db", default="tpcds")
     p.add_argument("--tpch-data-db", default="tpch")
+    p.add_argument("--pipeline-data-db", default="pipeline")
     p.add_argument("--catalog-name", default="")
     p.add_argument("--output-gcs-path", required=True)
     p.add_argument("--run-id", required=True)
@@ -86,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.tpch_dir:
         runner.run_suite(
             "TPC-H", args.tpch_dir, args.catalog_name, args.tpch_data_db, use_db
+        )
+    if args.pipeline_dir:
+        runner.run_suite(
+            "PIPELINE", args.pipeline_dir, args.catalog_name, args.pipeline_data_db, use_db
         )
     target = runner.flush_csv(args.output_gcs_path)
     failed = [r.query_name for r in runner.results if r.status == "FAILED"]

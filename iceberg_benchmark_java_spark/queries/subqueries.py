@@ -459,3 +459,51 @@ def in_or_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+# --- CASE-wrapped scalar subqueries in SELECT (tpcds/q09.sql:2-17) -----------
+@query(
+    "sub_scalar_case_buckets",
+    oracle="""
+    SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) > 2000
+                THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                             / COUNT(l_extendedprice)
+                      FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+                ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                             / COUNT(l_discount)
+                      FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) END AS bucket1,
+           CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) > 2000
+                THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                             / COUNT(l_extendedprice)
+                      FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+                ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                             / COUNT(l_discount)
+                      FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) END AS bucket2
+    FROM region WHERE r_regionkey = 0
+    """,
+)
+def scalar_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subqueries nested inside CASE in the projection
+    (tpcds/q09.sql:2-17's bucket pattern). Each scalar is an independent
+    1-row subplan Catalyst executes once and inlines — the 1-row driving
+    table never multiplies work. Deterministic avg via decimal-sum/count."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) > 2000
+                    THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                                 / COUNT(l_extendedprice)
+                          FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+                    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                                 / COUNT(l_discount)
+                          FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) END AS bucket1,
+               CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) > 2000
+                    THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                                 / COUNT(l_extendedprice)
+                          FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+                    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                                 / COUNT(l_discount)
+                          FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) END AS bucket2
+        FROM region WHERE r_regionkey = 0
+        """
+    )
