@@ -19,6 +19,16 @@ double bit-identical across engines and partitionings.
 
 Matching oracle-SQL idioms (DuckDB) are provided as string helpers so the
 Spark expression and the SQL stay in lock-step.
+
+Measured cost of the discipline (sf0.1, local[32], grouped 4-sum+count over
+600k rows, warm): double sums 0.63s, decimal(18,4) 1.73s, decimal(38,12)
+1.62s — exact accumulation costs ~2.5x on the aggregate operator (scan and
+shuffle unchanged). Long-scaled integer accumulation would be
+double-speed but cannot hold the wide per-row products (price*(1-disc)*
+(1+tax) scaled to 1e12 exceeds 2^53), and per-row rounding to fewer digits
+risks half-up/half-even divergence across engines at .5 boundaries. The
+2.5x on one operator is the deliberate price of results that reproduce
+bit-for-bit on any cluster size.
 """
 
 from __future__ import annotations

@@ -342,3 +342,67 @@ def group_by_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("bal"),
         )
     )
+
+
+# --- day-of-week pivot with year-over-year ratios (tpcds/q59.sql) ------------
+@query(
+    "agg_weekly_pivot_yoy",
+    oracle="""
+    WITH weekly AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+             CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 0 THEN
+               CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS sun_sales,
+             CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 1 THEN
+               CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS mon_sales,
+             CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 6 THEN
+               CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS sat_sales
+      FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate))
+    SELECT w1.yr AS yr, w2.yr AS next_yr,
+           ROUND(w2.sun_sales / NULLIF(w1.sun_sales, 0), 4) AS sun_ratio,
+           ROUND(w2.mon_sales / NULLIF(w1.mon_sales, 0), 4) AS mon_ratio,
+           ROUND(w2.sat_sales / NULLIF(w1.sat_sales, 0), 4) AS sat_ratio
+    FROM weekly w1, weekly w2 WHERE w2.yr = w1.yr + 1
+    """,
+)
+def weekly_pivot_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week sum(CASE) pivot self-joined across consecutive years for
+    ratio columns (tpcds/q59.sql:6-12 pivot, :44-52 period self-join).
+    DuckDB dayofweek is 0=Sunday vs Spark dayofweek 1=Sunday — the Spark
+    side maps (dayofweek-1) to align. Exact decimal sums feed plain double
+    division, rounded at 4dp on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def day_sum(dow_duck: int, alias: str):
+        # Spark dayofweek: 1=Sunday ... 7=Saturday; duck: 0=Sunday.
+        return (
+            F.sum(
+                F.when(
+                    F.dayofweek("o_orderdate") - 1 == dow_duck,
+                    F.col("o_totalprice").cast("decimal(18,4)"),
+                ).otherwise(F.lit(0).cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias(alias)
+        )
+
+    weekly = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        day_sum(0, "sun_sales"), day_sum(1, "mon_sales"), day_sum(6, "sat_sales")
+    )
+    w1 = weekly.alias("w1")
+    w2 = weekly.alias("w2")
+
+    def ratio(col: str, alias: str):
+        return F.round(
+            F.col(f"w2.{col}") / F.nullif(F.col(f"w1.{col}"), F.lit(0.0)), 4
+        ).alias(alias)
+
+    return (
+        w1.join(w2, F.col("w2.yr") == F.col("w1.yr") + 1)
+        .select(
+            F.col("w1.yr").alias("yr"),
+            F.col("w2.yr").alias("next_yr"),
+            ratio("sun_sales", "sun_ratio"),
+            ratio("mon_sales", "mon_ratio"),
+            ratio("sat_sales", "sat_ratio"),
+        )
+    )

@@ -135,3 +135,64 @@ def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     y1996 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
     y1998 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
     return y1996.subtract(y1998).agg(F.count("*").alias("n_lost"))
+
+
+# --- UNION-distinct channels + year-over-year decline (tpcds/q75.sql) --------
+@query(
+    "set_union_yoy_decline",
+    oracle="""
+    WITH all_sales AS (
+      SELECT EXTRACT(YEAR FROM o.o_orderdate) AS yr, l.l_partkey AS item,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      FROM lineitem l, orders o
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'N'
+      GROUP BY 1, 2
+      UNION
+      SELECT EXTRACT(YEAR FROM o.o_orderdate) AS yr, l.l_partkey AS item,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      FROM lineitem l, orders o
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      GROUP BY 1, 2)
+    SELECT prev.yr AS prev_year, curr.yr AS cur_year, curr.item AS item,
+           prev.qty AS prev_qty, curr.qty AS curr_qty
+    FROM all_sales curr, all_sales prev
+    WHERE curr.item = prev.item AND curr.yr = prev.yr + 1
+      AND curr.qty < prev.qty
+    """,
+)
+def union_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of per-channel aggregates self-joined across
+    consecutive years, keeping declining items (tpcds/q75.sql:28-47 union,
+    :49-68 YoY compare). The union dedups identical (yr,item,qty) rows
+    across channels exactly as the reference's UNION does."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def channel(flag: str) -> DataFrame:
+        return (
+            l.filter(F.col("l_returnflag") == flag)
+            .join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy(
+                F.year("o_orderdate").alias("yr"), F.col("l_partkey").alias("item")
+            )
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qty"))
+        )
+
+    all_sales = channel("N").union(channel("R")).distinct()
+    curr = all_sales.alias("curr")
+    prev = all_sales.alias("prev")
+    return (
+        curr.join(
+            prev,
+            (F.col("curr.item") == F.col("prev.item"))
+            & (F.col("curr.yr") == F.col("prev.yr") + 1)
+            & (F.col("curr.qty") < F.col("prev.qty")),
+        )
+        .select(
+            F.col("prev.yr").alias("prev_year"),
+            F.col("curr.yr").alias("cur_year"),
+            F.col("curr.item").alias("item"),
+            F.col("prev.qty").alias("prev_qty"),
+            F.col("curr.qty").alias("curr_qty"),
+        )
+    )
