@@ -84,6 +84,49 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+# Plain-parquet partition columns for the partitioned-layout axis when the
+# Iceberg runtime (hidden partitioning) is absent: a derived month/day
+# column materialized as the directory key.
+PARQUET_PARTITION_COLS: dict[str, tuple[str, str]] = {
+    "lineitem": ("l_shipmonth", "date_trunc('month', l_shipdate)"),
+    "orders": ("o_ordermonth", "date_trunc('month', o_orderdate)"),
+    "events": ("event_day", "date_trunc('day', ts)"),
+}
+
+
+def write_partitioned_warehouse(
+    spark: SparkSession, sf_dir: str, out_dir: str, tables: tuple[str, ...] | None = None
+) -> dict[str, str]:
+    """Materialize the partitioned-layout axis as plain parquet
+    (runner.sh vs partitioned_runner.sh without an Iceberg runtime): facts
+    get a derived time partition directory column, dimensions stay flat.
+    Returns table → path. Reading back with a time filter must show
+    PartitionFilters in the scan (asserted in tests) — the partition-
+    pruning behavior the reference's partitioned warehouse exists to
+    exercise."""
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    out: dict[str, str] = {}
+    for name in tables or TABLES:
+        src = table_path(sf_dir, name)
+        if not os.path.exists(src):
+            continue
+        df = load_table(spark, sf_dir, name)
+        dst = os.path.join(out_dir, name)
+        if name in PARQUET_PARTITION_COLS:
+            col, expr = PARQUET_PARTITION_COLS[name]
+            (
+                df.withColumn(col, F.expr(expr).cast("date"))
+                .write.mode("overwrite")
+                .partitionBy(col)
+                .parquet(dst)
+            )
+        else:
+            df.write.mode("overwrite").parquet(dst)
+        out[name] = dst
+    return out
+
+
 def bootstrap_iceberg(
     spark: SparkSession,
     sf_dir: str,

@@ -136,3 +136,34 @@ def test_minhash_single_shuffle_signature(spark):
     d = load_table(spark, SF_SMOKE, "documents")
     plan = dedup.minhash_signatures(d)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(doc_id") == 1
+
+
+def test_partitioned_warehouse_prunes(spark, tmp_path):
+    """The partitioned-layout axis: a month-filtered scan over the
+    partitioned warehouse must prune partitions (PartitionFilters) and
+    produce the same rows as the flat layout."""
+    from pyspark.sql import functions as F
+
+    from iceberg_benchmark_java_spark.catalog import (
+        load_table,
+        write_partitioned_warehouse,
+    )
+
+    paths = write_partitioned_warehouse(
+        spark, SF_SMOKE, str(tmp_path), tables=("lineitem",)
+    )
+    part = spark.read.parquet(paths["lineitem"])
+    flat = load_table(spark, SF_SMOKE, "lineitem")
+    lo, hi = "1997-03-01", "1997-04-01"
+    q = part.filter(
+        (F.col("l_shipmonth") >= F.lit(lo).cast("date"))
+        & (F.col("l_shipmonth") < F.lit(hi).cast("date"))
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "l_shipmonth" in plan.split("PartitionFilters:")[1][:200]
+    n_part = q.count()
+    n_flat = flat.filter(
+        (F.col("l_shipdate") >= F.lit(lo).cast("date"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("date"))
+    ).count()
+    assert n_part == n_flat > 0
