@@ -72,13 +72,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every fixture table as a temp view; return the DataFrames."""
+def register_views(
+    spark: SparkSession, sf_dir: str, partitioned_dir: str | None = None
+) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view; return the DataFrames.
+
+    With ``partitioned_dir`` set, the partitioned warehouse is materialized
+    there (once — reused if present) and fact tables are registered from
+    their partitioned layout instead: the reference's flat/partitioned run
+    axis (runner.sh vs partitioned_runner.sh) for the parquet path. The
+    derived partition column rides along harmlessly; queries never select
+    it."""
+    part_paths: dict[str, str] = {}
+    if partitioned_dir:
+        marker = os.path.join(partitioned_dir, "_ibx_complete")
+        if os.path.exists(marker):
+            part_paths = {
+                n: os.path.join(partitioned_dir, n)
+                for n in PARQUET_PARTITION_COLS
+                if os.path.isdir(os.path.join(partitioned_dir, n))
+            }
+        else:
+            part_paths = write_partitioned_warehouse(
+                spark, sf_dir, partitioned_dir, tables=tuple(PARQUET_PARTITION_COLS)
+            )
+            open(marker, "w").close()
     out: dict[str, DataFrame] = {}
     for name in TABLES:
-        if not os.path.exists(table_path(sf_dir, name)):
+        if name in part_paths:
+            df = spark.read.parquet(part_paths[name])
+        elif os.path.exists(table_path(sf_dir, name)):
+            df = load_table(spark, sf_dir, name)
+        else:
             continue
-        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

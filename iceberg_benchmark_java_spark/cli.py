@@ -39,6 +39,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-gcs-path", required=True)
     p.add_argument("--run-id", required=True)
     p.add_argument("--sf-dir", default=None, help="parquet fixtures → temp views")
+    p.add_argument(
+        "--partitioned-warehouse",
+        default=None,
+        help="materialize+use a time-partitioned fact layout at this path "
+        "(the reference's partitioned_runner.sh axis)",
+    )
     p.add_argument("--schema-size", default="sf?")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--no-aqe", action="store_true")
@@ -56,7 +62,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark = build_session(cfg)
     if args.sf_dir:
-        register_views(spark, args.sf_dir)
+        register_views(spark, args.sf_dir, partitioned_dir=args.partitioned_warehouse)
     # A4 config introspection (IcebergBenchmark.java:107-118): tag results
     # with the catalog's connector config; same keys and defaults.
     cat = args.catalog_name or "local"

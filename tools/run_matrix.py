@@ -32,6 +32,7 @@ MATRIX: list[dict] = [
     {"name": "base", "args": []},
     {"name": "noaqe", "args": ["--no-aqe"]},
     {"name": "shuffle8", "args": ["--shuffle-partitions", "8"]},
+    {"name": "partitioned", "args": ["--partitioned-warehouse", "/tmp/ibx-partwh-matrix"]},
 ]
 
 
