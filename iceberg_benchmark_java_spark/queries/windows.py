@@ -277,3 +277,132 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = seq.withColumn("session_id", F.sum("new_session").over(cume))
     return sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+
+
+# --- lead/lag order gaps (engine extension beyond reference windows) ---------
+@query(
+    "win_lead_lag_gaps",
+    oracle="""
+    SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(LAG(o_orderdate) OVER w AS DATE) AS prev_orderdate,
+           CAST(DATE_DIFF('day', LAG(CAST(o_orderdate AS DATE)) OVER w,
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days,
+           CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                          LEAD(CAST(o_orderdate AS DATE)) OVER w) AS BIGINT)
+             AS days_to_next
+    FROM orders
+    WHERE o_custkey < 30
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD inter-order gap analysis per customer — the reorder-cycle
+    primitive (reference corpus has no lead/lag; SURVEY §2-B windows
+    'not present' row). One shuffle on o_custkey serves both directions."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        d.alias("orderdate"),
+        F.lag(d).over(w).alias("prev_orderdate"),
+        F.datediff(d, F.lag(d).over(w)).cast("long").alias("gap_days"),
+        F.datediff(F.lead(d).over(w), d).cast("long").alias("days_to_next"),
+    )
+
+
+# --- ntile quartiles ----------------------------------------------------------
+@query(
+    "win_ntile_quartiles",
+    oracle="""
+    SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+    FROM (SELECT c_acctbal,
+                 CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER)
+                   AS quartile
+          FROM customer) x
+    GROUP BY quartile
+    """,
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) balance quartiles re-aggregated to per-bucket stats; the
+    global ORDER BY ties broken on c_custkey so bucket edges are
+    deterministic in both engines.
+
+    Scale note: a global NTILE single-partitions the sort (WindowExec
+    warns). At 100 TB the same semantics come from approxQuantile cutoffs
+    + a bucket expression — keep this form for exact/oracle work only."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+# --- first_value / last_value with full frame --------------------------------
+@query(
+    "win_first_last_value",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey,
+           FIRST_VALUE(c_name) OVER w AS richest,
+           LAST_VALUE(c_name) OVER
+             (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE with the default growing frame and LAST_VALUE with an
+    explicit full-partition frame (the classic default-frame trap: without
+    ROWS BETWEEN ... UNBOUNDED FOLLOWING, last_value is just the current
+    row)."""
+    c = load_table(spark, sf_dir, "customer")
+    order = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        c.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.first("c_name").over(order).alias("richest"),
+            F.last("c_name").over(full).alias("poorest"),
+        )
+        .distinct()
+    )
+
+
+# --- dense_rank vs rank over ties --------------------------------------------
+@query(
+    "win_dense_rank_ties",
+    oracle="""
+    SELECT DISTINCT c_mktsegment AS segment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY FLOOR(c_acctbal / 1000) DESC)
+    """,
+)
+def dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK vs DENSE_RANK over deliberately tied keys (1000-unit balance
+    buckets): rank gaps after ties, dense_rank doesn't — both per
+    segment."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc(bucket))
+    return (
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            bucket.alias("bal_bucket"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .distinct()
+    )

@@ -24,9 +24,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.astype("datetime64[us]").astype(str)
+            df[c] = s.astype("datetime64[us]").astype(str)  # NaT → 'NaT'
         elif s.dtype == object:
-            df[c] = s.apply(lambda v: str(v))
+            # Nullable non-numeric columns surface as object dtype with None
+            # on the Spark side vs NaT/None on the DuckDB side — one sentinel.
+            df[c] = s.apply(lambda v: "NaT" if v is None or v != v else str(v))
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
