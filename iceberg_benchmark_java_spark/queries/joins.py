@@ -184,3 +184,66 @@ def scalar_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("p_partkey").alias("partkey"),
     )
+
+
+# --- extended string-function surface (beyond-reference breadth) -------------
+@query(
+    "join_string_functions_extended",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           TRIM(CONCAT('  ', p_name, ' ')) AS trimmed,
+           LPAD(p_brand, 12, '*') AS padded,
+           TRANSLATE(p_type, 'AEIOU', 'aeiou') AS translated,
+           REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS last_word,
+           REVERSE(p_brand) AS rev_brand,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           CONCAT_WS('|', p_brand, p_type) AS joined
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def string_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth beyond the corpus's substr/concat/upper
+    (SURVEY §2-B scalar 'not present' row): trim, pad, translate,
+    regexp_extract, reverse, concat_ws — all JVM built-ins, all portable
+    to the DuckDB oracle."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("translated"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+    )
+
+
+# --- extended date-function surface ------------------------------------------
+@query(
+    "join_date_functions_extended",
+    oracle="""
+    SELECT CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS qtr,
+           CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_custkey < 20
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def date_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function breadth beyond the corpus's extract/interval: quarter,
+    date_trunc, last_day, add_months — grouped so the oracle compare also
+    exercises date-keyed aggregation."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.groupBy(
+            F.quarter("o_orderdate").alias("qtr"),
+            F.date_trunc("month", d).cast("date").alias("month_start"),
+            F.last_day(d).alias("month_end"),
+            F.add_months(d, 2).alias("plus_2m"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
