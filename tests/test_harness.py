@@ -117,3 +117,34 @@ def test_results_dataframe_round_trip(spark):
     df = results_dataframe(spark, [x.as_row() for x in r.results])
     row = df.collect()[0]
     assert row.run_id == "t4" and row.status == "SUCCESS"
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """The session sets partitionOverwriteMode=dynamic
+    (IcebergBenchmark.java:97): overwriting one partition's data must leave
+    sibling partitions untouched instead of truncating the table."""
+    from pyspark.sql import functions as F
+
+    from iceberg_benchmark_java_spark.catalog import load_table
+
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic"
+    out = str(tmp_path / "dpo")
+    l = load_table(spark, SF_SMOKE, "lineitem").withColumn(
+        "ship_month", F.date_trunc("month", "l_shipdate").cast("date")
+    )
+    l.write.partitionBy("ship_month").mode("overwrite").parquet(out)
+    before = spark.read.parquet(out)
+    n_total = before.count()
+    one_month = before.select(F.max("ship_month")).first()[0]
+    n_month = before.filter(F.col("ship_month") == one_month).count()
+    # rewrite ONLY that month with halved quantities, mode=overwrite
+    (
+        before.filter(F.col("ship_month") == one_month)
+        .withColumn("l_quantity", F.col("l_quantity") / 2)
+        .write.partitionBy("ship_month")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    after = spark.read.parquet(out)
+    assert after.count() == n_total  # siblings survived (dynamic, not truncate)
+    assert after.filter(F.col("ship_month") == one_month).count() == n_month
