@@ -115,6 +115,13 @@ class StageMetricsCollector:
                     out["total_jvm_gc_time_ms"] += entry["jvm_gc_time_ms"]
                     out["total_input_bytes"] += entry["input_bytes"]
                     out["total_input_records"] += entry["input_records"]
+            # Best-effort stand-in for the reference's custom_scan_time
+            # accumulable (patched-jar only, SURVEY §4): executor run time
+            # of the stages that actually read input. Upper-bounds scan
+            # time (those stages also filter/project), hence "best-effort".
+            out["total_batch_scan_time_ms"] = sum(
+                s["executor_run_time_ms"] for s in out["stages"] if s["input_bytes"] > 0
+            )
             return out
         except Exception as e:  # REST hiccup → metrics best-effort, never fatal
             empty["metrics_source"] = f"error: {e}"
