@@ -63,11 +63,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), read as LONG nanos under
         # spark.sql.legacy.parquet.nanosAsLong (session.py). Convert to a
-        # microsecond timestamp (integer div — no double precision loss).
+        # microsecond timestamp_ntz by pure NTZ arithmetic: timestamp_micros()
+        # + cast would round-trip through the SESSION TIMEZONE and shift the
+        # wall-clock value on non-UTC driver sessions.
         from pyspark.sql import functions as F
 
         df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
         )
     return df
 
