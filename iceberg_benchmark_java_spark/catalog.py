@@ -159,6 +159,52 @@ def write_partitioned_warehouse(
     return out
 
 
+# Bucketed-table specs for co-located joins: facts bucketed on their join
+# key so fact⋈fact joins read pre-partitioned data and skip the shuffle
+# entirely. Bucket counts sized so a bucket stays executor-memory-friendly
+# at the target SF (scale the count, not the scheme, for 100 TB).
+BUCKET_SPECS: dict[str, tuple[str, int]] = {
+    "lineitem": ("l_orderkey", 8),
+    "orders": ("o_orderkey", 8),
+}
+
+
+def write_bucketed_tables(
+    spark: SparkSession, sf_dir: str, database: str = "ibx_bucketed"
+) -> list[str]:
+    """Materialize bucketed managed tables for the co-located-join path.
+
+    ``bucketBy`` requires saveAsTable (bucket metadata lives in the
+    catalog); the session's default in-memory/derby catalog with the local
+    spark-warehouse dir suffices. Joining two tables bucketed (same count)
+    on the join key produces a SortMergeJoin with NO Exchange on either
+    side — asserted in tests/test_plans.py.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    created = []
+    for name, (key, n_buckets) in BUCKET_SPECS.items():
+        if not os.path.exists(table_path(sf_dir, name)):
+            continue
+        fq = f"{database}.{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {fq}")
+        # The default session catalog is in-memory: it forgets tables on
+        # restart while their managed locations persist on disk — clear the
+        # leftover directory or saveAsTable fails LOCATION_ALREADY_EXISTS.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, f"{database}.db", name), ignore_errors=True)
+        (
+            load_table(spark, sf_dir, name)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(fq)
+        )
+        created.append(fq)
+    return created
+
+
 def bootstrap_iceberg(
     spark: SparkSession,
     sf_dir: str,

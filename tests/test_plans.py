@@ -167,3 +167,46 @@ def test_partitioned_warehouse_prunes(spark, tmp_path):
         & (F.col("l_shipdate") < F.lit(hi).cast("date"))
     ).count()
     assert n_part == n_flat > 0
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    """Co-located join: lineitem⋈orders both bucketed 8-way on the order
+    key must SortMergeJoin with NO Exchange on either side, and agree with
+    the unbucketed join."""
+    from pyspark.sql import functions as F
+
+    from iceberg_benchmark_java_spark.catalog import load_table, write_bucketed_tables
+
+    created = write_bucketed_tables(spark, SF_SMOKE)
+    assert len(created) == 2
+    l = spark.table("ibx_bucketed.lineitem")
+    o = spark.table("ibx_bucketed.orders")
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    # smoke-scale tables broadcast by default; force the shuffle-join path
+    # the bucketing exists to optimize (at SF where neither side broadcasts).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined.collect()  # finalize AQE plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan[:1500]
+    # no shuffle feeds the join — the only allowed Exchange is the
+    # aggregate's own (on o_orderpriority, above the join).
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Bucketed: true" in plan
+    # cross-check against the plain layout
+    lf = load_table(spark, SF_SMOKE, "lineitem")
+    of = load_table(spark, SF_SMOKE, "orders")
+    expect = {
+        (r.o_orderpriority, r.n)
+        for r in lf.join(of, lf.l_orderkey == of.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {(r.o_orderpriority, r.n) for r in joined.collect()} == expect
