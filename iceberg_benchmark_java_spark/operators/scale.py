@@ -101,3 +101,19 @@ def salted_join(
     build = replicated.select("*", salts)
     probe = skewed.withColumn(SALT_COL, _salt(n_salts))
     return probe.join(build, [*on, SALT_COL], how).drop(SALT_COL)
+
+
+def quantile_buckets(
+    df: DataFrame, col: str, n_buckets: int = 4, relative_error: float = 0.01
+) -> DataFrame:
+    """Scale path for global NTILE: approxQuantile cutoffs (Greenwald-Khanna
+    sketch, driver gets n-1 numbers) + a bucket expression — no global
+    sort, no single-partition window (cf. win_ntile_quartiles' scale
+    note). Adds a ``bucket`` column in 1..n_buckets; bucket sizes are
+    approximately equal within the sketch's relative_error."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.approxQuantile(col, probs, relative_error)
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + F.when(F.col(col) > F.lit(c), 1).otherwise(0)
+    return df.withColumn("bucket", bucket.cast("int"))

@@ -229,3 +229,18 @@ def test_salted_join_matches_plain(spark):
     l_extra = l.union(spark.createDataFrame([(-1, 0.0)], ["l_orderkey", "l_quantity"]))
     left = scale.salted_join(l_extra, o, ["l_orderkey"], n_salts=4, how="left")
     assert left.filter("l_orderkey = -1").count() == 1
+
+
+def test_quantile_buckets_approximate_ntile(spark):
+    from iceberg_benchmark_java_spark.operators import scale
+
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    out = scale.quantile_buckets(l, "l_extendedprice", n_buckets=4)
+    sizes = {r.bucket: r.n for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == {1, 2, 3, 4}
+    total = sum(sizes.values())
+    for b, n in sizes.items():
+        assert abs(n - total / 4) / total < 0.05, (b, n, total)
+    # no single-partition global sort in the plan (the point vs NTILE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
