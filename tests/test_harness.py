@@ -148,3 +148,29 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == n_total  # siblings survived (dynamic, not truncate)
     assert after.filter(F.col("ship_month") == one_month).count() == n_month
+
+
+def test_catalog_qualified_suite_with_use_database(spark, tmp_path):
+    """A5 (USE catalog.db) + A7 catalog templating end-to-end: a corpus
+    file with ${database}.${schema} prefixes runs against a real catalog
+    database."""
+    from iceberg_benchmark_java_spark.catalog import load_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ibx_cat")
+    load_table(spark, SF_SMOKE, "lineitem").write.mode("overwrite").saveAsTable(
+        "ibx_cat.lineitem_cat"
+    )
+    qdir = tmp_path / "catq"
+    qdir.mkdir()
+    (qdir / "q01.sql").write_text(
+        "SELECT l_returnflag, count(*) AS n FROM "
+        "${database}.${schema}.lineitem_cat GROUP BY l_returnflag"
+    )
+    r = BenchmarkRunner(spark, run_id="t5", collect_metrics=False)
+    results = r.run_suite(
+        "TPC-H", qdir, catalog="spark_catalog", schema="ibx_cat", use_database=True
+    )
+    assert [x.status for x in results] == ["SUCCESS"]
+    assert spark.catalog.currentDatabase() == "ibx_cat"  # A5 took effect
+    spark.sql("USE default")
+    spark.sql("DROP TABLE ibx_cat.lineitem_cat")
