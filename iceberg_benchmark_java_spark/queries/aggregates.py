@@ -406,3 +406,61 @@ def weekly_pivot_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio("sat_sales", "sat_ratio"),
         )
     )
+
+
+# --- consecutive-quarter growth self-join (tpcds/q31.sql) --------------------
+@query(
+    "agg_quarter_growth_selfjoin",
+    oracle="""
+    WITH qs AS (
+      SELECT n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+             EXTRACT(QUARTER FROM o.o_orderdate) AS qtr,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sales
+      FROM orders o, customer c, nation n
+      WHERE o.o_custkey = c.c_custkey AND c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2, 3)
+    SELECT q1.nation AS nation, CAST(q1.yr AS BIGINT) AS yr,
+           ROUND(q2.sales / q1.sales, 6) AS growth
+    FROM qs q1, qs q2
+    WHERE q1.nation = q2.nation AND q1.yr = q2.yr
+      AND q1.qtr = 1 AND q2.qtr = 2 AND q1.sales > 0
+      AND q2.sales / q1.sales > 1.0
+    """,
+)
+def quarter_growth_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth via aggregate-CTE self-join on
+    (nation, year) with a growth-rate filter (tpcds/q31.sql shape). The
+    grouped CTE is small (nations x years x quarters) — both self-join
+    sides broadcastable at any fact scale."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    qs = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sales")
+        )
+    )
+    q1 = qs.filter((F.col("qtr") == 1) & (F.col("sales") > 0)).alias("q1")
+    q2 = qs.filter(F.col("qtr") == 2).alias("q2")
+    return (
+        q1.join(
+            q2,
+            (F.col("q1.nation") == F.col("q2.nation"))
+            & (F.col("q1.yr") == F.col("q2.yr")),
+        )
+        .filter(F.col("q2.sales") / F.col("q1.sales") > 1.0)
+        .select(
+            F.col("q1.nation").alias("nation"),
+            F.col("q1.yr").cast("long").alias("yr"),
+            F.round(F.col("q2.sales") / F.col("q1.sales"), 6).alias("growth"),
+        )
+    )

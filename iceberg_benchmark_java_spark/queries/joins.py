@@ -247,3 +247,61 @@ def date_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+# --- returns-adjusted sales: compound-key LEFT JOIN (tpcds/q93.sql) ----------
+@query(
+    "join_compound_key_left_adjust",
+    oracle="""
+    SELECT t.l_suppkey AS suppkey,
+           CAST(ROUND(SUM(CAST(act_sales AS DECIMAL(38,12))), 2) AS DOUBLE)
+             AS sumsales
+    FROM (SELECT l1.l_suppkey,
+                 CASE WHEN r.l_orderkey IS NOT NULL
+                      THEN (l1.l_quantity - r.ret_qty) * l1.l_extendedprice
+                           / NULLIF(l1.l_quantity, 0)
+                      ELSE l1.l_extendedprice END AS act_sales
+          FROM lineitem l1
+          LEFT JOIN (SELECT l_orderkey, l_linenumber,
+                            SUM(l_quantity) AS ret_qty
+                     FROM lineitem WHERE l_returnflag = 'R'
+                     GROUP BY l_orderkey, l_linenumber) r
+            ON l1.l_orderkey = r.l_orderkey
+           AND l1.l_linenumber = r.l_linenumber) t
+    GROUP BY t.l_suppkey
+    """,
+)
+def compound_key_left_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key LEFT JOIN against a pre-aggregated returns side with a
+    null-branch CASE adjustment (tpcds/q93.sql:1-15 shape). The join keys
+    are the fact's natural compound key — one shuffle each side, no
+    row-count blowup."""
+    l = load_table(spark, sf_dir, "lineitem")
+    returns = (
+        l.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum("l_quantity").alias("ret_qty"))
+        .withColumnRenamed("l_orderkey", "r_orderkey")
+        .withColumnRenamed("l_linenumber", "r_linenumber")
+    )
+    joined = l.join(
+        returns,
+        (l.l_orderkey == returns.r_orderkey)
+        & (l.l_linenumber == returns.r_linenumber),
+        "left",
+    )
+    act = F.when(
+        F.col("r_orderkey").isNotNull(),
+        (F.col("l_quantity") - F.col("ret_qty"))
+        * F.col("l_extendedprice")
+        / F.nullif(F.col("l_quantity"), F.lit(0.0)),
+    ).otherwise(F.col("l_extendedprice"))
+    return (
+        joined.select(F.col("l_suppkey").alias("suppkey"), act.alias("act_sales"))
+        .groupBy("suppkey")
+        .agg(
+            F.round(F.sum(F.col("act_sales").cast("decimal(38,12)")), 2)
+            .cast("double")
+            .alias("sumsales")
+        )
+    )
