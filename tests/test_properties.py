@@ -1,0 +1,100 @@
+"""Property-based invariants (hypothesis) for the dedup/scale operators.
+
+Each example drives real Spark jobs, so max_examples stays small — the
+value is input diversity (adversarial doc shapes, arbitrary groupings),
+not volume.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from iceberg_benchmark_java_spark.operators import dedup, scale
+
+WORDS = st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split())
+DOC = st.lists(WORDS, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(DOC, min_size=2, max_size=12))
+def test_exact_duplicates_complete_and_sound(spark, texts):
+    """exact_duplicates reports exactly the text groups with >1 member,
+    with min doc_id as canonical — for ANY corpus."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.fingerprint: (r.n_copies, r.canonical_id)
+        for r in dedup.exact_duplicates(df).collect()
+    }
+    expect: dict = {}
+    for i, t in enumerate(texts):
+        expect.setdefault(t, []).append(i)
+    import hashlib
+
+    expected = {
+        hashlib.md5(t.encode()).hexdigest(): (len(ids), min(ids))
+        for t, ids in expect.items()
+        if len(ids) > 1
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group key
+            st.integers(min_value=-1000, max_value=1000),  # value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_salts=st.integers(min_value=1, max_value=5),
+)
+def test_salted_aggregate_invariant(spark, rows, n_salts):
+    """salted_aggregate == plain groupBy for any grouping and salt count."""
+    df = spark.createDataFrame(rows, ["k", "v"])
+    plain = {
+        r.k: (r.s, r.c)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+        .collect()
+    }
+    salted = {
+        r.k: (r.s, r.c)
+        for r in scale.salted_aggregate(
+            df, ["k"], {"s": F.sum("v"), "c": F.count("*")}, n_salts=n_salts
+        ).collect()
+    }
+    assert salted == plain
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(DOC, min_size=2, max_size=8))
+def test_minhash_lsh_catches_every_exact_duplicate(spark, texts):
+    """Identical texts agree on every MinHash band, so exact duplicates
+    always surface as LSH candidates with all bands shared (recall=1 for
+    true dups — the invariant that makes LSH safe for dedup)."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    cands = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in dedup.minhash_lsh_candidates(df).collect()
+    }
+    n_bands = dedup.N_HASHES // dedup.BAND_SIZE
+    for i, a in enumerate(texts):
+        for j in range(i + 1, len(texts)):
+            if a == texts[j]:
+                assert cands.get((i, j)) == n_bands, (i, j, cands)
