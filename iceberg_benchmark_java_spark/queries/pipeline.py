@@ -520,3 +520,29 @@ def events_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# --- multimodal feature extraction (mapInPandas path in the gate) ------------
+@query(
+    "pipe_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+           CAST(STRLEN(text) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_digest,
+           CAST(STRLEN(text) % 1024 + 16 AS INTEGER) AS decoded_width,
+           CAST(STRLEN(text) % 768 + 16 AS INTEGER) AS decoded_height
+    FROM documents
+    """,
+)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/mapInPandas decode path, gate-checked: synthesize the
+    binary media table from documents, run extract_features (real
+    mapInPandas plumbing, deterministic stub kernel), and hash-compare
+    digests/dims against DuckDB computing the same from the source text.
+    The only registered query whose hot path is deliberately Python — it
+    exercises the batch-transfer machinery the real decoders will use."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.synthesize_media(d))
