@@ -87,11 +87,14 @@ def register_views(
     there (once — reused if present) and fact tables are registered from
     their partitioned layout instead: the reference's flat/partitioned run
     axis (runner.sh vs partitioned_runner.sh) for the parquet path. The
-    derived partition column rides along harmlessly; queries never select
-    it."""
+    derived partition directory column is dropped at registration so both
+    axes expose identical view schemas (SELECT * parity)."""
     part_paths: dict[str, str] = {}
     if partitioned_dir:
         marker = os.path.join(partitioned_dir, "_ibx_complete")
+        expected = tuple(
+            n for n in PARQUET_PARTITION_COLS if os.path.exists(table_path(sf_dir, n))
+        )
         if os.path.exists(marker):
             part_paths = {
                 n: os.path.join(partitioned_dir, n)
@@ -102,11 +105,16 @@ def register_views(
             part_paths = write_partitioned_warehouse(
                 spark, sf_dir, partitioned_dir, tables=tuple(PARQUET_PARTITION_COLS)
             )
-            open(marker, "w").close()
+            # The marker certifies a COMPLETE materialization: writing it
+            # after a partial run (source tables absent from sf_dir) would
+            # make later runs trust it and silently skip the missing facts.
+            if set(part_paths) == set(expected) and expected:
+                open(marker, "w").close()
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         if name in part_paths:
             df = spark.read.parquet(part_paths[name])
+            df = df.drop(PARQUET_PARTITION_COLS[name][0])
         elif os.path.exists(table_path(sf_dir, name)):
             df = load_table(spark, sf_dir, name)
         else:

@@ -36,6 +36,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpch-data-db", default="tpch")
     p.add_argument("--pipeline-data-db", default="pipeline")
     p.add_argument("--catalog-name", default="")
+    p.add_argument(
+        "--warehouse",
+        default=None,
+        help="Iceberg warehouse path for --catalog-name (mounts a hadoop "
+        "catalog when the iceberg-spark-runtime jar is present)",
+    )
     p.add_argument("--output-gcs-path", required=True)
     p.add_argument("--run-id", required=True)
     p.add_argument("--sf-dir", default=None, help="parquet fixtures → temp views")
@@ -59,8 +65,25 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
         adaptive=not args.no_aqe,
         catalog_name=args.catalog_name or "local",
+        warehouse=args.warehouse,
     )
     spark = build_session(cfg)
+    if args.catalog_name:
+        # --catalog-name switches templating + USE to catalog-qualified mode;
+        # without a mounted catalog every query would die at USE with an
+        # opaque error. Fail fast unless the catalog is actually configured
+        # (via --warehouse here, or spark.sql.catalog.* conf injected by the
+        # launcher, as spark_submit_with_analytics_core.sh does).
+        try:
+            spark.conf.get(f"spark.sql.catalog.{args.catalog_name}")
+        except Exception:
+            print(
+                f"error: --catalog-name {args.catalog_name} but no "
+                f"spark.sql.catalog.{args.catalog_name} is configured — pass "
+                "--warehouse (requires the iceberg-spark-runtime jar) or set "
+                "the catalog conf in the launcher"
+            )
+            return 2
     if args.sf_dir:
         register_views(spark, args.sf_dir, partitioned_dir=args.partitioned_warehouse)
     # A4 config introspection (IcebergBenchmark.java:107-118): tag results

@@ -69,17 +69,37 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_df: int | None = None
 ) -> DataFrame:
     """Near-duplicate pairs by n-word-shingle Jaccard similarity.
 
     |A∩B| via shingle self-join, |A|,|B| via per-doc counts; J rounded to
     6dp for cross-engine determinism. Pairs restricted to doc_a < doc_b.
-    At scale, pair explosion is bounded by blocking: callers should
-    pre-partition docs (e.g. by language/source) — here the corpus-wide
-    join is acceptable because shingle selectivity bounds candidates.
+
+    ``max_df`` is the scale guard: shingles appearing in more than max_df
+    documents are dropped from BOTH the intersection and the set sizes
+    (Jaccard over the filtered sets stays internally consistent). Without
+    it, one corpus-common shingle ("of the and") makes the self-join
+    quadratic in corpus size; with it, a shingle contributes at most
+    max_df² pair rows. High-df shingles carry ~no similarity signal, so
+    this is the standard candidate-bounding move. None = unbounded
+    (exact textbook Jaccard; small corpora / pre-blocked callers only).
+
+    No internal caching: callers owning the loop persist the shingle table
+    themselves — an operator-held cache() pins corpus-scale state in
+    executor storage for the session lifetime.
     """
-    sh = with_word_shingles(docs, n).cache()
+    sh = with_word_shingles(docs, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        # re-select: a USING join moves the key to column 0, and the
+        # positional toDF renames below depend on (doc_id, shingle) order
+        sh = sh.join(rare, "shingle").select("doc_id", "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.toDF("doc_a", "shingle")
     b = sh.toDF("doc_b", "shingle")

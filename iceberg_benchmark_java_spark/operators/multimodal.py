@@ -63,7 +63,10 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     Spark jobs without real codecs."""
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 2 == 0, "image/png").otherwise("audio/wav").alias("mime"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
         (F.col("n_chars") % 1024 + 16).cast("int").alias("meta_width"),
         (F.col("n_chars") % 768 + 16).cast("int").alias("meta_height"),
@@ -162,7 +165,7 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     for video corpora."""
     n_frames = (F.length(F.col("payload")) / 100).cast("int")
     return (
-        media.filter(F.col("mime").startswith("image/"))
+        media.filter(F.col("mime").startswith("video/"))
         .select(
             "media_id",
             F.explode(

@@ -34,21 +34,24 @@ def _salt(n_salts: int) -> Column:
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[str, Column]],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-stage aggregation for skewed group keys.
 
     Stage 1 aggregates on (keys + salt) — the hot key's rows spread over
     ``n_salts`` reducers; stage 2 re-aggregates the S partials per key.
-    ``aggs`` maps output column name → a *decomposable* aggregate expression
-    over the stage-1 partial columns; the helper handles the common
-    sum/count/min/max cases where stage 2 re-applies sum/sum/min/max.
+    ``aggs`` maps output column name → ``(kind, expr)`` where ``kind`` names
+    the *decomposable* aggregate ("sum" | "count" | "min" | "max") and
+    ``expr`` is the stage-1 aggregate expression. The kind is explicit —
+    inferring it from the expression's string form is unsound (e.g.
+    ``count(DISTINCT x)`` renders like a count but its partials must NOT be
+    summed) and relies on private APIs that break under Spark Connect.
+    DISTINCT aggregates are rejected; use :func:`salted_count_distinct`.
 
     Note Spark's hash aggregate already does map-side partial aggregation,
     which de-skews most cases for free; explicit salting matters when the
-    partial state itself is large (e.g. count-distinct state, collect-style
-    aggregates) or the combine ratio is poor.
+    partial state itself is large or the combine ratio is poor.
     """
     stage2 = {
         "sum": F.sum,
@@ -58,12 +61,13 @@ def salted_aggregate(
     }
     partial_cols = []
     final_cols = []
-    for i, (out_name, expr) in enumerate(aggs.items()):
-        kind = expr._jc.toString().split("(")[0].lower()
+    for i, (out_name, (kind, expr)) in enumerate(aggs.items()):
+        kind = kind.lower()
         if kind not in stage2:
             raise ValueError(
                 f"{out_name}: only decomposable aggregates "
-                f"({sorted(stage2)}) can be salted; got {kind}"
+                f"({sorted(stage2)}) can be salted; got {kind!r}. "
+                "For count-distinct use salted_count_distinct()."
             )
         pname = f"__p{i}"
         partial_cols.append(expr.alias(pname))
@@ -74,6 +78,24 @@ def salted_aggregate(
         .agg(*partial_cols)
         .groupBy(*keys)
         .agg(*final_cols)
+    )
+
+
+def salted_count_distinct(
+    df: DataFrame, keys: Sequence[str], col: str, out_name: str = "n_distinct"
+) -> DataFrame:
+    """Skew-safe exact count-distinct: shuffle 1 dedupes on (keys, value) —
+    a hot group key spreads over its distinct values, so no reducer sees
+    more than one (key, value) pair's worth of state; shuffle 2 counts the
+    surviving rows per key (at most |distinct values| rows per key, tiny).
+    This is the correct decomposition that summing per-salt
+    ``countDistinct`` partials silently gets wrong (a value seen under two
+    salts would be counted twice)."""
+    return (
+        df.select(*keys, col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.col(col)).alias(out_name))
     )
 
 

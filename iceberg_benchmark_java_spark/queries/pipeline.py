@@ -87,10 +87,14 @@ def fingerprint_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_ngram_jaccard_pairs",
     oracle=f"""
     WITH {_DUCK_SHINGLES},
-    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    shf AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shf GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b, i.inter,
@@ -102,9 +106,12 @@ def fingerprint_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-word-shingle Jaccard near-dup pairs via shingle self-join
-    (|A∩B| aggregation — no O(n²) materialization before the threshold)."""
+    (|A∩B| aggregation — no O(n²) materialization before the threshold).
+    max_df=100 drops corpus-common shingles before the self-join — the
+    bound that keeps the join linear-ish at 100 TB (VERDICT r1 scale fix);
+    the oracle applies the identical document-frequency cutoff."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=100)
 
 
 # --- MinHash + LSH candidates ------------------------------------------------
@@ -527,7 +534,9 @@ def events_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_multimodal_features",
     oracle="""
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
            CAST(STRLEN(text) AS BIGINT) AS n_bytes,
            md5(text) AS payload_digest,
            CAST(STRLEN(text) % 1024 + 16 AS INTEGER) AS decoded_width,
@@ -546,3 +555,27 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.synthesize_media(d))
+
+
+# --- video frame sampling (explode-then-decode shape) ------------------------
+@query(
+    "pipe_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx
+    FROM documents,
+         UNNEST(generate_series(0,
+                GREATEST(CAST(FLOOR(STRLEN(text) / 100) AS INTEGER) - 1, 0),
+                10)) AS t(i)
+    WHERE doc_id % 3 = 2
+    """,
+)
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: each video/* row expands into frame-index
+    rows via sequence+explode (pure JVM-side — the decode of each sampled
+    frame would chain into extract_features). Gate-checks the video-mime
+    filter + the explode arithmetic against DuckDB generate_series."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = multimodal.frame_sample_plan(multimodal.synthesize_media(d), every_n=10)
+    return frames.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))

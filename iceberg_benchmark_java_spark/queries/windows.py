@@ -345,6 +345,63 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- scale-safe quartiles (no WindowExec) ------------------------------------
+@query(
+    "win_quartiles_scale",
+    oracle="""
+    WITH cuts AS (
+      SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal) AS q1,
+             percentile_disc(0.50) WITHIN GROUP (ORDER BY c_acctbal) AS q2,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal) AS q3
+      FROM customer
+    )
+    SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+    FROM (SELECT c_acctbal,
+                 CAST(1 + (c_acctbal > q1)::INT + (c_acctbal > q2)::INT
+                        + (c_acctbal > q3)::INT AS INTEGER) AS quartile
+          FROM customer, cuts) x
+    GROUP BY quartile
+    """,
+)
+def quartiles_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """win_ntile_quartiles' 100 TB twin: value-threshold quartiles from
+    percentile_disc cutoffs + a bucket expression — NO WindowExec anywhere
+    in the plan (global NTILE single-partitions the sort; this never
+    sorts globally). The 1-row cutoff frame broadcast-joins onto the scan.
+
+    percentile_disc picks an actual data value (smallest value whose
+    cumulative distribution >= p) — identical definition in DuckDB, so the
+    oracle matches exactly with no interpolation-ULP risk. Ties land in the
+    lower bucket in both engines (strict > against the cutoff).
+
+    At 100 TB the cutoff aggregate itself would move to approxQuantile
+    (operators.scale.quantile_buckets, tested within 5%); the bucket +
+    re-agg stages are identical. Plan shape asserted in test_plans.py."""
+    c = load_table(spark, sf_dir, "customer")
+    cuts = c.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal)").alias("q1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY c_acctbal)").alias("q2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal)").alias("q3"),
+    )
+    quartile = (
+        F.lit(1)
+        + (F.col("c_acctbal") > F.col("q1")).cast("int")
+        + (F.col("c_acctbal") > F.col("q2")).cast("int")
+        + (F.col("c_acctbal") > F.col("q3")).cast("int")
+    )
+    return (
+        c.crossJoin(F.broadcast(cuts))
+        .select("c_acctbal", quartile.alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
 # --- first_value / last_value with full frame --------------------------------
 @query(
     "win_first_last_value",

@@ -199,14 +199,45 @@ def test_salted_aggregate_matches_plain(spark):
             l,
             ["l_returnflag"],
             {
-                "s": F.sum(F.col("l_quantity").cast("decimal(18,4)")),
-                "c": F.count("*"),
-                "mn": F.min("l_extendedprice"),
+                "s": ("sum", F.sum(F.col("l_quantity").cast("decimal(18,4)"))),
+                "c": ("count", F.count("*")),
+                "mn": ("min", F.min("l_extendedprice")),
             },
             n_salts=8,
         ).collect()
     }
     assert salted == plain
+
+
+def test_salted_aggregate_rejects_distinct(spark):
+    from iceberg_benchmark_java_spark.operators import scale
+
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    with pytest.raises(ValueError, match="salted_count_distinct"):
+        scale.salted_aggregate(
+            l,
+            ["l_returnflag"],
+            {"d": ("count_distinct", F.countDistinct("l_partkey"))},
+        )
+
+
+def test_salted_count_distinct_matches_plain(spark):
+    from iceberg_benchmark_java_spark.operators import scale
+
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    plain = {
+        r.l_returnflag: r.d
+        for r in l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    two_stage = {
+        r.l_returnflag: r.d
+        for r in scale.salted_count_distinct(
+            l, ["l_returnflag"], "l_partkey", out_name="d"
+        ).collect()
+    }
+    assert two_stage == plain
 
 
 def test_salted_join_matches_plain(spark):

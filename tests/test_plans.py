@@ -55,6 +55,14 @@ def test_q03_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_quartiles_scale_has_no_window(spark):
+    """The scale-safe NTILE twin must contain no WindowExec (a global NTILE
+    single-partitions the sort) and must broadcast the 1-row cutoffs."""
+    plan = _plan(spark, "win_quartiles_scale")
+    assert "Window" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_no_python_udf_in_relational_queries(spark):
     """The §2-B inventory must stay JVM-side (no BatchEvalPython /
     ArrowEvalPython nodes)."""

@@ -72,7 +72,10 @@ def test_salted_aggregate_invariant(spark, rows, n_salts):
     salted = {
         r.k: (r.s, r.c)
         for r in scale.salted_aggregate(
-            df, ["k"], {"s": F.sum("v"), "c": F.count("*")}, n_salts=n_salts
+            df,
+            ["k"],
+            {"s": ("sum", F.sum("v")), "c": ("count", F.count("*"))},
+            n_salts=n_salts,
         ).collect()
     }
     assert salted == plain
