@@ -45,6 +45,17 @@ HEADLINE = [
     "pipe_events_hourly",
     "tpch_q08_market_share",
     "tpch_q21_waiting_supplier",
+    # Verbatim reference corpus headliners (fixtures/ warehouse, fixed
+    # scale): the marquee TPC-DS shapes named in the round-1 review plus
+    # two verbatim TPC-H texts. These time the reference's own SQL files
+    # end-to-end through spark.sql.
+    "corpus_tpcds_q14_1",  # multi-CTE cross-channel INTERSECT chain
+    "corpus_tpcds_q64",    # wide join chain w/ two CTE passes
+    "corpus_tpcds_q67",    # 8-key ROLLUP + windowed top-k
+    "corpus_tpcds_q72",    # 8-join chain w/ date arithmetic
+    "corpus_tpcds_q95",    # multi-EXISTS over web order numbers
+    "corpus_tpch_q01",
+    "corpus_tpch_q21",
 ]
 
 

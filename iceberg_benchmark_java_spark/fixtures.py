@@ -1,0 +1,1067 @@
+"""Deterministic TPC-DS / TPC-H fixture generator (seed=42).
+
+Round-2 requirement (VERDICT.md "Next round" #1/#2): the reference's primary
+workload is the verbatim TPC-DS corpus (103 files, IcebergBenchmark.java:121)
+plus the 22 verbatim TPC-H files, and /root/testdata has neither the TPC-DS
+tables nor the full TPC-H schema (no partsupp, no l.commitdate, prefixed
+column names). This module generates both warehouse fixture sets under
+``/root/repo/fixtures/`` per FIXTURES.md's column inventory, with two extra
+disciplines that FIXTURES.md §4 only hints at:
+
+1. **Dyadic numerics.** Every money/rate column is a float64 whose value is a
+   multiple of 2^-k (0.25 for prices, 1/64 for rates). Products and sums of
+   such values are exactly representable in IEEE doubles at these magnitudes,
+   so ``sum()``/``avg()``/arithmetic over them is **bit-identical between
+   Spark and DuckDB regardless of partition/accumulation order** — which lets
+   the verbatim corpus text (which we cannot annotate with decimal casts) pass
+   the driver's exact-equality oracle gate. This deliberately deviates from
+   FIXTURES.md's decimal(p,2) types: decimal columns would be summed as
+   DECIMAL by Spark but promoted to DOUBLE mid-expression by DuckDB on
+   precision overflow, which is order-dependent and breaks exactness.
+2. **Predicate-satisfying domains.** Value domains are a superset of every
+   literal the corpus compares against (extracted from
+   /root/reference/queries/*; see FIXTURES.md value-domain notes), and rows
+   are *planted* for the sparsest predicates (q41's manufacturer/attribute
+   or-blocks, q08's zip-prefix intersect, 15..20-line tickets for q34/q73).
+
+Scale knobs are module constants; defaults land ~60 MB of parquet, sized so
+the whole 125-file corpus oracle-checks in minutes on local[32] while still
+producing non-empty results for the marquee queries. At 100 TB the same
+generator shape holds (it is embarrassingly parallel per table), but these
+fixtures exist for correctness, not bench scale.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from datetime import date, timedelta
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TPCDS_DIR = os.path.join(REPO, "fixtures", "tpcds")
+TPCH_DIR = os.path.join(REPO, "fixtures", "tpch")
+
+SEED = 42
+EPOCH = date(1900, 1, 1)
+JDN_1900 = 2415021  # Julian day number of 1900-01-01 (TPC-DS d_date_sk base)
+
+
+def _sk(d: date) -> int:
+    return JDN_1900 + (d - EPOCH).days
+
+
+def dyadic(rng, lo: float, hi: float, n: int, step: float = 0.25):
+    """Random multiples of ``step`` (a power of 1/2) in [lo, hi)."""
+    return rng.integers(int(lo / step), int(hi / step), n).astype("float64") * step
+
+
+def _strings(prefix: str, n: int) -> list[str]:
+    return [f"{prefix}{i:08d}" for i in range(1, n + 1)]
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS dimensions
+# ---------------------------------------------------------------------------
+
+DATE_LO, DATE_HI = date(1990, 1, 1), date(2003, 12, 31)
+FACT_LO, FACT_HI = date(1998, 1, 2), date(2002, 12, 30)
+
+DAY_NAMES = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday"]
+
+CATEGORY_CLASSES = {
+    "Books": ["reference", "self-help", "fiction", "romance", "computers"],
+    "Children": ["toddlers", "infants", "school-uniforms", "newborn"],
+    "Electronics": ["stereo", "portable", "personal", "cameras", "dvd/vcr players"],
+    "Home": ["bathroom", "kitchen", "bedding", "lighting", "flatware", "curtains/drapes"],
+    "Jewelry": ["birdal", "diamonds", "gold", "estate", "pendants", "rings"],
+    "Men": ["pants", "shirts", "sports-apparel", "accessories"],
+    "Music": ["classical", "rock", "pop", "country"],
+    "Shoes": ["athletic", "kids", "mens", "womens"],
+    "Sports": ["football", "basketball", "fitness", "camping", "archery"],
+    "Women": ["dresses", "fragrances", "maternity", "swimwear"],
+}
+CATEGORIES = list(CATEGORY_CLASSES)
+ALL_CLASSES = [c for cls in CATEGORY_CLASSES.values() for c in cls]
+
+COLORS = [
+    "slate", "blanched", "burnished", "floral", "chiffon", "purple", "burlywood",
+    "indian", "spring", "medium", "powder", "khaki", "brown", "honeydew", "deep",
+    "light", "cornflower", "midnight", "snow", "cyan", "papaya", "orange",
+    "frosted", "forest", "ghost", "pale", "metallic", "smoke", "peach", "saddle",
+]
+UNITS = [
+    "Ounce", "Oz", "Bunch", "Ton", "N/A", "Dozen", "Box", "Pound", "Pallet",
+    "Gross", "Cup", "Dram", "Each", "Tbl", "Lb", "Bundle",
+]
+SIZES = ["N/A", "petite", "small", "medium", "large", "extra large", "economy"]
+BRANDS = [
+    "scholaramalgamalg #14", "scholaramalgamalg #7", "scholaramalgamalg #9",
+    "exportiunivamalg #9", "amalgimporto #1", "edu packscholar #1",
+    "exportiimporto #1", "importoamalg #1", "exportischolar #2", "amalgamalg #2",
+    "univmaxi #5", "namelessbrand #3", "edu packamalg #1", "brandbrand #4",
+    "corpnameless #6", "maxinameless #8",
+]
+# q41 or-block attribute combos: (category, colors, units, sizes); an item
+# planted from row i matches block i's first alternative.
+Q41_BLOCKS = [
+    ("Women", ["powder", "khaki"], ["Ounce", "Oz"], ["medium", "extra large"]),
+    ("Women", ["brown", "honeydew"], ["Bunch", "Ton"], ["N/A", "small"]),
+    ("Men", ["floral", "deep"], ["N/A", "Dozen"], ["petite", "large"]),
+    ("Men", ["light", "cornflower"], ["Box", "Pound"], ["medium", "extra large"]),
+    ("Women", ["midnight", "snow"], ["Pallet", "Gross"], ["medium", "extra large"]),
+    ("Women", ["cyan", "papaya"], ["Cup", "Dram"], ["N/A", "small"]),
+    ("Men", ["orange", "frosted"], ["Each", "Tbl"], ["petite", "large"]),
+    ("Men", ["forest", "ghost"], ["Lb", "Bundle"], ["medium", "extra large"]),
+]
+
+STATES = [
+    "TN", "GA", "TX", "KY", "MS", "OH", "NM", "VA", "OR", "CA", "IN", "IL",
+    "WA", "NJ", "WI", "CT", "LA", "IA", "AR", "CO", "MN", "ND", "OK", "SD", "AL",
+]
+COUNTIES = [
+    "Williamson County", "Rush County", "Toole County", "Jefferson County",
+    "Dona Ana County", "La Porte County", "Franklin Parish", "Bronx County",
+    "Orange County", "Walker County", "Salem County", "Ziebach County",
+]
+CITIES = [
+    "Fairview", "Midway", "Edgewood", "Oakland", "Riverside", "Centerville",
+    "Glendale", "Bethel", "Clinton", "Union", "Springfield", "Oak Grove",
+    "Pleasant Hill", "Lakeview", "Greenfield", "Antioch",
+]
+STREETS = ["Main", "Oak", "Park", "First", "Elm", "College", "Sunset", "Cedar"]
+STREET_TYPES = ["Street", "Ave", "Blvd", "Way", "Pkwy", "Court", "Lane", "Drive"]
+BUY_POTENTIAL = ["0-500", "501-1000", "1001-5000", "5001-10000", ">10000", "Unknown"]
+EDUCATION = [
+    "Primary", "Secondary", "College", "2 yr Degree", "4 yr Degree",
+    "Advanced Degree", "Unknown",
+]
+MARITAL = ["S", "M", "D", "W", "U"]
+CREDIT = ["Low Risk", "Good", "High Risk", "Unknown"]
+FIRST_NAMES = [
+    "James", "Mary", "John", "Patricia", "Robert", "Jennifer", "Michael",
+    "Linda", "William", "Barbara", "David", "Susan", "Richard", "Jessica",
+    "Joseph", "Sarah", "Thomas", "Karen", "Charles", "Lisa",
+]
+LAST_NAMES = [
+    "Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller",
+    "Davis", "Rodriguez", "Martinez", "Hernandez", "Lopez", "Gonzalez",
+    "Wilson", "Anderson", "Thomas", "Taylor", "Moore", "Jackson", "Martin",
+]
+COUNTRIES_UC = [
+    "UNITED STATES", "CANADA", "MEXICO", "GERMANY", "FRANCE", "JAPAN",
+    "BRAZIL", "INDIA", "CHINA", "AUSTRALIA",
+]
+SYLLABLES = ["ought", "able", "pri", "ese", "anti", "cally", "ation", "eing"]
+
+N_ITEM = 2000
+N_CUSTOMER = 10_000
+N_ADDRESS = 5_000
+N_STORE = 12
+N_PROMO = 100
+N_WAREHOUSE = 5
+N_STORE_TICKETS = 42_000
+N_CATALOG_ORDERS = 22_000
+N_WEB_ORDERS = 18_000
+
+
+def _zip_pool() -> list[str]:
+    """q08's ~400 five-digit zip literals; vendored corpus is the source so
+    the generated addresses overlap the query's IN-list (corpus/tpcds_ref is
+    committed before fixtures are generated)."""
+    q08 = os.path.join(REPO, "corpus", "tpcds_ref", "q08.sql")
+    zips: list[str] = []
+    if os.path.exists(q08):
+        zips = re.findall(r"'(\d{5})'", open(q08).read())
+    return sorted(set(zips)) or [f"{z:05d}" for z in range(10000, 10400)]
+
+
+def gen_date_dim(rng):
+    days = (DATE_HI - DATE_LO).days + 1
+    dates = [DATE_LO + timedelta(days=i) for i in range(days)]
+    return {
+        "d_date_sk": pa.array([_sk(d) for d in dates], pa.int64()),
+        "d_date_id": pa.array([f"AAAAAAAA{_sk(d):08d}" for d in dates]),
+        "d_date": pa.array(dates, pa.date32()),
+        "d_year": pa.array([d.year for d in dates], pa.int32()),
+        "d_moy": pa.array([d.month for d in dates], pa.int32()),
+        "d_dom": pa.array([d.day for d in dates], pa.int32()),
+        # TPC-DS convention: 0 = Monday .. 6 = Sunday is *not* specified by
+        # any corpus literal; only d_day_name is filtered on.
+        "d_dow": pa.array([d.weekday() for d in dates], pa.int32()),
+        "d_qoy": pa.array([(d.month - 1) // 3 + 1 for d in dates], pa.int32()),
+        "d_week_seq": pa.array([((d - EPOCH).days) // 7 + 1 for d in dates], pa.int32()),
+        "d_month_seq": pa.array(
+            [(d.year - 1900) * 12 + d.month - 1 for d in dates], pa.int32()
+        ),
+        "d_day_name": pa.array([DAY_NAMES[d.weekday()] for d in dates]),
+        "d_quarter_name": pa.array([f"{d.year}Q{(d.month - 1) // 3 + 1}" for d in dates]),
+    }
+
+
+def gen_time_dim(rng):
+    t = np.arange(86400)
+    hour = t // 3600
+    meal = np.where(
+        (hour >= 6) & (hour < 9), "breakfast",
+        np.where((hour >= 11) & (hour < 14), "lunch",
+                 np.where((hour >= 17) & (hour < 21), "dinner", "")),
+    )
+    return {
+        "t_time_sk": pa.array(t, pa.int64()),
+        "t_time": pa.array(t, pa.int32()),
+        "t_hour": pa.array(hour, pa.int32()),
+        "t_minute": pa.array((t % 3600) // 60, pa.int32()),
+        "t_second": pa.array(t % 60, pa.int32()),
+        "t_meal_time": pa.array([m if m else None for m in meal]),
+    }
+
+
+def gen_item(rng):
+    n = N_ITEM
+    cat_idx = rng.integers(0, len(CATEGORIES), n)
+    cls_pick = rng.integers(0, 16, n)
+    category, i_class, class_id = [], [], []
+    for ci, cp in zip(cat_idx, cls_pick):
+        cat = CATEGORIES[ci]
+        classes = CATEGORY_CLASSES[cat]
+        cls = classes[cp % len(classes)]
+        category.append(cat)
+        i_class.append(cls)
+        class_id.append(ALL_CLASSES.index(cls) + 1)
+    brand_idx = rng.integers(0, len(BRANDS), n)
+    manufact_id = rng.integers(1, 1001, n)
+    color = [COLORS[i] for i in rng.integers(0, len(COLORS), n)]
+    units = [UNITS[i] for i in rng.integers(0, len(UNITS), n)]
+    size = [SIZES[i] for i in rng.integers(0, len(SIZES), n)]
+    price = dyadic(rng, 0.25, 100.0, n)
+    manager = rng.integers(1, 101, n)
+
+    # Plant q41 clusters: manufacturers in [738, 778] whose items hit the
+    # or-block attribute combos (2 items per block, 2 blocks per manufact).
+    k = 0
+    for b, (cat, colors2, units2, sizes2) in enumerate(Q41_BLOCKS * 4):
+        for j in range(2):
+            manufact_id[k] = 738 + (b % 40)
+            category[k] = cat
+            i_class[k] = CATEGORY_CLASSES[cat][0]
+            class_id[k] = ALL_CLASSES.index(i_class[k]) + 1
+            color[k] = colors2[j]
+            units[k] = units2[j]
+            size[k] = sizes2[j]
+            k += 1
+    # Plant i_current_price windows (0.99-1.49, 62-98) referenced by q37/q82/q65.
+    for j, p in enumerate([1.0, 1.25, 63.0, 65.5, 70.25, 90.0, 33.5, 17.25] * 8):
+        price[k + j] = p
+
+    manufact = [f"{SYLLABLES[m % 8]}{SYLLABLES[(m // 8) % 8]}{SYLLABLES[(m // 64) % 8]}" for m in manufact_id]
+    product_name = [
+        f"{SYLLABLES[i % 8]}{SYLLABLES[(i // 8) % 8]}{SYLLABLES[(i // 64) % 8]}{SYLLABLES[(i // 512) % 8]}"
+        for i in range(n)
+    ]
+    return {
+        "i_item_sk": pa.array(np.arange(1, n + 1), pa.int64()),
+        "i_item_id": pa.array(_strings("AAAAAAAA", n)),
+        "i_item_desc": pa.array(
+            [f"{p} {c} item for the {cat} category" for p, c, cat in zip(product_name, color, category)]
+        ),
+        "i_current_price": pa.array(price, pa.float64()),
+        "i_wholesale_cost": pa.array(dyadic(rng, 0.25, 80.0, n), pa.float64()),
+        "i_brand_id": pa.array(1000001 + brand_idx * 1000 + cat_idx, pa.int32()),
+        "i_brand": pa.array([BRANDS[i] for i in brand_idx]),
+        "i_class_id": pa.array(class_id, pa.int32()),
+        "i_class": pa.array(i_class),
+        "i_category_id": pa.array(cat_idx + 1, pa.int32()),
+        "i_category": pa.array(category),
+        "i_manufact_id": pa.array(manufact_id, pa.int32()),
+        "i_manufact": pa.array(manufact),
+        "i_size": pa.array(size),
+        "i_color": pa.array(color),
+        "i_units": pa.array(units),
+        "i_manager_id": pa.array(manager, pa.int32()),
+        "i_product_name": pa.array(product_name),
+    }
+
+
+def gen_store(rng, zips):
+    n = N_STORE
+    names = ["ought", "able", "ese", "ese", "anti", "cally", "ation", "eing", "ese", "pri", "bar", "ought"]
+    return {
+        "s_store_sk": pa.array(np.arange(1, n + 1), pa.int64()),
+        "s_store_id": pa.array([f"AAAAAAAA{i:04d}BAAA" for i in range(1, n + 1)]),
+        "s_store_name": pa.array(names[:n]),
+        "s_number_employees": pa.array(200 + 7 * np.arange(n), pa.int32()),
+        "s_street_number": pa.array([str(100 + 17 * i) for i in range(n)]),
+        "s_street_name": pa.array([STREETS[i % len(STREETS)] for i in range(n)]),
+        "s_street_type": pa.array([STREET_TYPES[i % len(STREET_TYPES)] for i in range(n)]),
+        "s_suite_number": pa.array([f"Suite {50 + 10 * i}" for i in range(n)]),
+        "s_city": pa.array([["Fairview", "Midway"][i % 2] for i in range(n)]),
+        "s_county": pa.array(["Williamson County"] * 8 + COUNTIES[1:5]),
+        "s_state": pa.array(["TN"] * 8 + ["GA", "SD", "AL", "TN"]),
+        "s_zip": pa.array([zips[(i * 37) % len(zips)] for i in range(n)]),
+        "s_country": pa.array(["United States"] * n),
+        "s_company_id": pa.array(np.ones(n), pa.int32()),
+        "s_company_name": pa.array(["Unknown"] * n),
+        "s_market_id": pa.array(1 + (np.arange(n) % 10), pa.int32()),
+        "s_gmt_offset": pa.array([-5.0] * 10 + [-7.0, -7.0], pa.float64()),
+    }
+
+
+def gen_customer_address(rng, zips):
+    n = N_ADDRESS
+    state_w = np.minimum(rng.integers(0, len(STATES), n), rng.integers(0, len(STATES), n))
+    zip_from_pool = rng.random(n) < 0.6
+    zcodes = [
+        zips[i % len(zips)] if f else f"{10000 + i % 89999:05d}"
+        for i, f in enumerate(zip_from_pool)
+    ]
+    return {
+        "ca_address_sk": pa.array(np.arange(1, n + 1), pa.int64()),
+        "ca_address_id": pa.array(_strings("AAAAAAAA", n)),
+        "ca_street_number": pa.array([str(1 + int(x)) for x in rng.integers(1, 1000, n)]),
+        "ca_street_name": pa.array([STREETS[i] for i in rng.integers(0, len(STREETS), n)]),
+        "ca_street_type": pa.array([STREET_TYPES[i] for i in rng.integers(0, len(STREET_TYPES), n)]),
+        "ca_suite_number": pa.array([f"Suite {i}" for i in rng.integers(1, 999, n)]),
+        "ca_city": pa.array([CITIES[i] for i in rng.integers(0, len(CITIES), n)]),
+        "ca_county": pa.array([COUNTIES[i] for i in rng.integers(0, len(COUNTIES), n)]),
+        "ca_state": pa.array([STATES[i] for i in state_w]),
+        "ca_zip": pa.array(zcodes),
+        "ca_country": pa.array(["United States"] * n),
+        "ca_gmt_offset": pa.array(
+            np.array([-5.0, -5.0, -6.0, -7.0])[rng.integers(0, 4, n)], pa.float64()
+        ),
+        "ca_location_type": pa.array(
+            [["apartment", "condo", "single family"][i] for i in rng.integers(0, 3, n)]
+        ),
+    }
+
+
+def gen_customer_demographics(rng):
+    rows = []
+    sk = 1
+    for g in ["M", "F"]:
+        for m in MARITAL:
+            for e in EDUCATION:
+                for cr in CREDIT:
+                    for dep in range(7):
+                        rows.append((sk, g, m, e, 500 * (1 + (sk % 20)), cr, dep, sk % 7, (sk // 7) % 7))
+                        sk += 1
+    cols = list(zip(*rows))
+    return {
+        "cd_demo_sk": pa.array(cols[0], pa.int64()),
+        "cd_gender": pa.array(cols[1]),
+        "cd_marital_status": pa.array(cols[2]),
+        "cd_education_status": pa.array(cols[3]),
+        "cd_purchase_estimate": pa.array(cols[4], pa.int32()),
+        "cd_credit_rating": pa.array(cols[5]),
+        "cd_dep_count": pa.array(cols[6], pa.int32()),
+        "cd_dep_employed_count": pa.array(cols[7], pa.int32()),
+        "cd_dep_college_count": pa.array(cols[8], pa.int32()),
+    }
+
+
+def gen_household_demographics(rng):
+    rows = []
+    sk = 1
+    for ib in range(1, 21):
+        for bp in BUY_POTENTIAL:
+            for dep in range(10):
+                for veh in range(-1, 5):
+                    rows.append((sk, ib, bp, dep, veh))
+                    sk += 1
+    cols = list(zip(*rows))
+    return {
+        "hd_demo_sk": pa.array(cols[0], pa.int64()),
+        "hd_income_band_sk": pa.array(cols[1], pa.int64()),
+        "hd_buy_potential": pa.array(cols[2]),
+        "hd_dep_count": pa.array(cols[3], pa.int32()),
+        "hd_vehicle_count": pa.array(cols[4], pa.int32()),
+    }
+
+
+def gen_income_band(rng):
+    k = np.arange(1, 21)
+    return {
+        "ib_income_band_sk": pa.array(k, pa.int64()),
+        "ib_lower_bound": pa.array((k - 1) * 10000, pa.int32()),
+        "ib_upper_bound": pa.array(k * 10000, pa.int32()),
+    }
+
+
+def gen_customer(rng):
+    n = N_CUSTOMER
+    bc = np.where(rng.random(n) < 0.75, 0, rng.integers(0, len(COUNTRIES_UC), n))
+    d0, d1 = _sk(FACT_LO), _sk(FACT_HI)
+    first_sales = rng.integers(d0, d1, n)
+    return {
+        "c_customer_sk": pa.array(np.arange(1, n + 1), pa.int64()),
+        "c_customer_id": pa.array(_strings("AAAAAAAA", n)),
+        "c_current_cdemo_sk": pa.array(rng.integers(1, 1961, n), pa.int64()),
+        "c_current_hdemo_sk": pa.array(rng.integers(1, 7201, n), pa.int64()),
+        "c_current_addr_sk": pa.array(rng.integers(1, N_ADDRESS + 1, n), pa.int64()),
+        "c_first_sales_date_sk": pa.array(first_sales, pa.int64()),
+        "c_first_shipto_date_sk": pa.array(first_sales + rng.integers(1, 30, n), pa.int64()),
+        "c_last_review_date_sk": pa.array(first_sales + rng.integers(30, 400, n), pa.int64()),
+        "c_salutation": pa.array(
+            [["Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir"][i] for i in rng.integers(0, 6, n)]
+        ),
+        "c_first_name": pa.array([FIRST_NAMES[i] for i in rng.integers(0, len(FIRST_NAMES), n)]),
+        "c_last_name": pa.array([LAST_NAMES[i] for i in rng.integers(0, len(LAST_NAMES), n)]),
+        "c_preferred_cust_flag": pa.array(np.where(rng.random(n) < 0.5, "Y", "N").tolist()),
+        "c_birth_day": pa.array(rng.integers(1, 29, n), pa.int32()),
+        "c_birth_month": pa.array(rng.integers(1, 13, n), pa.int32()),
+        "c_birth_year": pa.array(rng.integers(1924, 1993, n), pa.int32()),
+        "c_birth_country": pa.array([COUNTRIES_UC[i] for i in bc]),
+        "c_login": pa.array([f"user{i}" for i in range(1, n + 1)]),
+        "c_email_address": pa.array([f"user{i}@example.com" for i in range(1, n + 1)]),
+    }
+
+
+def _line_counts(rng, n_groups: int, big_frac: float = 0.04):
+    """1-8 lines per group, with a planted tail of 15-22-line groups so the
+    q34/q73 HAVING count BETWEEN 15 AND 20 buckets are populated."""
+    counts = rng.integers(1, 9, n_groups)
+    big = rng.random(n_groups) < big_frac
+    counts[big] = rng.integers(15, 23, int(big.sum()))
+    return counts
+
+
+def _nullable(rng, arr, p):
+    return pa.array(arr, pa.int64(), mask=rng.random(len(arr)) < p)
+
+
+def _take_int(parent: pa.Array, idx) -> pa.Array:
+    """Select parent[idx] keeping nulls (parent may be a nullable int column)."""
+    vals = parent.to_numpy(zero_copy_only=False).astype("float64")[idx]
+    mask = np.isnan(vals)
+    return pa.array(np.where(mask, 0, vals).astype("int64"), pa.int64(), mask=mask)
+
+
+def gen_store_sales_and_returns(rng):
+    counts = _line_counts(rng, N_STORE_TICKETS)
+    n = int(counts.sum())
+    d0, d1 = _sk(FACT_LO), _sk(FACT_HI)
+    t_date = rng.integers(d0, d1, N_STORE_TICKETS)
+    t_time = rng.integers(8 * 3600, 22 * 3600, N_STORE_TICKETS)
+    t_cust = rng.integers(1, N_CUSTOMER + 1, N_STORE_TICKETS)
+    t_store = rng.integers(1, N_STORE + 1, N_STORE_TICKETS)
+    t_hdemo = rng.integers(1, 7201, N_STORE_TICKETS)
+    t_cdemo = rng.integers(1, 1961, N_STORE_TICKETS)
+    t_addr = rng.integers(1, N_ADDRESS + 1, N_STORE_TICKETS)
+
+    rep = np.repeat
+    date_sk = rep(t_date, counts)
+    qty = rng.integers(1, 101, n)
+    wholesale = dyadic(rng, 1.0, 100.0, n)
+    list_price = dyadic(rng, 1.0, 200.0, n)
+    frac = rng.integers(8, 65, n) / 64.0  # sales price = list * [1/8, 1) dyadic
+    sales_price = list_price * frac
+    coupon = np.where(rng.random(n) < 0.7, 0.0, dyadic(rng, 0.0, 10000.0, n))
+    tax_rate = rng.integers(0, 12, n) / 128.0
+    ext_sales = qty * sales_price
+    ext_tax = ext_sales * tax_rate
+    net_paid = ext_sales - coupon
+    ticket = rep(np.arange(1, N_STORE_TICKETS + 1), counts)
+    cols = {
+        "ss_sold_date_sk": _nullable(rng, date_sk, 0.01),
+        "ss_sold_time_sk": _nullable(rng, rep(t_time, counts), 0.01),
+        "ss_item_sk": pa.array(rng.integers(1, N_ITEM + 1, n), pa.int64()),
+        "ss_customer_sk": _nullable(rng, rep(t_cust, counts), 0.02),
+        "ss_cdemo_sk": _nullable(rng, rep(t_cdemo, counts), 0.03),
+        "ss_hdemo_sk": _nullable(rng, rep(t_hdemo, counts), 0.03),
+        "ss_addr_sk": _nullable(rng, rep(t_addr, counts), 0.05),
+        "ss_store_sk": _nullable(rng, rep(t_store, counts), 0.02),
+        "ss_promo_sk": _nullable(rng, rng.integers(1, N_PROMO + 1, n), 0.10),
+        "ss_ticket_number": pa.array(ticket, pa.int64()),
+        "ss_quantity": pa.array(qty, pa.int32()),
+        "ss_wholesale_cost": pa.array(wholesale, pa.float64()),
+        "ss_list_price": pa.array(list_price, pa.float64()),
+        "ss_sales_price": pa.array(sales_price, pa.float64()),
+        "ss_ext_discount_amt": pa.array(qty * (list_price - sales_price), pa.float64()),
+        "ss_ext_sales_price": pa.array(ext_sales, pa.float64()),
+        "ss_ext_wholesale_cost": pa.array(qty * wholesale, pa.float64()),
+        "ss_ext_list_price": pa.array(qty * list_price, pa.float64()),
+        "ss_ext_tax": pa.array(ext_tax, pa.float64()),
+        "ss_coupon_amt": pa.array(coupon, pa.float64()),
+        "ss_net_paid": pa.array(net_paid, pa.float64()),
+        "ss_net_paid_inc_tax": pa.array(net_paid + ext_tax, pa.float64()),
+        "ss_net_profit": pa.array(net_paid - qty * wholesale, pa.float64()),
+    }
+    state = (date_sk, qty, sales_price, wholesale, rep(t_cust, counts),
+             rep(t_store, counts), rep(t_cdemo, counts), ticket)
+    return cols, state
+
+
+def gen_store_returns(rng, ss):
+    date_sk, qty, sales_price, wholesale, cust, store, cdemo, ticket = ss
+    n = len(qty)
+    idx = np.flatnonzero(rng.random(n) < 0.08)
+    m = len(idx)
+    rqty = np.minimum(qty[idx], rng.integers(1, 101, m))
+    amt = rqty * sales_price[idx]
+    fee = dyadic(rng, 0.25, 100.0, m)
+    refund_frac = rng.integers(0, 5, m) / 4.0  # 0, .25, .5, .75, 1.0
+    refunded = amt * refund_frac
+    same_cust = rng.random(m) < 0.9
+    ret_cust = np.where(same_cust, cust[idx], rng.integers(1, N_CUSTOMER + 1, m))
+    tax_rate = rng.integers(0, 12, m) / 128.0
+    return {
+        "sr_returned_date_sk": _nullable(rng, date_sk[idx] + rng.integers(1, 91, m), 0.02),
+        "sr_return_time_sk": pa.array(rng.integers(8 * 3600, 22 * 3600, m), pa.int64()),
+        "sr_item_sk": pa.array(np.zeros(m), pa.int64()),  # patched below
+        "sr_customer_sk": _nullable(rng, ret_cust, 0.02),
+        "sr_cdemo_sk": _nullable(rng, cdemo[idx], 0.03),
+        "sr_store_sk": _nullable(rng, store[idx], 0.02),
+        "sr_reason_sk": pa.array(rng.integers(1, 36, m), pa.int64()),
+        "sr_ticket_number": pa.array(ticket[idx], pa.int64()),
+        "sr_return_quantity": pa.array(rqty, pa.int32()),
+        "sr_return_amt": pa.array(amt, pa.float64()),
+        "sr_return_tax": pa.array(amt * tax_rate, pa.float64()),
+        "sr_return_amt_inc_tax": pa.array(amt * (1 + tax_rate), pa.float64()),
+        "sr_fee": pa.array(fee, pa.float64()),
+        "sr_refunded_cash": pa.array(refunded, pa.float64()),
+        "sr_reversed_charge": pa.array((amt - refunded) * 0.5, pa.float64()),
+        "sr_store_credit": pa.array((amt - refunded) * 0.5, pa.float64()),
+        "sr_net_loss": pa.array(fee + rqty * wholesale[idx] * 0.5, pa.float64()),
+    }, idx
+
+
+def _gen_order_fact(rng, n_orders, prefix, extra):
+    """Shared shape for catalog_sales / web_sales: multi-line orders, bill &
+    ship sides, ship date = sold + 1..120, per-line warehouse (q95 needs
+    same-order lines in different warehouses)."""
+    counts = _line_counts(rng, n_orders, big_frac=0.02)
+    n = int(counts.sum())
+    d0, d1 = _sk(FACT_LO), _sk(FACT_HI)
+    o_date = rng.integers(d0, d1, n_orders)
+    o_bill = rng.integers(1, N_CUSTOMER + 1, n_orders)
+    same = rng.random(n_orders) < 0.9
+    o_ship_cust = np.where(same, o_bill, rng.integers(1, N_CUSTOMER + 1, n_orders))
+    o_bill_cdemo = rng.integers(1, 1961, n_orders)
+    o_bill_hdemo = rng.integers(1, 7201, n_orders)
+    o_bill_addr = rng.integers(1, N_ADDRESS + 1, n_orders)
+    o_ship_addr = np.where(same, o_bill_addr, rng.integers(1, N_ADDRESS + 1, n_orders))
+
+    rep = np.repeat
+    date_sk = rep(o_date, counts)
+    ship_date = date_sk + rng.integers(1, 121, n)
+    qty = rng.integers(1, 101, n)
+    wholesale = dyadic(rng, 1.0, 100.0, n)
+    list_price = dyadic(rng, 1.0, 300.0, n)
+    frac = rng.integers(8, 65, n) / 64.0
+    sales_price = list_price * frac
+    coupon = np.where(rng.random(n) < 0.75, 0.0, dyadic(rng, 0.0, 8000.0, n))
+    tax_rate = rng.integers(0, 12, n) / 128.0
+    ext_sales = qty * sales_price
+    ext_tax = ext_sales * tax_rate
+    net_paid = ext_sales - coupon
+    cols = {
+        f"{prefix}_sold_date_sk": _nullable(rng, date_sk, 0.01),
+        f"{prefix}_sold_time_sk": _nullable(rng, rng.integers(0, 86400, n), 0.01),
+        f"{prefix}_ship_date_sk": _nullable(rng, ship_date, 0.01),
+        f"{prefix}_item_sk": pa.array(rng.integers(1, N_ITEM + 1, n), pa.int64()),
+        f"{prefix}_order_number": pa.array(rep(np.arange(1, n_orders + 1), counts), pa.int64()),
+        f"{prefix}_quantity": pa.array(qty, pa.int32()),
+        f"{prefix}_wholesale_cost": pa.array(wholesale, pa.float64()),
+        f"{prefix}_list_price": pa.array(list_price, pa.float64()),
+        f"{prefix}_sales_price": pa.array(sales_price, pa.float64()),
+        f"{prefix}_ext_discount_amt": pa.array(qty * (list_price - sales_price), pa.float64()),
+        f"{prefix}_ext_sales_price": pa.array(ext_sales, pa.float64()),
+        f"{prefix}_ext_wholesale_cost": pa.array(qty * wholesale, pa.float64()),
+        f"{prefix}_ext_list_price": pa.array(qty * list_price, pa.float64()),
+        f"{prefix}_ext_tax": pa.array(ext_tax, pa.float64()),
+        f"{prefix}_coupon_amt": pa.array(coupon, pa.float64()),
+        f"{prefix}_ext_ship_cost": pa.array(dyadic(rng, 0.25, 200.0, n), pa.float64()),
+        f"{prefix}_net_paid": pa.array(net_paid, pa.float64()),
+        f"{prefix}_net_paid_inc_tax": pa.array(net_paid + ext_tax, pa.float64()),
+        f"{prefix}_net_profit": pa.array(net_paid - qty * wholesale, pa.float64()),
+        f"{prefix}_warehouse_sk": _nullable(rng, rng.integers(1, N_WAREHOUSE + 1, n), 0.01),
+        f"{prefix}_promo_sk": _nullable(rng, rng.integers(1, N_PROMO + 1, n), 0.10),
+    }
+    per_order = {
+        "bill_customer": rep(o_bill, counts),
+        "ship_customer": rep(o_ship_cust, counts),
+        "bill_cdemo": rep(o_bill_cdemo, counts),
+        "bill_hdemo": rep(o_bill_hdemo, counts),
+        "bill_addr": rep(o_bill_addr, counts),
+        "ship_addr": rep(o_ship_addr, counts),
+    }
+    extra(cols, per_order, n, rng)
+    state = (date_sk, qty, sales_price, wholesale,
+             cols[f"{prefix}_order_number"].to_numpy(), per_order)
+    return cols, state
+
+
+def gen_catalog_sales(rng):
+    def extra(cols, per, n, rng):
+        cols["cs_bill_customer_sk"] = _nullable(rng, per["bill_customer"], 0.01)
+        cols["cs_bill_cdemo_sk"] = _nullable(rng, per["bill_cdemo"], 0.02)
+        cols["cs_bill_hdemo_sk"] = _nullable(rng, per["bill_hdemo"], 0.02)
+        cols["cs_bill_addr_sk"] = _nullable(rng, per["bill_addr"], 0.02)
+        cols["cs_ship_customer_sk"] = _nullable(rng, per["ship_customer"], 0.01)
+        cols["cs_ship_cdemo_sk"] = _nullable(rng, per["bill_cdemo"], 0.02)
+        cols["cs_ship_hdemo_sk"] = _nullable(rng, per["bill_hdemo"], 0.02)
+        cols["cs_ship_addr_sk"] = _nullable(rng, per["ship_addr"], 0.02)
+        cols["cs_call_center_sk"] = _nullable(rng, rng.integers(1, 5, n), 0.02)
+        cols["cs_catalog_page_sk"] = _nullable(rng, rng.integers(1, 201, n), 0.02)
+        cols["cs_ship_mode_sk"] = _nullable(rng, rng.integers(1, 21, n), 0.02)
+    return _gen_order_fact(rng, N_CATALOG_ORDERS, "cs", extra)
+
+
+def gen_web_sales(rng):
+    def extra(cols, per, n, rng):
+        cols["ws_bill_customer_sk"] = _nullable(rng, per["bill_customer"], 0.01)
+        cols["ws_bill_cdemo_sk"] = _nullable(rng, per["bill_cdemo"], 0.02)
+        cols["ws_bill_hdemo_sk"] = _nullable(rng, per["bill_hdemo"], 0.02)
+        cols["ws_bill_addr_sk"] = _nullable(rng, per["bill_addr"], 0.02)
+        cols["ws_ship_customer_sk"] = _nullable(rng, per["ship_customer"], 0.01)
+        cols["ws_ship_cdemo_sk"] = _nullable(rng, per["bill_cdemo"], 0.02)
+        cols["ws_ship_hdemo_sk"] = _nullable(rng, per["bill_hdemo"], 0.02)
+        cols["ws_ship_addr_sk"] = _nullable(rng, per["ship_addr"], 0.02)
+        cols["ws_web_page_sk"] = _nullable(rng, rng.integers(1, 61, n), 0.02)
+        cols["ws_web_site_sk"] = _nullable(rng, rng.integers(1, 11, n), 0.02)
+        cols["ws_ship_mode_sk"] = _nullable(rng, rng.integers(1, 21, n), 0.02)
+    return _gen_order_fact(rng, N_WEB_ORDERS, "ws", extra)
+
+
+def _gen_channel_returns(rng, state, prefix, n_addr_extra):
+    date_sk, qty, sales_price, wholesale, order_number, per = state
+    n = len(qty)
+    idx = np.flatnonzero(rng.random(n) < 0.08)
+    m = len(idx)
+    rqty = np.minimum(qty[idx], rng.integers(1, 101, m))
+    amt = rqty * sales_price[idx]
+    tax_rate = rng.integers(0, 12, m) / 128.0
+    refund_frac = rng.integers(0, 5, m) / 4.0
+    refunded = amt * refund_frac
+    fee = dyadic(rng, 0.25, 100.0, m)
+    ret_cust = np.where(
+        rng.random(m) < 0.9, per["bill_customer"][idx], rng.integers(1, N_CUSTOMER + 1, m)
+    )
+    cols = {
+        f"{prefix}_returned_date_sk": _nullable(rng, date_sk[idx] + rng.integers(1, 91, m), 0.02),
+        f"{prefix}_item_sk": pa.array(np.zeros(m), pa.int64()),  # patched by caller
+        f"{prefix}_order_number": pa.array(order_number[idx], pa.int64()),
+        f"{prefix}_return_quantity": pa.array(rqty, pa.int32()),
+        f"{prefix}_return_amt": pa.array(amt, pa.float64()),
+        f"{prefix}_return_tax": pa.array(amt * tax_rate, pa.float64()),
+        f"{prefix}_return_amt_inc_tax": pa.array(amt * (1 + tax_rate), pa.float64()),
+        f"{prefix}_fee": pa.array(fee, pa.float64()),
+        f"{prefix}_refunded_cash": pa.array(refunded, pa.float64()),
+        f"{prefix}_reversed_charge": pa.array((amt - refunded) * 0.5, pa.float64()),
+        f"{prefix}_net_loss": pa.array(fee + rqty * wholesale[idx] * 0.5, pa.float64()),
+        f"{prefix}_returning_customer_sk": _nullable(rng, ret_cust, 0.02),
+        f"{prefix}_returning_addr_sk": _nullable(rng, per["ship_addr"][idx], 0.02),
+    }
+    return cols, idx
+
+
+def gen_reason():
+    k = np.arange(1, 36)
+    return {
+        "r_reason_sk": pa.array(k, pa.int64()),
+        "r_reason_id": pa.array([f"AAAAAAAA{i:08d}" for i in k]),
+        "r_reason_desc": pa.array([f"reason {i}" for i in k]),
+    }
+
+
+def gen_promotion(rng):
+    n = N_PROMO
+
+    def flags():
+        return pa.array(np.where(rng.random(n) < 0.2, "Y", "N").tolist())
+
+    return {
+        "p_promo_sk": pa.array(np.arange(1, n + 1), pa.int64()),
+        "p_promo_id": pa.array(_strings("AAAAAAAA", n)),
+        "p_promo_name": pa.array([SYLLABLES[i % 8] for i in range(n)]),
+        "p_channel_dmail": flags(),
+        "p_channel_email": flags(),
+        "p_channel_tv": flags(),
+        "p_channel_event": flags(),
+    }
+
+
+def gen_ship_mode():
+    types = ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY"]
+    carriers = ["DHL", "BARIAN", "UPS", "FEDEX", "AIRBORNE", "USPS", "TBS",
+                "ZHOU", "LATVIAN", "ZOUROS", "MSC", "ALLIANCE", "GERMA",
+                "CARGO", "ORIENTAL", "BOXBUNDLES", "GREAT EASTERN", "DIAMOND",
+                "RUPEKSA", "HARMSTORF"]
+    k = np.arange(1, 21)
+    return {
+        "sm_ship_mode_sk": pa.array(k, pa.int64()),
+        "sm_ship_mode_id": pa.array([f"AAAAAAAA{i:08d}" for i in k]),
+        "sm_type": pa.array([types[(i - 1) % 5] for i in k]),
+        "sm_code": pa.array([["AIR", "SURFACE", "SEA"][(i - 1) % 3] for i in k]),
+        "sm_carrier": pa.array(carriers),
+    }
+
+
+def gen_warehouse(rng):
+    n = N_WAREHOUSE
+    names = ["Conventional childr", "Important issues liv", "Doors canno",
+             "Bad cards must make", "Rooms cook "]
+    return {
+        "w_warehouse_sk": pa.array(np.arange(1, n + 1), pa.int64()),
+        "w_warehouse_id": pa.array(_strings("AAAAAAAA", n)),
+        "w_warehouse_name": pa.array(names),
+        "w_warehouse_sq_ft": pa.array(rng.integers(50_000, 1_000_000, n), pa.int32()),
+        "w_city": pa.array(["Fairview", "Midway", "Fairview", "Midway", "Fairview"]),
+        "w_county": pa.array(["Williamson County"] * n),
+        "w_state": pa.array(["TN", "TN", "GA", "SD", "TN"]),
+        "w_country": pa.array(["United States"] * n),
+    }
+
+
+def gen_web_site(rng):
+    n = 10
+    return {
+        "web_site_sk": pa.array(np.arange(1, n + 1), pa.int64()),
+        "web_site_id": pa.array(_strings("AAAAAAAA", n)),
+        "web_name": pa.array([f"site_{i}" for i in range(n)]),
+        "web_company_name": pa.array(["pri", "pri", "ought", "able", "ese",
+                                      "anti", "cally", "pri", "ation", "eing"]),
+    }
+
+
+def gen_web_page(rng):
+    n = 60
+    return {
+        "wp_web_page_sk": pa.array(np.arange(1, n + 1), pa.int64()),
+        "wp_web_page_id": pa.array(_strings("AAAAAAAA", n)),
+        "wp_char_count": pa.array(rng.integers(4000, 6500, n), pa.int32()),
+    }
+
+
+def gen_call_center(rng):
+    names = ["NY Metro", "Mid Atlantic", "North Midwest", "California"]
+    mgrs = ["Bob Belcher", "Felipe Perkins", "Mark Hightower", "Larry Mccray"]
+    k = np.arange(1, 5)
+    return {
+        "cc_call_center_sk": pa.array(k, pa.int64()),
+        "cc_call_center_id": pa.array([f"AAAAAAAA{i:08d}" for i in k]),
+        "cc_name": pa.array(names),
+        "cc_manager": pa.array(mgrs),
+        "cc_county": pa.array(["Williamson County"] * 4),
+    }
+
+
+def gen_catalog_page(rng):
+    n = 200
+    return {
+        "cp_catalog_page_sk": pa.array(np.arange(1, n + 1), pa.int64()),
+        "cp_catalog_page_id": pa.array(_strings("AAAAAAAA", n)),
+    }
+
+
+def gen_inventory(rng):
+    # Weekly snapshots (Mondays) x every 8th item x all warehouses.
+    mondays = []
+    d = FACT_LO
+    while d.weekday() != 0:
+        d += timedelta(days=1)
+    while d <= FACT_HI:
+        mondays.append(_sk(d))
+        d += timedelta(days=7)
+    items = np.arange(1, N_ITEM + 1, 8)
+    wh = np.arange(1, N_WAREHOUSE + 1)
+    grid = np.array(np.meshgrid(mondays, items, wh, indexing="ij")).reshape(3, -1)
+    n = grid.shape[1]
+    return {
+        "inv_date_sk": pa.array(grid[0], pa.int64()),
+        "inv_item_sk": pa.array(grid[1], pa.int64()),
+        "inv_warehouse_sk": pa.array(grid[2], pa.int64()),
+        "inv_quantity_on_hand": _nullable(rng, rng.integers(0, 1001, n), 0.02),
+    }
+
+
+def generate_tpcds(out_dir: str = TPCDS_DIR, force: bool = False) -> list[str]:
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_complete")
+    if os.path.exists(marker) and not force:
+        return []
+    rng = np.random.default_rng(SEED)
+    zips = _zip_pool()
+    written = []
+
+    def write(name, cols):
+        t = pa.table(cols)
+        pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
+        written.append(name)
+
+    write("date_dim", gen_date_dim(rng))
+    write("time_dim", gen_time_dim(rng))
+    item = gen_item(rng)
+    write("item", item)
+    write("store", gen_store(rng, zips))
+    write("customer_address", gen_customer_address(rng, zips))
+    write("customer_demographics", gen_customer_demographics(rng))
+    write("household_demographics", gen_household_demographics(rng))
+    write("income_band", gen_income_band(rng))
+    write("customer", gen_customer(rng))
+    write("reason", gen_reason())
+    write("promotion", gen_promotion(rng))
+    write("ship_mode", gen_ship_mode())
+    write("warehouse", gen_warehouse(rng))
+    write("web_site", gen_web_site(rng))
+    write("web_page", gen_web_page(rng))
+    write("call_center", gen_call_center(rng))
+    write("catalog_page", gen_catalog_page(rng))
+
+    ss_cols, ss_state = gen_store_sales_and_returns(rng)
+    write("store_sales", ss_cols)
+    sr_cols, sr_idx = gen_store_returns(rng, ss_state)
+    # returns reference their sale's item (sr<->ss join on item+ticket, q78)
+    sr_cols["sr_item_sk"] = pa.array(ss_cols["ss_item_sk"].to_numpy()[sr_idx], pa.int64())
+    write("store_returns", sr_cols)
+
+    cs_cols, cs_state = gen_catalog_sales(rng)
+    write("catalog_sales", cs_cols)
+    cr_cols, cr_idx = _gen_channel_returns(rng, cs_state, "cr", 0)
+    cr_cols["cr_item_sk"] = pa.array(cs_cols["cs_item_sk"].to_numpy()[cr_idx], pa.int64())
+    cr_cols["cr_call_center_sk"] = _take_int(cs_cols["cs_call_center_sk"], cr_idx)
+    cr_cols["cr_catalog_page_sk"] = _take_int(cs_cols["cs_catalog_page_sk"], cr_idx)
+    cr_cols["cr_returning_cdemo_sk"] = pa.array(cs_state[5]["bill_cdemo"][cr_idx], pa.int64())
+    cr_cols["cr_returning_hdemo_sk"] = pa.array(cs_state[5]["bill_hdemo"][cr_idx], pa.int64())
+    cr_cols["cr_refunded_customer_sk"] = pa.array(cs_state[5]["bill_customer"][cr_idx], pa.int64())
+    cr_cols["cr_refunded_cdemo_sk"] = pa.array(cs_state[5]["bill_cdemo"][cr_idx], pa.int64())
+    cr_cols["cr_refunded_addr_sk"] = pa.array(cs_state[5]["bill_addr"][cr_idx], pa.int64())
+    cr_cols["cr_reason_sk"] = pa.array(rng.integers(1, 36, len(cr_idx)), pa.int64())
+    cr_cols["cr_store_credit"] = cr_cols["cr_reversed_charge"]
+    cr_cols["cr_return_amount"] = cr_cols["cr_return_amt"]
+    write("catalog_returns", cr_cols)
+
+    ws_cols, ws_state = gen_web_sales(rng)
+    write("web_sales", ws_cols)
+    wr_cols, wr_idx = _gen_channel_returns(rng, ws_state, "wr", 0)
+    wr_cols["wr_item_sk"] = pa.array(ws_cols["ws_item_sk"].to_numpy()[wr_idx], pa.int64())
+    wr_cols["wr_web_page_sk"] = _take_int(ws_cols["ws_web_page_sk"], wr_idx)
+    wr_cols["wr_refunded_cdemo_sk"] = pa.array(ws_state[5]["bill_cdemo"][wr_idx], pa.int64())
+    wr_cols["wr_returning_cdemo_sk"] = pa.array(ws_state[5]["bill_cdemo"][wr_idx], pa.int64())
+    wr_cols["wr_refunded_addr_sk"] = pa.array(ws_state[5]["bill_addr"][wr_idx], pa.int64())
+    wr_cols["wr_reason_sk"] = pa.array(rng.integers(1, 36, len(wr_idx)), pa.int64())
+    write("web_returns", wr_cols)
+
+    write("inventory", gen_inventory(rng))
+    open(marker, "w").close()
+    return written
+
+
+# ---------------------------------------------------------------------------
+# TPC-H (unprefixed columns; verbatim-corpus naming, FIXTURES.md §1)
+# ---------------------------------------------------------------------------
+
+TPCH_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+TPCH_NATIONS = [  # (name, regionkey) — the 25 spec nations
+    ("ALGERIA", 0), ("ARGENTINA", 1), ("BRAZIL", 1), ("CANADA", 1), ("EGYPT", 4),
+    ("ETHIOPIA", 0), ("FRANCE", 3), ("GERMANY", 3), ("INDIA", 2), ("INDONESIA", 2),
+    ("IRAN", 4), ("IRAQ", 4), ("JAPAN", 2), ("JORDAN", 4), ("KENYA", 0),
+    ("MOROCCO", 0), ("MOZAMBIQUE", 0), ("PERU", 1), ("CHINA", 2), ("ROMANIA", 3),
+    ("SAUDI ARABIA", 4), ("VIETNAM", 2), ("RUSSIA", 3), ("UNITED KINGDOM", 3),
+    ("UNITED STATES", 1),
+]
+P_TYPE_1 = ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"]
+P_TYPE_2 = ["ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED"]
+P_TYPE_3 = ["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"]
+P_CONTAINER_1 = ["SM", "MED", "LG", "JUMBO", "WRAP"]
+P_CONTAINER_2 = ["CASE", "BOX", "PACK", "PKG", "BAG", "JAR", "DRUM"]
+P_NAME_WORDS = [
+    "forest", "green", "almond", "antique", "aquamarine", "azure", "beige",
+    "bisque", "black", "blanched", "blue", "blush", "brown", "burlywood",
+    "chartreuse", "chiffon", "chocolate", "coral", "cornflower", "cream",
+    "cyan", "dark", "deep", "dim", "dodger", "drab", "firebrick", "floral",
+    "frosted", "gainsboro", "ghost", "goldenrod", "honeydew", "hot", "indian",
+    "ivory", "khaki", "lace", "lavender", "lawn", "lemon", "light", "lime",
+    "linen", "magenta", "maroon", "medium", "metallic", "midnight", "mint",
+]
+SEGMENTS = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+INSTRUCTS = ["DELIVER IN PERSON", "COLLECT COD", "NONE", "TAKE BACK RETURN"]
+SHIPMODES = ["AIR", "AIR REG", "MAIL", "SHIP", "TRUCK", "RAIL", "FOB"]
+
+NH_PART = 400
+NH_SUPP = 100
+NH_CUST = 1500
+NH_ORDERS = 15_000
+
+COMMENT_WORDS = [
+    "carefully", "quickly", "furiously", "final", "ironic", "pending",
+    "regular", "express", "bold", "silent", "even", "special", "unusual",
+    "requests", "deposits", "packages", "accounts", "instructions", "theodolites",
+    "dependencies", "platelets", "foxes", "pinto", "beans", "excuses",
+]
+
+
+def _comments(rng, n, plant: dict[str, float] | None = None):
+    w = np.array(COMMENT_WORDS)
+    picks = rng.integers(0, len(w), (n, 5))
+    out = [" ".join(w[row]) for row in picks]
+    for phrase, frac in (plant or {}).items():
+        hits = np.flatnonzero(rng.random(n) < frac)
+        for i in hits:
+            out[i] = f"{out[i][:20]} {phrase} {out[i][20:40]}"
+    return out
+
+
+def _phone(rng, nationkeys):
+    a = rng.integers(100, 999, len(nationkeys))
+    b = rng.integers(100, 999, len(nationkeys))
+    c = rng.integers(1000, 9999, len(nationkeys))
+    return [f"{10 + nk}-{x}-{y}-{z}" for nk, x, y, z in zip(nationkeys, a, b, c)]
+
+
+def generate_tpch(out_dir: str = TPCH_DIR, force: bool = False) -> list[str]:
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_complete")
+    if os.path.exists(marker) and not force:
+        return []
+    rng = np.random.default_rng(SEED + 1)
+    written = []
+
+    def write(name, cols):
+        pq.write_table(pa.table(cols), os.path.join(out_dir, f"{name}.parquet"))
+        written.append(name)
+
+    write("region", {
+        "regionkey": pa.array(np.arange(5), pa.int64()),
+        "name": pa.array(TPCH_REGIONS),
+        "comment": pa.array(_comments(rng, 5)),
+    })
+    write("nation", {
+        "nationkey": pa.array(np.arange(25), pa.int64()),
+        "name": pa.array([n for n, _ in TPCH_NATIONS]),
+        "regionkey": pa.array([r for _, r in TPCH_NATIONS], pa.int64()),
+        "comment": pa.array(_comments(rng, 25)),
+    })
+
+    s_nation = rng.integers(0, 25, NH_SUPP)
+    write("supplier", {
+        "suppkey": pa.array(np.arange(1, NH_SUPP + 1), pa.int64()),
+        "name": pa.array([f"Supplier#{i:09d}" for i in range(1, NH_SUPP + 1)]),
+        "address": pa.array([f"{i} {STREETS[i % 8]} {STREET_TYPES[i % 8]}" for i in range(NH_SUPP)]),
+        "nationkey": pa.array(s_nation, pa.int64()),
+        "phone": pa.array(_phone(rng, s_nation)),
+        "acctbal": pa.array(dyadic(rng, -999.0, 10000.0, NH_SUPP), pa.float64()),
+        "comment": pa.array(_comments(rng, NH_SUPP, {"Customer Complaints": 0.06})),
+    })
+
+    c_nation = rng.integers(0, 25, NH_CUST)
+    write("customer", {
+        "custkey": pa.array(np.arange(1, NH_CUST + 1), pa.int64()),
+        "name": pa.array([f"Customer#{i:09d}" for i in range(1, NH_CUST + 1)]),
+        "address": pa.array([f"{i} {STREETS[i % 8]} {STREET_TYPES[i % 8]}" for i in range(NH_CUST)]),
+        "nationkey": pa.array(c_nation, pa.int64()),
+        "phone": pa.array(_phone(rng, c_nation)),
+        "acctbal": pa.array(dyadic(rng, -999.0, 10000.0, NH_CUST), pa.float64()),
+        "mktsegment": pa.array([SEGMENTS[i] for i in rng.integers(0, 5, NH_CUST)]),
+        "comment": pa.array(_comments(rng, NH_CUST, {"special packages requests": 0.08})),
+    })
+
+    t1 = rng.integers(0, 6, NH_PART)
+    t2 = rng.integers(0, 5, NH_PART)
+    t3 = rng.integers(0, 5, NH_PART)
+    w1 = rng.integers(0, len(P_NAME_WORDS), NH_PART)
+    w2 = (w1 + 1 + rng.integers(0, len(P_NAME_WORDS) - 1, NH_PART)) % len(P_NAME_WORDS)
+    retail = dyadic(rng, 900.0, 2000.0, NH_PART)
+    write("part", {
+        "partkey": pa.array(np.arange(1, NH_PART + 1), pa.int64()),
+        "name": pa.array([f"{P_NAME_WORDS[a]} {P_NAME_WORDS[b]}" for a, b in zip(w1, w2)]),
+        "mfgr": pa.array([f"Manufacturer#{1 + i % 5}" for i in rng.integers(0, 5, NH_PART)]),
+        "brand": pa.array([f"Brand#{(1 + i % 5)}{1 + j % 5}" for i, j in
+                           zip(rng.integers(0, 5, NH_PART), rng.integers(0, 5, NH_PART))]),
+        "type": pa.array([f"{P_TYPE_1[a]} {P_TYPE_2[b]} {P_TYPE_3[c]}" for a, b, c in zip(t1, t2, t3)]),
+        "size": pa.array(rng.integers(1, 51, NH_PART), pa.int32()),
+        "container": pa.array([f"{P_CONTAINER_1[a]} {P_CONTAINER_2[b]}" for a, b in
+                               zip(rng.integers(0, 5, NH_PART), rng.integers(0, 7, NH_PART))]),
+        "retailprice": pa.array(retail, pa.float64()),
+        "comment": pa.array(_comments(rng, NH_PART)),
+    })
+
+    # partsupp: 4 suppliers per part, distinct via stride-25 offsets.
+    ps_part = np.repeat(np.arange(1, NH_PART + 1), 4)
+    ps_supp = ((ps_part - 1 + np.tile(np.arange(4) * 25, NH_PART)) % NH_SUPP) + 1
+    write("partsupp", {
+        "partkey": pa.array(ps_part, pa.int64()),
+        "suppkey": pa.array(ps_supp, pa.int64()),
+        "availqty": pa.array(rng.integers(1, 10000, len(ps_part)), pa.int32()),
+        "supplycost": pa.array(dyadic(rng, 1.0, 1000.0, len(ps_part)), pa.float64()),
+        "comment": pa.array(_comments(rng, len(ps_part))),
+    })
+
+    # orders: only custkeys with custkey % 3 != 0 place orders (spec-style
+    # gap so q22's NOT EXISTS customers exist).
+    o_lo, o_hi = date(1992, 1, 1), date(1998, 8, 2)
+    span = (o_hi - o_lo).days
+    cust_pool = np.array([c for c in range(1, NH_CUST + 1) if c % 3 != 0])
+    o_cust = cust_pool[rng.integers(0, len(cust_pool), NH_ORDERS)]
+    o_date_off = rng.integers(0, span, NH_ORDERS)
+    o_dates = [o_lo + timedelta(days=int(x)) for x in o_date_off]
+    counts = rng.integers(1, 8, NH_ORDERS)
+    n_li = int(counts.sum())
+
+    write("orders", {
+        "orderkey": pa.array(np.arange(1, NH_ORDERS + 1), pa.int64()),
+        "custkey": pa.array(o_cust, pa.int64()),
+        "orderstatus": pa.array(
+            np.array(["F"] * 5 + ["O"] * 4 + ["P"])[rng.integers(0, 10, NH_ORDERS)].tolist()
+        ),
+        "totalprice": pa.array(dyadic(rng, 1000.0, 400000.0, NH_ORDERS), pa.float64()),
+        "orderdate": pa.array(o_dates, pa.date32()),
+        "orderpriority": pa.array([PRIORITIES[i] for i in rng.integers(0, 5, NH_ORDERS)]),
+        "clerk": pa.array([f"Clerk#{i:09d}" for i in rng.integers(1, 1000, NH_ORDERS)]),
+        "shippriority": pa.array(np.zeros(NH_ORDERS), pa.int32()),
+        "comment": pa.array(_comments(rng, NH_ORDERS, {"special handling requests": 0.05})),
+    })
+
+    li_order = np.repeat(np.arange(1, NH_ORDERS + 1), counts)
+    li_odate = np.repeat(o_date_off, counts)
+    li_part = rng.integers(1, NH_PART + 1, n_li)
+    li_supp = ((li_part - 1 + rng.integers(0, 4, n_li) * 25) % NH_SUPP) + 1
+    linenumber = np.concatenate([np.arange(1, c + 1) for c in counts])
+    ship_off = li_odate + rng.integers(1, 122, n_li)
+    commit_off = li_odate + rng.integers(30, 91, n_li)
+    receipt_off = ship_off + rng.integers(1, 31, n_li)
+    qty = rng.integers(1, 51, n_li).astype("float64")
+    base = dyadic(rng, 900.0, 2000.0, n_li)
+    extended = qty * base
+    cutoff = (date(1995, 6, 17) - o_lo).days
+    rflag_old = np.where(rng.random(n_li) < 0.5, "R", "A")
+    write("lineitem", {
+        "orderkey": pa.array(li_order, pa.int64()),
+        "partkey": pa.array(li_part, pa.int64()),
+        "suppkey": pa.array(li_supp, pa.int64()),
+        "linenumber": pa.array(linenumber, pa.int32()),
+        "quantity": pa.array(qty, pa.float64()),
+        "extendedprice": pa.array(extended, pa.float64()),
+        "discount": pa.array(rng.integers(0, 8, n_li) / 64.0, pa.float64()),
+        "tax": pa.array(rng.integers(0, 9, n_li) / 128.0, pa.float64()),
+        "returnflag": pa.array(np.where(receipt_off <= cutoff, rflag_old, "N").tolist()),
+        "linestatus": pa.array(np.where(ship_off > cutoff, "O", "F").tolist()),
+        "shipdate": pa.array([o_lo + timedelta(days=int(x)) for x in ship_off], pa.date32()),
+        "commitdate": pa.array([o_lo + timedelta(days=int(x)) for x in commit_off], pa.date32()),
+        "receiptdate": pa.array([o_lo + timedelta(days=int(x)) for x in receipt_off], pa.date32()),
+        "shipinstruct": pa.array([INSTRUCTS[i] for i in rng.integers(0, 4, n_li)]),
+        "shipmode": pa.array([SHIPMODES[i] for i in rng.integers(0, 7, n_li)]),
+        "comment": pa.array(_comments(rng, n_li)),
+    })
+    open(marker, "w").close()
+    return written
+
+
+def generate_all(force: bool = False) -> dict[str, list[str]]:
+    return {
+        "tpcds": generate_tpcds(force=force),
+        "tpch": generate_tpch(force=force),
+    }
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = generate_all(force="--force" in sys.argv)
+    for suite, names in out.items():
+        print(f"{suite}: {'regenerated ' + str(len(names)) + ' tables' if names else 'cached'}")

@@ -67,6 +67,7 @@ def _load_all() -> None:
         return
     from . import (  # noqa: F401
         aggregates,
+        corpus,
         joins,
         pipeline,
         setops,
