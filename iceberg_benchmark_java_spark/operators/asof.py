@@ -1,0 +1,136 @@
+"""As-of join and range (interval) join — scale-safe compositions.
+
+Spark has no native ASOF JOIN (DuckDB does, which gives us a perfect
+oracle) and a naive formulation — theta-join on ``l.key = r.key AND
+l.ts >= r.ts`` plus a per-row max — either plans as a broadcast
+nested-loop or explodes into all (probe, earlier-build) pairs before
+ranking. Both operators here are pure DataFrame compositions with a
+bounded shuffle count, per the brief's custom-operator ladder
+(composition first, Pandas UDF only if semantics demand it — they don't).
+
+``asof_join_backward``: the classic union trick. Tag probe and build rows,
+union them, and run ONE window per key ordered by (ts, tag): a running
+``last(build_payload, ignoreNulls=True)`` carries the most recent build
+row forward onto every probe row. Cost: one shuffle on the key + one sort
+per partition — the same price as a groupBy, regardless of how many build
+rows precede each probe. At 100 TB this is the only formulation that
+doesn't materialize the pair space.
+
+``range_join_bucketed``: point-in-interval joins (`p.v BETWEEN i.lo AND
+i.hi`) plan as BroadcastNestedLoopJoin in Spark when written directly —
+quadratic when the intervals side is large. The standard fix: quantize
+both sides into fixed-width buckets (points to their bucket, intervals
+exploded over every bucket they overlap), equi-join on the bucket, then
+re-apply the exact range predicate as a residual filter. Each point lands
+in exactly one bucket, so no pair dedup is needed. Bucket width trades
+replication (intervals spanning many buckets) against residual
+selectivity; a width near the median interval length keeps the explode
+factor ~2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_backward(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    ts: str,
+    payload_cols: Sequence[str],
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """For each probe row, attach the build row with the largest build.ts
+    <= probe.ts for the same key (backward as-of, inclusive on equal ts —
+    DuckDB `ASOF JOIN ... ON p.ts >= b.ts` semantics). Unmatched probe
+    rows keep NULL payloads (left-join flavor).
+
+    ``payload_cols`` are the build columns carried onto the match; they
+    must not collide with probe column names. Ties inside the build side
+    (same key+ts) must be resolved by the caller beforehand (e.g. a
+    groupBy keeping max id) — as-of over an ambiguous build side is not
+    deterministic in any engine.
+
+    ``tolerance``: optional max lookback as a Column interval/duration —
+    matches older than ``probe.ts - tolerance`` are nulled out (pandas
+    merge_asof semantics).
+    """
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__asof")
+    b = build.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("__side"),
+        payload,
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c)
+          for c in probe.columns if c not in (key, ts)],
+    )
+    p = probe.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(b.schema["__asof"].dataType).alias("__asof"),
+        *[F.col(c) for c in probe.columns if c not in (key, ts)],
+    )
+    # build rows sort before probe rows at equal ts (__side 0 < 1), so an
+    # equal-timestamp build row is visible to the probe row — inclusive >=.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = p.unionByName(b).withColumn(
+        "__match", F.last("__asof", ignorenulls=True).over(w)
+    )
+    out = matched.filter(F.col("__side") == 1)
+    match_col = F.col("__match")
+    if tolerance is not None:
+        # match struct carries no ts by contract? it must: callers include
+        # the build ts in payload_cols to use tolerance.
+        match_col = F.when(
+            F.col(f"__match.{ts}") >= F.col(ts) - tolerance, F.col("__match")
+        )
+    return out.select(
+        key,
+        ts,
+        *[c for c in probe.columns if c not in (key, ts)],
+        *[match_col.getField(c).alias(c) for c in payload_cols],
+    )
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    hi_inclusive: bool = False,
+) -> DataFrame:
+    """Equi-join plan for `points.v in [intervals.lo, intervals.hi)`:
+    bucket-quantize, equi-join on the bucket, residual-filter exactly.
+    Output columns: all point columns + all interval columns. Intervals
+    covering B buckets are replicated B times (the scale dial); each
+    (point, interval) pair appears at most once because a point has
+    exactly one bucket."""
+    w = F.lit(bucket_width)
+    pb = points.withColumn("__bucket", F.floor(F.col(point_col) / w))
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    residual = (F.col(point_col) >= F.col(lo_col)) & (
+        F.col(point_col) <= F.col(hi_col)
+        if hi_inclusive
+        else F.col(point_col) < F.col(hi_col)
+    )
+    return pb.join(ib, "__bucket").filter(residual).drop("__bucket")

@@ -305,3 +305,89 @@ def compound_key_left_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sumsales")
         )
     )
+
+
+# --- as-of join (backward, events) -------------------------------------------
+@query(
+    "join_asof_events",
+    oracle="""
+    WITH build AS (
+      SELECT user_id, ts, MAX(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    probe AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS click_id, p.user_id AS user_id, p.ts AS click_ts,
+           b.purchase_id AS purchase_id, b.ts AS purchase_ts
+    FROM probe p
+    ASOF LEFT JOIN build b ON p.user_id = b.user_id AND p.ts >= b.ts
+    """,
+)
+def asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click matched to the user's most recent
+    purchase at-or-before it (NULL when none). Spark lacks ASOF JOIN;
+    operators.asof.asof_join_backward composes it as union + one running
+    window — a single shuffle on user_id, no pair-space materialization
+    (DuckDB's native ASOF JOIN is the oracle). Build-side (user_id, ts)
+    ties are pre-resolved with MAX(event_id) on both sides, since as-of
+    over an ambiguous build side is nondeterministic in any engine."""
+    from ..operators.asof import asof_join_backward
+
+    e = load_table(spark, sf_dir, "events")
+    probe = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts")
+    )
+    build = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+        .select("user_id", "ts", "purchase_id", F.col("ts").alias("purchase_ts"))
+    )
+    out = asof_join_backward(
+        probe, build, key="user_id", ts="ts",
+        payload_cols=["purchase_id", "purchase_ts"],
+    )
+    return out.select(
+        "click_id", "user_id", F.col("ts").alias("click_ts"),
+        "purchase_id", "purchase_ts",
+    )
+
+
+# --- range (interval containment) join ---------------------------------------
+@query(
+    "join_range_interval",
+    oracle="""
+    WITH bands AS (
+      SELECT n_nationkey AS band_id,
+             CAST(n_nationkey * 400 - 500 AS DOUBLE) AS lo,
+             CAST(n_nationkey * 400 + 800 AS DOUBLE) AS hi
+      FROM nation
+    )
+    SELECT band_id, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+    FROM customer JOIN bands ON c_acctbal >= lo AND c_acctbal < hi
+    GROUP BY band_id
+    """,
+)
+def range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join of customers against overlapping balance
+    bands. Written directly, Spark plans the non-equi predicate as a
+    BroadcastNestedLoopJoin (quadratic off-broadcast);
+    operators.asof.range_join_bucketed turns it into an equi-join on a
+    quantized bucket + exact residual filter — the 100 TB formulation.
+    The oracle is the naive BETWEEN join (same semantics by construction)."""
+    from ..operators.asof import range_join_bucketed
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 400 - 500).cast("double").alias("lo"),
+        (F.col("n_nationkey") * 400 + 800).cast("double").alias("hi"),
+    )
+    joined = range_join_bucketed(
+        c, n, point_col="c_acctbal", lo_col="lo", hi_col="hi", bucket_width=400.0
+    )
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )

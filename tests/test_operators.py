@@ -275,3 +275,94 @@ def test_quantile_buckets_approximate_ntile(spark):
     # no single-partition global sort in the plan (the point vs NTILE)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# --- as-of join / range join (operators.asof) --------------------------------
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Backward as-of equals pandas.merge_asof on a small random frame."""
+    import pandas as pd
+
+    from iceberg_benchmark_java_spark.operators.asof import asof_join_backward
+
+    probe_pd = pd.DataFrame(
+        {"k": [1, 1, 1, 2, 2, 3], "t": [5, 10, 3, 7, 1, 4], "pid": range(6)}
+    )
+    build_pd = pd.DataFrame(
+        {"k": [1, 1, 2, 4], "t": [4, 10, 6, 1], "bid": [100, 101, 102, 103]}
+    )
+    probe = spark.createDataFrame(probe_pd)
+    build = spark.createDataFrame(build_pd.assign(bt=build_pd.t))
+    got = {
+        r.pid: r.bid
+        for r in asof_join_backward(
+            probe, build, key="k", ts="t", payload_cols=["bid", "bt"]
+        ).collect()
+    }
+    exp_df = pd.merge_asof(
+        probe_pd.sort_values("t"),
+        build_pd.sort_values("t"),
+        on="t",
+        by="k",
+        direction="backward",
+    )
+    exp = {int(r.pid): (None if r.bid != r.bid else int(r.bid)) for r in exp_df.itertuples()}
+    assert got == exp
+
+
+def test_asof_join_single_shuffle(spark):
+    from iceberg_benchmark_java_spark.operators.asof import asof_join_backward
+
+    e = load_table(spark, SF_SMOKE, "events")
+    probe = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    build = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("bid"))
+    )
+    out = asof_join_backward(probe, build, key="user_id", ts="ts", payload_cols=["bid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union + one window: exactly one exchange, on the join key
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_equals_naive(spark):
+    from iceberg_benchmark_java_spark.operators.asof import range_join_bucketed
+
+    c = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_acctbal")
+    n = load_table(spark, SF_SMOKE, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 300 - 450).cast("double").alias("lo"),
+        (F.col("n_nationkey") * 300 + 777).cast("double").alias("hi"),
+    )
+    naive = {
+        (r.c_custkey, r.band_id)
+        for r in c.join(
+            n, (F.col("c_acctbal") >= F.col("lo")) & (F.col("c_acctbal") < F.col("hi"))
+        ).collect()
+    }
+    for width in (128.0, 300.0, 1000.0):
+        got = {
+            (r.c_custkey, r.band_id)
+            for r in range_join_bucketed(
+                c, n, "c_acctbal", "lo", "hi", bucket_width=width
+            ).collect()
+        }
+        assert got == naive, f"width={width}"
+
+
+def test_range_join_no_nested_loop(spark):
+    from iceberg_benchmark_java_spark.operators.asof import range_join_bucketed
+
+    c = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_acctbal")
+    n = load_table(spark, SF_SMOKE, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 300.0).alias("lo"),
+        (F.col("n_nationkey") * 300.0 + 500).alias("hi"),
+    )
+    plan = (
+        range_join_bucketed(c, n, "c_acctbal", "lo", "hi", 250.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -61,8 +61,14 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from iceberg_benchmark_java_spark.queries import all_oracles, all_queries
     from iceberg_benchmark_java_spark.session import build_session, local_test_config
@@ -76,6 +82,7 @@ def main() -> int:
 
     queries, oracles = all_queries(), all_oracles()
     n_pass = n_fail = n_noracle = 0
+    records: dict[str, dict] = {}
     for name, builder in sorted(queries.items()):
         if only and name not in only:
             continue
@@ -83,19 +90,41 @@ def main() -> int:
             sdf = builder(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            records[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark error: {e}"[:500],
+            }
             n_fail += 1
             continue
         if name not in oracles:
             print(f"NOOR  {name}: rows={len(sdf)} (rows-only check)")
+            records[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None, "err": "rows-only",
+            }
             n_noracle += 1
             continue
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            records[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(sdf), "oracle_rows": None,
+                "err": f"duckdb error: {e}"[:500],
+            }
             n_fail += 1
             continue
         errs = compare(name, sdf, ddf)
+        records[name] = {
+            "rows_match": not any(e.startswith("rowcount") for e in errs),
+            "schema_match": not any(e.startswith("columns") for e in errs),
+            "hash_match": not errs,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(ddf),
+            "err": "; ".join(errs)[:500] or None,
+        }
         if errs:
             n_fail += 1
             print(f"FAIL  {name}: " + "; ".join(errs))
@@ -103,6 +132,11 @@ def main() -> int:
             n_pass += 1
             print(f"PASS  {name}: rows={len(sdf)}")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
     return 1 if n_fail else 0
 
 
