@@ -1,4 +1,5 @@
 from .events import (
+    click_purchase_join_stream,
     enrich_events_stream,
     enrich_with_customer_stream,
     hourly_aggregate_stream,
@@ -9,6 +10,7 @@ from .events import (
 )
 
 __all__ = [
+    "click_purchase_join_stream",
     "enrich_events_stream",
     "enrich_with_customer_stream",
     "hourly_aggregate_stream",

@@ -220,6 +220,51 @@ def enrich_with_customer_stream(events: DataFrame, customers: DataFrame) -> Data
     return events.join(dim, "user_id", "left")
 
 
+def click_purchase_join_stream(
+    events: DataFrame, watermark: str = "2 hours", horizon_minutes: int = 60
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click joined to the
+    same user's purchases within [click_ts, click_ts + horizon] event time
+    (attribution-window semantics). Both sides carry watermarks AND the
+    join condition bounds event time in both directions — the two
+    requirements that let Structured Streaming evict join state instead
+    of buffering both streams forever. State per side is bounded by
+    (watermark + horizon) of traffic, independent of stream length.
+
+    Takes one events stream and filters the two sides from it (the test
+    topology); in production the sides would be two readers.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "click_id", "user_id", "click_ts", "purchase_id", "purchase_ts"
+    )
+
+
 def run_stream_to_parquet(
     stream_df: DataFrame, path: str, checkpoint: str, available_now: bool = True
 ) -> Any:

@@ -170,3 +170,42 @@ def test_stream_static_customer_join(spark, stream_source_dir):
         ).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, stream_source_dir):
+    """The watermarked stream-stream interval join emits exactly the pairs
+    the identical batch join produces (append mode; inner joins emit only
+    watermark-confirmed matches, and availableNow drains the source, so
+    the final table is the complete join)."""
+    src = streaming.read_events_stream(spark, stream_source_dir)
+    joined = streaming.click_purchase_join_stream(src, horizon_minutes=60)
+    q = streaming.run_stream_to_memory(
+        joined, "ss_join_test", output_mode="append", available_now=True
+    )
+    try:
+        _await_done(q)
+        got = {
+            (r.click_id, r.purchase_id)
+            for r in spark.sql("SELECT * FROM ss_join_test").collect()
+        }
+    finally:
+        q.stop()
+    e = spark.read.parquet(stream_source_dir)
+    c = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+        ).collect()
+    }
+    assert got == batch
