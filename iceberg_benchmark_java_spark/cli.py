@@ -46,6 +46,14 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-id", required=True)
     p.add_argument("--sf-dir", default=None, help="parquet fixtures → temp views")
     p.add_argument(
+        "--fixture-suite",
+        choices=["tpcds", "tpch"],
+        default=None,
+        help="register the repo-local fixtures/<suite> warehouse under bare "
+        "table names so the verbatim reference corpus "
+        "(corpus/<suite>_ref) runs through the harness unmodified",
+    )
+    p.add_argument(
         "--partitioned-warehouse",
         default=None,
         help="materialize+use a time-partitioned fact layout at this path "
@@ -86,6 +94,24 @@ def main(argv: list[str] | None = None) -> int:
             return 2
     if args.sf_dir:
         register_views(spark, args.sf_dir, partitioned_dir=args.partitioned_warehouse)
+    if args.fixture_suite:
+        # Bare-name views over fixtures/<suite>: catalog-less templating
+        # strips ${database}.${schema}., leaving exactly these names, so the
+        # byte-identical reference files execute through the harness path
+        # (discovery → templating → timed noop → results CSV). Registered
+        # after sf_dir views on purpose: the suite's schema wins a clash
+        # (e.g. `customer` exists in both worlds with different columns).
+        import os as _os
+
+        from . import fixtures as _fixtures
+        from .corpus_ref import SUITES as _SUITES
+
+        _fixtures.generate_all()
+        _, _fdir, _tables = _SUITES[args.fixture_suite]
+        for _t in _tables:
+            spark.read.parquet(
+                _os.path.join(_fdir, f"{_t}.parquet")
+            ).createOrReplaceTempView(_t)
     # A4 config introspection (IcebergBenchmark.java:107-118): tag results
     # with the catalog's connector config; same keys and defaults.
     cat = args.catalog_name or "local"

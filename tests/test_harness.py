@@ -174,3 +174,25 @@ def test_catalog_qualified_suite_with_use_database(spark, tmp_path):
     assert spark.catalog.currentDatabase() == "ibx_cat"  # A5 took effect
     spark.sql("USE default")
     spark.sql("DROP TABLE ibx_cat.lineitem_cat")
+
+
+def test_cli_runs_verbatim_tpch_suite(spark, tmp_path):
+    """The byte-identical reference TPC-H files execute through the full
+    harness path (discovery → templating → timed noop → CSV) against the
+    fixtures/tpch warehouse via --fixture-suite."""
+    from iceberg_benchmark_java_spark import cli
+
+    rc = cli.main(
+        [
+            "--tpch-dir", "corpus/tpch_ref",
+            "--fixture-suite", "tpch",
+            "--run-id", "pytest-ref-tpch",
+            "--output-gcs-path", str(tmp_path),
+            "--no-metrics",
+        ]
+    )
+    assert rc == 0
+    csvs = list(tmp_path.glob("pytest-ref-tpch/*.csv"))
+    assert csvs
+    body = csvs[0].read_text()
+    assert body.count("SUCCESS") == 22
