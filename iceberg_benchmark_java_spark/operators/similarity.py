@@ -82,16 +82,15 @@ def sign_bucket(emb: Column, n_bits: int = 8) -> Column:
 
 
 def ivf_assignments(
-    embeddings: DataFrame, n_centroids: int = 16
+    embeddings: DataFrame, n_centroids: int = 16, refine_iters: int = 0
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: deterministic centroids + nearest-centroid
     assignment.
 
     Centroids are the first ``n_centroids`` vectors by vec_id — a
-    deterministic seeding (k-means|| iterations would refine them; the
-    index structure and query path are identical, so the plumbing is what
-    matters here). Assignment is argmax cosine, ties to the lowest
-    cent_id.
+    deterministic seeding; ``refine_iters > 0`` runs that many distributed
+    Lloyd's iterations (:func:`kmeans_refine`) before assignment.
+    Assignment is argmax cosine, ties to the lowest cent_id.
 
     At 100 TB: centroids are a broadcast table; assignment is a single
     O(N×C) map-side pass (no shuffle of the corpus); the assignment would
@@ -107,6 +106,8 @@ def ivf_assignments(
             F.col("embedding").alias("c_emb"),
         )
     )
+    if refine_iters:
+        centroids = kmeans_refine(embeddings, centroids, n_iters=refine_iters)
     scored = embeddings.select("vec_id", "embedding").crossJoin(
         F.broadcast(centroids)
     ).select(
@@ -124,12 +125,73 @@ def ivf_assignments(
     return centroids, assignments
 
 
+def kmeans_refine(
+    embeddings: DataFrame, centroids: DataFrame, n_iters: int = 2
+) -> DataFrame:
+    """Lloyd's-iteration refinement of IVF centroids, fully distributed:
+
+    per iteration — (1) assign every vector to its nearest centroid
+    (broadcast centroids, map-side argmax-cosine: no corpus shuffle);
+    (2) recompute each centroid as the element-wise mean of its members
+    (posexplode → groupBy (cent_id, dim) avg → rebuild array). Empty
+    clusters keep their previous centroid. At 100 TB each iteration costs
+    one broadcast pass + one (cent_id, dim)-key aggregation whose
+    cardinality is C×D — tiny — so iterations are scan-bound, the same
+    cost profile as MLlib's KMeans.
+
+    Returns refined centroids (cent_id, c_emb) with c_emb array<double>.
+    Refined centroids feed ivf_assignments/cosine_topk_ivf unchanged: the
+    index structure is identical, only list balance/recall improves.
+    """
+    cents = centroids.select(
+        "cent_id", F.transform("c_emb", lambda x: x.cast("double")).alias("c_emb")
+    )
+    for _ in range(n_iters):
+        scored = embeddings.select("vec_id", "embedding").crossJoin(
+            F.broadcast(cents)
+        ).select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            F.round(cosine(F.col("embedding"), F.col("c_emb")), SIM_SCALE).alias("csim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cent_id")
+        )
+        means = (
+            assigned.select(
+                "cent_id", F.posexplode(F.col("embedding")).alias("pos", "val")
+            )
+            .groupBy("cent_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("mv"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s.getField("mv"),
+                ).alias("new_emb")
+            )
+        )
+        cents = (
+            cents.join(means, "cent_id", "left")
+            .select(
+                "cent_id",
+                F.coalesce(F.col("new_emb"), F.col("c_emb")).alias("c_emb"),
+            )
+        )
+    return cents
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: nearest-centroid inverted lists, query probes the
     ``n_probe`` closest lists, exact cosine re-rank inside.
@@ -137,8 +199,9 @@ def cosine_topk_ivf(
     The candidate set is bounded by the probed lists (≈ N·n_probe/C rows
     per query) instead of the corpus — the standard recall/latency dial.
     Join shape: broadcast(queries × probes) ⋈ assignments on cent_id.
+    ``refine_iters``: k-means refinement passes for the centroids.
     """
-    centroids, assignments = ivf_assignments(embeddings, n_centroids)
+    centroids, assignments = ivf_assignments(embeddings, n_centroids, refine_iters)
     q_scored = queries.crossJoin(F.broadcast(centroids)).select(
         "query_id",
         "q_embedding",

@@ -366,3 +366,41 @@ def test_range_join_no_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_refine_improves_objective(spark):
+    """Lloyd's iterations must not worsen the clustering objective: mean
+    cosine of vectors to their assigned centroid rises (or stays) after
+    refinement, and the IVF query path still returns exact sims."""
+    from iceberg_benchmark_java_spark.operators.similarity import (
+        cosine,
+        cosine_topk_ivf,
+        ivf_assignments,
+        kmeans_refine,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+
+    def objective(cents):
+        scored = (
+            e.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                cosine(F.col("embedding"), F.col("c_emb")).alias("csim"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("csim").alias("best"))
+        )
+        return scored.agg(F.avg("best")).first()[0]
+
+    seeded, _ = ivf_assignments(e, n_centroids=8)
+    refined = kmeans_refine(e, seeded, n_iters=2)
+    assert refined.count() == 8  # no centroid lost (empty clusters kept)
+    assert objective(refined) >= objective(seeded) - 1e-9
+    # query path unchanged: refined IVF returns well-formed exact-sim top-k
+    q = e.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = cosine_topk_ivf(e, q, k=3, n_centroids=8, n_probe=2, refine_iters=2).collect()
+    assert out and all(r.rnk <= 3 for r in out)
