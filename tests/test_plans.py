@@ -218,3 +218,30 @@ def test_bucketed_join_skips_shuffle(spark):
         .collect()
     }
     assert {(r.o_orderpriority, r.n) for r in joined.collect()} == expect
+
+
+CORPUS_PLAN_SAMPLE = [
+    "q03", "q07", "q14_1", "q36", "q64", "q67", "q72", "q88", "q90", "q95",
+]
+# cross joins of single-row scalar aggregates legitimately plan as
+# BroadcastNestedLoopJoin — everything else must stay hash/merge joins
+BNLJ_OK = {"q88", "q90"}
+
+
+@pytest.mark.parametrize("name", CORPUS_PLAN_SAMPLE)
+def test_corpus_plan_quality(spark, name):
+    """Marquee verbatim TPC-DS files: filters reach the parquet scan, no
+    cartesian products, and no nested-loop joins outside the 1-row
+    scalar-agg cross-join queries."""
+    from iceberg_benchmark_java_spark import corpus_ref as cr
+
+    plan = (
+        cr.run_ref_query(spark, "tpcds", name)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, name
+    assert "PushedFilters: [" in plan, name
+    pushed_head = plan.split("PushedFilters:")[1][:40]
+    assert not pushed_head.startswith(" []"), f"{name}: empty pushdown"
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -101,3 +101,51 @@ def test_minhash_lsh_catches_every_exact_duplicate(spark, texts):
         for j in range(i + 1, len(texts)):
             if a == texts[j]:
                 assert cands.get((i, j)) == n_bands, (i, j, cands)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    probe=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # key
+            st.integers(min_value=0, max_value=50),   # ts
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    build=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_asof_join_invariant(spark, probe, build):
+    """asof_join_backward == the brute-force definition (latest build row
+    with bts <= pts per key; build side pre-deduped per (key, ts)) for
+    ANY probe/build frames."""
+    from iceberg_benchmark_java_spark.operators.asof import asof_join_backward
+
+    probe_rows = [(k, t, i) for i, (k, t) in enumerate(probe)]
+    # dedupe build per (key, ts) keeping max id — the operator's contract
+    bmap: dict = {}
+    for i, (k, t) in enumerate(build):
+        bmap[(k, t)] = max(bmap.get((k, t), -1), i + 100)
+    build_rows = [(k, t, bid) for (k, t), bid in bmap.items()]
+    p = spark.createDataFrame(probe_rows, ["k", "t", "pid"])
+    b = spark.createDataFrame(build_rows, ["k", "t", "bid"])
+    got = {
+        r.pid: r.bid
+        for r in asof_join_backward(p, b, key="k", ts="t", payload_cols=["bid"]).collect()
+    }
+    expect = {}
+    for k, t, pid in probe_rows:
+        cands = [(bt, bid) for bk, bt, bid in build_rows if bk == k and bt <= t]
+        expect[pid] = max(cands)[1] if cands else None
+    assert got == expect
