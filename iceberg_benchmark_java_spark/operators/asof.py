@@ -58,9 +58,12 @@ def asof_join_backward(
 
     ``tolerance``: optional max lookback as a Column interval/duration —
     matches older than ``probe.ts - tolerance`` are nulled out (pandas
-    merge_asof semantics).
+    merge_asof semantics). The build timestamp rides along inside the
+    match struct (reserved ``__bts`` field), so no payload gymnastics.
     """
-    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__asof")
+    payload = F.struct(
+        F.col(ts).alias("__bts"), *[F.col(c) for c in payload_cols]
+    ).alias("__asof")
     b = build.select(
         F.col(key),
         F.col(ts),
@@ -89,10 +92,8 @@ def asof_join_backward(
     out = matched.filter(F.col("__side") == 1)
     match_col = F.col("__match")
     if tolerance is not None:
-        # match struct carries no ts by contract? it must: callers include
-        # the build ts in payload_cols to use tolerance.
         match_col = F.when(
-            F.col(f"__match.{ts}") >= F.col(ts) - tolerance, F.col("__match")
+            F.col("__match.__bts") >= F.col(ts) - tolerance, F.col("__match")
         )
     return out.select(
         key,

@@ -404,3 +404,31 @@ def test_kmeans_refine_improves_objective(spark):
     )
     out = cosine_topk_ivf(e, q, k=3, n_centroids=8, n_probe=2, refine_iters=2).collect()
     assert out and all(r.rnk <= 3 for r in out)
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance nulls out matches older than probe.ts - tolerance (pandas
+    merge_asof tolerance semantics)."""
+    from iceberg_benchmark_java_spark.operators.asof import asof_join_backward
+
+    probe = spark.createDataFrame(
+        [(1, 10, 0), (1, 20, 1), (2, 30, 2)], ["k", "t", "pid"]
+    )
+    build = spark.createDataFrame(
+        [(1, 8, 100), (1, 12, 101), (2, 5, 102)], ["k", "t", "bid"]
+    )
+    got = {
+        r.pid: r.bid
+        for r in asof_join_backward(
+            probe,
+            build,
+            key="k",
+            ts="t",
+            payload_cols=["bid"],
+            tolerance=F.lit(5),
+        ).collect()
+    }
+    # pid 0: latest build at t<=10 is t=8 (gap 2 <= 5) -> 100
+    # pid 1: latest build at t<=20 is t=12 (gap 8 > 5) -> None
+    # pid 2: latest build at t<=30 is t=5 (gap 25 > 5) -> None
+    assert got == {0: 100, 1: None, 2: None}
