@@ -43,6 +43,14 @@ def main() -> int:
     p.add_argument("--tpch-dir", default=str(REPO / "corpus" / "tpch"))
     p.add_argument("--tpcds-dir", default=str(REPO / "corpus" / "tpcds"))
     p.add_argument("--configs", default=None, help="comma-separated subset of MATRIX names")
+    p.add_argument(
+        "--ref",
+        action="store_true",
+        help="run the VERBATIM reference corpora (corpus/*_ref over the "
+        "fixtures warehouse) instead of the fixture-adapted ones; one CLI "
+        "process per suite per cell, since bare-name fixture views are "
+        "per-suite",
+    )
     args = p.parse_args()
 
     cells = [
@@ -54,37 +62,59 @@ def main() -> int:
     for sf_dir in args.sf_dirs.split(","):
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         for cell in cells:
-            run_id = f"sf{sf}-{cell['name']}"
-            cmd = [
-                sys.executable,
-                "-m",
-                "iceberg_benchmark_java_spark.cli",
-                "--tpch-dir",
-                args.tpch_dir,
-                "--tpcds-dir",
-                args.tpcds_dir,
-                "--run-id",
-                run_id,
-                "--output-gcs-path",
-                args.output,
-                "--sf-dir",
-                sf_dir,
-                "--schema-size",
-                f"sf{sf}",
-                *cell["args"],
-            ]
-            t0 = time.time()
-            proc = subprocess.run(
-                cmd, cwd=REPO, capture_output=True, text=True, check=False
-            )
-            wall = round(time.time() - t0, 1)
-            ok = proc.returncode == 0
-            summary.append(
-                {"run_id": run_id, "ok": ok, "wall_sec": wall, "cell": cell["name"], "sf": sf}
-            )
-            print(f"{'PASS' if ok else 'FAIL'}  {run_id}  {wall}s", flush=True)
-            if not ok:
-                print(proc.stdout[-1500:], proc.stderr[-1500:], sep="\n", flush=True)
+            if args.ref:
+                variants = [
+                    (
+                        f"sf{sf}-{cell['name']}-ref{suite}",
+                        [
+                            f"--{suite}-dir",
+                            str(REPO / "corpus" / f"{suite}_ref"),
+                            "--fixture-suite",
+                            suite,
+                        ],
+                    )
+                    for suite in ("tpcds", "tpch")
+                ]
+            else:
+                variants = [
+                    (
+                        f"sf{sf}-{cell['name']}",
+                        [
+                            "--tpch-dir",
+                            args.tpch_dir,
+                            "--tpcds-dir",
+                            args.tpcds_dir,
+                        ],
+                    )
+                ]
+            for run_id, suite_args in variants:
+                cmd = [
+                    sys.executable,
+                    "-m",
+                    "iceberg_benchmark_java_spark.cli",
+                    *suite_args,
+                    "--run-id",
+                    run_id,
+                    "--output-gcs-path",
+                    args.output,
+                    "--sf-dir",
+                    sf_dir,
+                    "--schema-size",
+                    f"sf{sf}",
+                    *cell["args"],
+                ]
+                t0 = time.time()
+                proc = subprocess.run(
+                    cmd, cwd=REPO, capture_output=True, text=True, check=False
+                )
+                wall = round(time.time() - t0, 1)
+                ok = proc.returncode == 0
+                summary.append(
+                    {"run_id": run_id, "ok": ok, "wall_sec": wall, "cell": cell["name"], "sf": sf}
+                )
+                print(f"{'PASS' if ok else 'FAIL'}  {run_id}  {wall}s", flush=True)
+                if not ok:
+                    print(proc.stdout[-1500:], proc.stderr[-1500:], sep="\n", flush=True)
     print(json.dumps({"matrix": summary}))
     return 0 if all(s["ok"] for s in summary) else 1
 
