@@ -345,6 +345,24 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF ANN with k-means-refined centroids ----------------------------------
+@query("pipe_ann_ivf_refined")  # no oracle: iterative float means are not
+# bit-reproducible across engines (partition-order-dependent avg); the
+# refinement is instead proven by tests (objective non-decreasing, exact
+# sims on the query path) and the unrefined twin is fully hash-checked.
+def ann_ivf_refined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN after 2 distributed Lloyd's iterations on the centroids —
+    the iterative-algorithm entry in the inventory (rows-only check)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.cosine_topk_ivf(
+        e.select("vec_id", "embedding"), queries_df,
+        k=5, n_centroids=16, n_probe=4, refine_iters=2,
+    )
+
+
 # --- embedding-cosine near-duplicate pairs -----------------------------------
 @query(
     "pipe_embedding_near_dup",
