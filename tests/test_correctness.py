@@ -38,4 +38,7 @@ def test_every_query_has_oracle_or_is_documented():
     missing = set(QUERIES) - set(ORACLES)
     # Policy: every registered query ships an oracle unless genuinely
     # non-SQL-expressible; keep this list explicit and tiny.
-    assert missing == set(), f"queries without oracles: {missing}"
+    # - pipe_ann_ivf_refined: iterative (Lloyd's) float means are
+    #   partition-order dependent — no bit-exact cross-engine oracle
+    #   exists; proven by tests instead (see operators/similarity.py).
+    assert missing == {"pipe_ann_ivf_refined"}, f"queries without oracles: {missing}"
