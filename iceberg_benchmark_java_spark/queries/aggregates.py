@@ -464,3 +464,77 @@ def quarter_growth_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("q2.sales") / F.col("q1.sales"), 6).alias("growth"),
         )
     )
+
+
+# --- CUBE (full grouping lattice; beyond-reference breadth) ------------------
+@query(
+    "agg_cube_status_priority",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, '__ALL__') AS status,
+           COALESCE(o_orderpriority, '__ALL__') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) * 2
+             + CAST(GROUPING(o_orderpriority) AS INTEGER) AS g,
+           {sql_dsum("o_totalprice", "total_price")},
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — the full 2^k grouping lattice (ROLLUP's superset;
+    the reference corpus stops at ROLLUP). Same Expand-based plan shape as
+    rollup: one shuffle, 4 grouping sets. GROUPING() bits disambiguate
+    subtotal rows from data NULLs."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus").cast("int") * 2
+                + F.grouping("o_orderpriority").cast("int")
+            ).alias("g"),
+            dsum("o_totalprice", "total_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("__ALL__")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("__ALL__")).alias("priority"),
+            "g",
+            "total_price",
+            "n_orders",
+        )
+    )
+
+
+# --- explicit GROUPING SETS (arbitrary lattice subsets) ----------------------
+@query(
+    "agg_grouping_sets_mixed",
+    oracle=f"""
+    SELECT COALESCE(c_mktsegment, '__ALL__') AS segment,
+           COALESCE(CAST(c_nationkey AS VARCHAR), '__ALL__') AS nation,
+           {sql_dsum("c_acctbal", "total_bal")},
+           CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — an arbitrary lattice subset that neither
+    ROLLUP nor CUBE expresses: per-segment totals, per-nation totals, and
+    the grand total in ONE pass (one Expand + one shuffle instead of three
+    scans unioned). SQL form via spark.sql: GROUPING SETS has no DataFrame
+    method, and Catalyst plans the same Expand either way."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__ibx_gs_customer"
+    )
+    return spark.sql(
+        """
+        SELECT COALESCE(c_mktsegment, '__ALL__') AS segment,
+               COALESCE(CAST(c_nationkey AS STRING), '__ALL__') AS nation,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS total_bal,
+               COUNT(*) AS n_cust
+        FROM __ibx_gs_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
