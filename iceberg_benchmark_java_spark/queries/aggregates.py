@@ -538,3 +538,63 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """
     )
+
+
+# --- native DataFrame pivot (relational PIVOT operator) ----------------------
+@query(
+    "agg_native_pivot",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           {sql_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END", "p1_urgent")},
+           {sql_dsum("CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END", "p2_high")},
+           {sql_dsum("CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END", "p3_medium")}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame pivot() operator with an explicit value list (explicit
+    values skip the extra distinct-scan Spark otherwise runs, and pin
+    output columns — the scale-safe usage). Equivalent to CASE-sum
+    pivoting (the oracle's form), planned as one hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2).cast("double"))
+    )
+    return pv.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("1-URGENT").alias("p1_urgent"),
+        F.col("2-HIGH").alias("p2_high"),
+        F.col("3-MEDIUM").alias("p3_medium"),
+    )
+
+
+# --- exact percentile / median aggregates ------------------------------------
+@query(
+    "agg_median_percentiles",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           median(c_acctbal) AS med_bal,
+           quantile_cont(c_acctbal, 0.25) AS p25_bal,
+           quantile_cont(c_acctbal, 0.90) AS p90_bal,
+           CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + linear-interpolation percentiles per group. Both
+    engines define percentile as interpolation at rank (n-1)*p; the
+    fixture's 2-decimal balances make (a + (b-a)*f) exact in doubles, so
+    values hash-match with no rounding shim. Scale note: exact percentile
+    state is O(group size) — at 100 TB use approx_percentile /
+    quantile_buckets (operators.scale); this is the exact/oracle twin."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.median("c_acctbal").alias("med_bal"),
+        F.percentile("c_acctbal", F.lit(0.25)).alias("p25_bal"),
+        F.percentile("c_acctbal", F.lit(0.90)).alias("p90_bal"),
+        F.count("*").alias("n_cust"),
+    )
