@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..operators import dedup, similarity, text
@@ -597,3 +598,66 @@ def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     frames = multimodal.frame_sample_plan(multimodal.synthesize_media(d), every_n=10)
     return frames.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+# --- keep-latest dedup (versioned-corpus canonicalization) -------------------
+@query(
+    "pipe_keep_latest_event",
+    oracle="""
+    SELECT user_id, event_id AS latest_event_id, ts AS latest_ts,
+           event_type AS latest_type
+    FROM (SELECT user_id, event_id, ts, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) x
+    WHERE rn = 1
+    """,
+)
+def keep_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup — the canonicalization step every
+    versioned corpus needs (latest crawl of a URL, newest doc revision).
+    One shuffle on the key; ties broken by id for determinism. At 100 TB
+    this is the row_number pattern AQE handles well (no global sort;
+    per-key partitions)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            F.col("event_type").alias("latest_type"),
+        )
+    )
+
+
+# --- deterministic stratified sampling ---------------------------------------
+@query(
+    "pipe_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM (SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+          FROM documents) x
+    WHERE rn <= 20
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: top-20 docs per language stratum
+    ordered by a content-independent hash — reproducible across runs,
+    engines, and partitionings (TABLESAMPLE/rand() are not). The standard
+    curation move for balanced eval sets. One shuffle on the stratum key;
+    per-stratum top-k, no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", "h")
+    )
