@@ -391,3 +391,45 @@ def range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_acctbal").alias("min_bal"),
         F.max("c_acctbal").alias("max_bal"),
     )
+
+
+# --- collection / higher-order function surface ------------------------------
+@query(
+    "join_collection_functions",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(w, t -> strlen(t) >= 5)) AS INTEGER) AS n_long,
+           CAST(list_sum(list_transform(w, t -> strlen(t))) AS BIGINT)
+             AS total_chars,
+           array_to_string(list_sort(list_distinct(w))[1:3], ' ') AS first3,
+           CAST(len(list_filter(w, t -> regexp_matches(t, '^[A-Z]'))) > 0
+                AS INTEGER) AS has_capitalized
+    FROM t
+    """,
+)
+def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order collection functions — transform/filter/exists/
+    aggregate/array_sort/array_distinct/slice — all Catalyst
+    HigherOrderFunctions (JVM-side, codegen'd; zero Python). The inventory
+    row proving the engine's array surface maps 1:1 onto DuckDB's list_*
+    family for oracle purposes."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    tok_len = lambda t: F.length(t)  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.filter(w, lambda t: F.length(t) >= 5)).alias("n_long"),
+        F.aggregate(
+            F.transform(w, tok_len), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("total_chars"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(w)), 1, 3), " "
+        ).alias("first3"),
+        F.exists(w, lambda t: t.rlike("^[A-Z]")).cast("int").alias("has_capitalized"),
+    )

@@ -196,3 +196,45 @@ def union_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("curr.qty").alias("curr_qty"),
         )
     )
+
+
+# --- UNPIVOT / melt (wide → long; inverse of pivot) --------------------------
+@query(
+    "set_unpivot_measures",
+    oracle="""
+    SELECT o_orderstatus AS status, m AS measure, v AS val
+    FROM (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_price,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+      FROM orders GROUP BY o_orderstatus
+    ) w
+    CROSS JOIN (VALUES ('n_orders'), ('total_price'), ('min_price')) AS t(m)
+    CROSS JOIN LATERAL (
+      SELECT CASE m WHEN 'n_orders' THEN n_orders
+                    WHEN 'total_price' THEN total_price
+                    ELSE min_price END AS v
+    ) x
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (DataFrame melt): a wide per-status measure frame turned
+    long — the inverse of pivot, planned as one Expand (no join, no extra
+    shuffle beyond the source aggregate). The oracle reconstructs the same
+    long form relationally."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_price"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+    )
+    return wide.unpivot(
+        ["status"],
+        ["n_orders", "total_price", "min_price"],
+        "measure",
+        "val",
+    )
