@@ -433,3 +433,41 @@ def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first3"),
         F.exists(w, lambda t: t.rlike("^[A-Z]")).cast("int").alias("has_capitalized"),
     )
+
+
+# --- map-type function surface -----------------------------------------------
+@query(
+    "join_map_functions",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT) * 2)
+                AS BIGINT) AS sum_k2,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.flag') IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM events GROUP BY event_type
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: parse the JSON props column into map<string,string>
+    (from_json), then map_contains_key + element_at + transform_values —
+    all JVM-side. The oracle reads the same facts via JSON path extraction;
+    equality proves the map round-trip is lossless."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    k2 = F.element_at(
+        F.transform_values(m, lambda _, v: v.cast("long") * 2), "k"
+    )
+    return (
+        e.select(
+            "event_type",
+            k2.alias("k2"),
+            F.map_contains_key(m, "flag").cast("int").alias("flagged"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k2").alias("sum_k2"),
+            F.sum("flagged").alias("n_flagged"),
+        )
+    )
