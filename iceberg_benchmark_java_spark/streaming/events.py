@@ -220,6 +220,16 @@ def enrich_with_customer_stream(events: DataFrame, customers: DataFrame) -> Data
     return events.join(dim, "user_id", "left")
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id with a watermark-bounded state:
+    re-delivered events (at-least-once sources re-emit on retry) are
+    dropped exactly once per id, and dedup state for ids older than the
+    watermark is evicted — the standard ingestion-dedup front of a
+    pipeline. Without the watermark the state grows with the stream;
+    with it, state is bounded by (watermark horizon × event rate)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
 def click_purchase_join_stream(
     events: DataFrame, watermark: str = "2 hours", horizon_minutes: int = 60
 ) -> DataFrame:

@@ -209,3 +209,33 @@ def test_stream_stream_join_matches_batch(spark, stream_source_dir):
         ).collect()
     }
     assert got == batch
+
+
+def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
+    """An at-least-once source that re-delivers a whole file must yield
+    each event_id exactly once downstream of dedup_events_stream."""
+    src = str(tmp_path / "dup_source")
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).limit(200)
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    # simulate redelivery: copy the data file under a new name
+    import shutil
+    from pathlib import Path
+
+    part = next(Path(src).glob("part-*.parquet"))
+    shutil.copy(part, Path(src) / ("redelivered-" + part.name))
+
+    stream = streaming.read_events_stream(spark, src)
+    deduped = streaming.dedup_events_stream(stream)
+    q = streaming.run_stream_to_memory(
+        deduped, "dedup_test", output_mode="append", available_now=True
+    )
+    try:
+        _await_done(q)
+        rows = spark.sql("SELECT event_id FROM dedup_test").collect()
+    finally:
+        q.stop()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)), "duplicate event_ids survived dedup"
+    assert len(set(ids)) == events.count()
