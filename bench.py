@@ -72,15 +72,35 @@ def main() -> None:
 
     # Best-of-2 per query: shared-host CPU variance swings single runs by
     # ±30%; the min of two runs is the standard stable estimator.
+    # Per-query error isolation mirrors the reference harness's A9 contract
+    # (IcebergBenchmark.java:184-188): capture, truncate to 2000 chars,
+    # CONTINUE — at 100 TB something always fails, and one bad query must
+    # never zero the whole run.
     timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — A9: record and continue
+            failed[name] = f"{type(exc).__name__}: {exc}"[:2000]
     total = round(sum(timings.values()), 3)
+    # corpus_* entries run against the committed fixtures/ warehouse at its
+    # own fixed scale, not $SPARK_GRAFT_SF_DIR — label honestly so numbers
+    # stay scale-comparable round-over-round.
+    from iceberg_benchmark_java_spark.corpus_ref import corpus_fixture_scale
+
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    scales = {
+        name: (corpus_fixture_scale() if name.startswith("corpus_") else sf_val)
+        for name in HEADLINE
+    }
     print(
         json.dumps(
             {
@@ -88,7 +108,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "failed": failed,
+                "query_sf": scales,
+                "sf": sf_val,
             }
         )
     )

@@ -56,30 +56,48 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # session-settable; needed when the caller's session was not built
-        # by session.build_session (e.g. the verification driver's).
+        # A lakehouse ingests across eras: events.ts has shipped both as
+        # parquet TIMESTAMP(NANOS) (readable only as LONG nanos under
+        # spark.sql.legacy.parquet.nanosAsLong) and as TIMESTAMP(MICROS)
+        # (native timestamp_ntz). Read, inspect the arrived type, and
+        # normalize — never hard-code one encoding.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), read as LONG nanos under
-        # spark.sql.legacy.parquet.nanosAsLong (session.py). Convert to a
-        # microsecond timestamp_ntz by pure NTZ arithmetic: timestamp_micros()
-        # + cast would round-trip through the SESSION TIMEZONE and shift the
-        # wall-clock value on non-UTC driver sessions.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000, "
-                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # LONG nanos → microsecond timestamp_ntz by pure NTZ
+            # arithmetic: timestamp_micros() + cast would round-trip
+            # through the SESSION TIMEZONE and shift the wall-clock value
+            # on non-UTC driver sessions.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+
+
 def register_views(
-    spark: SparkSession, sf_dir: str, partitioned_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    partitioned_dir: str | None = None,
+    tables: tuple[str, ...] | None = None,
 ) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view; return the DataFrames.
 
@@ -88,7 +106,11 @@ def register_views(
     their partitioned layout instead: the reference's flat/partitioned run
     axis (runner.sh vs partitioned_runner.sh) for the parquet path. The
     derived partition directory column is dropped at registration so both
-    axes expose identical view schemas (SELECT * parity)."""
+    axes expose identical view schemas (SELECT * parity).
+
+    ``tables`` narrows registration to the named subset (e.g. TPCH_TABLES
+    for subquery showcases) so a corrupt or absent fixture outside the
+    subset can never fail an unrelated query family."""
     part_paths: dict[str, str] = {}
     if partitioned_dir:
         marker = os.path.join(partitioned_dir, "_ibx_complete")
@@ -111,7 +133,7 @@ def register_views(
             if set(part_paths) == set(expected) and expected:
                 open(marker, "w").close()
     out: dict[str, DataFrame] = {}
-    for name in TABLES:
+    for name in tables if tables is not None else TABLES:
         if name in part_paths:
             df = spark.read.parquet(part_paths[name])
             df = df.drop(PARQUET_PARTITION_COLS[name][0])

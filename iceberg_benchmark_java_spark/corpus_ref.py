@@ -53,6 +53,16 @@ SUITES = {
     "tpch": (os.path.join(CORPUS, "tpch_ref"), os.path.join(FIXTURES, "tpch"), TPCH_TABLES),
 }
 
+# The committed fixtures/ warehouse is generated once at a fixed scale
+# (FIXTURES.md: sf0.01-equivalent synthetic). corpus_* queries always run at
+# THIS scale regardless of $SPARK_GRAFT_SF_DIR — bench output labels them
+# with it so round-over-round numbers stay scale-comparable.
+CORPUS_FIXTURE_SCALE = 0.01
+
+
+def corpus_fixture_scale() -> float:
+    return CORPUS_FIXTURE_SCALE
+
 # Spark temp-view names are suite-prefixed so the TPC-H `customer` (unprefixed
 # columns) never collides with the TPC-DS `customer` or the driver-testdata
 # `customer` registered by other query families in the same session.

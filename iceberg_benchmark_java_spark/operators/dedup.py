@@ -231,6 +231,74 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup candidate pairs into connected components.
+
+    Minimum-label propagation with pointer jumping: every node starts
+    labelled with itself; each round a node takes the min of (its label,
+    its neighbors' labels, its label's label). The pointer-jump term gives
+    O(log diameter) convergence — a long chain collapses in ~log2 rounds,
+    not diameter rounds. No GraphFrames dependency; each round is one
+    equi-join plus one groupBy-min shuffle, all JVM-side.
+
+    This is the step that turns candidate pairs into an actionable
+    keep/drop decision: ``cluster_id`` = min doc_id of the component (the
+    canonical keep), everything else in the component is a drop.
+
+    Scale notes (100 TB): edges are localCheckpointed once (reused every
+    round — recomputing the upstream LSH per iteration would be
+    quadratic-ish work); labels are localCheckpointed per round to truncate
+    lineage, else the plan doubles each iteration and the driver OOMs on
+    plan size long before data size matters. Convergence is an explicit
+    count of changed labels per round — at most ``max_iter`` rounds, with
+    early exit the moment a round is a fixpoint.
+
+    Returns (doc_id, cluster_id) for every node that appears in ``pairs``.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), "label")
+        jump = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.label") == F.col("b.node"))
+            .select(F.col("a.node").alias("node"), F.col("b.label").alias("label"))
+        )
+        new_labels = (
+            labels.union(nbr)
+            .union(jump)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame, blocking_cols: list[str], max_hamming: int = 2
 ) -> DataFrame:

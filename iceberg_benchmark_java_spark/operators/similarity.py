@@ -81,48 +81,101 @@ def sign_bucket(emb: Column, n_bits: int = 8) -> Column:
     return F.array_join(bits, "")
 
 
+def seed_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """Distance-aware deterministic IVF seeding: one representative (the
+    lowest vec_id) per sign-orthant of the leading ``log2(n_centroids)``
+    dimensions.
+
+    Unlike first-N-by-id seeding, the seeds are guaranteed to be spread
+    across direction space (no two seeds share the leading-dim orthant), so
+    initial inverted lists are balanced instead of reflecting ingestion
+    order. Deterministic and engine-portable: min-id per bucket, cent_ids
+    ranked by bucket string. Cost: one tiny aggregation (≤ n_centroids
+    groups) — no ordering of the corpus. Empty orthants simply yield fewer
+    lists; C adapts to the data's directional spread.
+    """
+    bits = max(1, (max(n_centroids, 2) - 1).bit_length())
+    reps = (
+        embeddings.select(
+            "vec_id", sign_bucket(F.col("embedding"), bits).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.min("vec_id").alias("vec_id"))
+    )
+    w = Window.orderBy("bucket")
+    return (
+        reps.join(embeddings, "vec_id")
+        .select("bucket", F.col("embedding").alias("c_emb"))
+        .withColumn("cent_id", F.row_number().over(w) - 1)
+        .select("cent_id", "c_emb")
+    )
+
+
+def nearest_centroid(
+    df: DataFrame, centroids: DataFrame, emb_col: str = "embedding"
+) -> DataFrame:
+    """Map-side nearest-centroid assignment (argmax cosine, ties to the
+    lowest cent_id), appended as column ``cent_id``.
+
+    The centroid table collapses to ONE broadcast row holding a
+    cent_id-sorted array; the argmax is a per-row fold over that array.
+    Crucially there is NO Exchange between the corpus scan and the
+    assignment — the previous Window.partitionBy(vec_id) formulation
+    shuffled all N×C scored rows (a C× shuffle amplification) to pick a
+    per-row max that never needed a shuffle at all (plan-asserted in
+    tests/test_plans.py).
+    """
+    cent_arr = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "c_emb"))).alias("_cents")
+    )
+    init = F.struct(
+        F.lit(-1).alias("cent_id"), F.lit(float("-inf")).alias("csim")
+    )
+
+    def step(acc, c):
+        s = F.round(cosine(F.col(emb_col), c.getField("c_emb")), SIM_SCALE)
+        return F.when(
+            s > acc.getField("csim"),
+            F.struct(c.getField("cent_id").alias("cent_id"), s.alias("csim")),
+        ).otherwise(acc)
+
+    return (
+        df.crossJoin(F.broadcast(cent_arr))
+        .withColumn("cent_id", F.aggregate("_cents", init, step).getField("cent_id"))
+        .drop("_cents")
+    )
+
+
 def ivf_assignments(
     embeddings: DataFrame, n_centroids: int = 16, refine_iters: int = 0
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: deterministic centroids + nearest-centroid
     assignment.
 
-    Centroids are the first ``n_centroids`` vectors by vec_id — a
-    deterministic seeding; ``refine_iters > 0`` runs that many distributed
-    Lloyd's iterations (:func:`kmeans_refine`) before assignment.
-    Assignment is argmax cosine, ties to the lowest cent_id.
+    Centroids come from :func:`seed_centroids` (one per sign-orthant —
+    distance-aware, deterministic); ``refine_iters > 0`` runs that many
+    distributed Lloyd's iterations (:func:`kmeans_refine`) before
+    assignment. Assignment is argmax cosine, ties to the lowest cent_id.
 
-    At 100 TB: centroids are a broadcast table; assignment is a single
-    O(N×C) map-side pass (no shuffle of the corpus); the assignment would
-    be persisted as a partition column so queries prune to probed lists.
-    Returns (centroids, assignments).
+    At 100 TB: centroids are a broadcast single-row array; assignment is a
+    single O(N×C) map-side fold (no shuffle of the corpus); the assignment
+    would be persisted as a partition column so queries prune to probed
+    lists. Returns (centroids, assignments).
     """
-    w_cent = Window.orderBy("vec_id")
-    centroids = (
-        embeddings.orderBy("vec_id")
-        .limit(n_centroids)
-        .select(
-            (F.row_number().over(w_cent) - 1).alias("cent_id"),
-            F.col("embedding").alias("c_emb"),
-        )
-    )
+    centroids = seed_centroids(embeddings, n_centroids)
     if refine_iters:
         centroids = kmeans_refine(embeddings, centroids, n_iters=refine_iters)
-    scored = embeddings.select("vec_id", "embedding").crossJoin(
-        F.broadcast(centroids)
-    ).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        F.round(cosine(F.col("embedding"), F.col("c_emb")), SIM_SCALE).alias("csim"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    assignments = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
-    )
+    assignments = nearest_centroid(
+        embeddings.select("vec_id", "embedding"), centroids
+    ).select("vec_id", "embedding", "cent_id")
     return centroids, assignments
+
+
+# Fixed-point quantum for deterministic k-means member means: values are
+# floored to 1e-6 before summation so the per-dimension sum is an exact
+# BIGINT — order-independent, hence bit-identical across engines and
+# partitionings — and the mean is one exact division at the end.
+MEAN_QUANT = 1e6
 
 
 def kmeans_refine(
@@ -131,13 +184,18 @@ def kmeans_refine(
     """Lloyd's-iteration refinement of IVF centroids, fully distributed:
 
     per iteration — (1) assign every vector to its nearest centroid
-    (broadcast centroids, map-side argmax-cosine: no corpus shuffle);
-    (2) recompute each centroid as the element-wise mean of its members
-    (posexplode → groupBy (cent_id, dim) avg → rebuild array). Empty
-    clusters keep their previous centroid. At 100 TB each iteration costs
-    one broadcast pass + one (cent_id, dim)-key aggregation whose
-    cardinality is C×D — tiny — so iterations are scan-bound, the same
-    cost profile as MLlib's KMeans.
+    (:func:`nearest_centroid`: broadcast centroid array, map-side fold —
+    no corpus shuffle, no Window); (2) recompute each centroid as the
+    element-wise member mean via fixed-point accumulation: posexplode →
+    floor(val·1e6) as BIGINT → groupBy (cent_id, dim) SUM/COUNT → rebuild
+    array. Integer sums are order-independent, so the refined centroids are
+    bit-identical across engines and partitionings — what makes the
+    refined IVF entry oracle-checkable instead of rows-only. Means are
+    rounded to 4dp. Empty clusters keep their previous centroid.
+
+    At 100 TB each iteration costs one broadcast map pass + one
+    (cent_id, dim)-key aggregation of C×D cells — tiny — so iterations
+    are scan-bound, the same cost profile as MLlib's KMeans.
 
     Returns refined centroids (cent_id, c_emb) with c_emb array<double>.
     Refined centroids feed ivf_assignments/cosine_topk_ivf unchanged: the
@@ -147,26 +205,23 @@ def kmeans_refine(
         "cent_id", F.transform("c_emb", lambda x: x.cast("double")).alias("c_emb")
     )
     for _ in range(n_iters):
-        scored = embeddings.select("vec_id", "embedding").crossJoin(
-            F.broadcast(cents)
-        ).select(
-            "vec_id",
-            "embedding",
-            "cent_id",
-            F.round(cosine(F.col("embedding"), F.col("c_emb")), SIM_SCALE).alias("csim"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cent_id")
-        )
+        assigned = nearest_centroid(
+            embeddings.select("vec_id", "embedding"), cents
+        ).select("vec_id", "embedding", "cent_id")
         means = (
             assigned.select(
                 "cent_id", F.posexplode(F.col("embedding")).alias("pos", "val")
             )
             .groupBy("cent_id", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("mv"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.floor(F.col("val").cast("double") * MEAN_QUANT).cast("long")
+                    )
+                    / (F.count("*") * F.lit(MEAN_QUANT)),
+                    4,
+                ).alias("mv")
+            )
             .groupBy("cent_id")
             .agg(
                 F.transform(

@@ -143,6 +143,57 @@ def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(d, n=3)
 
 
+# --- candidate pairs → connected-component clusters --------------------------
+@query(
+    "pipe_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(substr(md5(concat('{'a' if k < dedup.N_HASHES // 2 else 'b'}|', shingle)), {(k % (dedup.N_HASHES // 2)) * 8 + 1}, 8)) AS h{k}" for k in range(dedup.N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, concat(h{2 * b}, h{2 * b + 1}) AS band_key FROM sig" for b in range(dedup.N_HASHES // dedup.BAND_SIZE))}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id,
+           MIN(label) AS cluster_id,
+           CAST(node = MIN(label) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs → connected components → keep/drop decision.
+
+    cluster_id = min doc_id of the component (the canonical keep);
+    is_canonical marks the one doc to retain per cluster. Min-label
+    propagation with pointer jumping (operators/dedup.py) — O(log diameter)
+    rounds, one join + one shuffle per round; the DuckDB oracle computes
+    the identical transitive closure via WITH RECURSIVE."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d, n=3)
+    cc = dedup.connected_components(pairs)
+    return cc.withColumn(
+        "is_canonical", (F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 # --- SimHash fingerprints ----------------------------------------------------
 @query(
     "pipe_simhash_fingerprints",
@@ -287,41 +338,69 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- IVF ANN -----------------------------------------------------------------
-@query(
-    "pipe_ann_ivf_topk",
-    oracle="""
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+def _duck_ivf_oracle(refine_iters: int) -> str:
+    """DuckDB oracle for cosine_topk_ivf(k=5, n_centroids=16, n_probe=4),
+    with ``refine_iters`` unrolled Lloyd's iterations — generated from one
+    template so the refined and unrefined entries can never drift.
+
+    Mirrors operators/similarity.py exactly: sign-orthant seeding (4 bits,
+    min vec_id per bucket, cent_id ranked by bucket), argmax-cosine
+    assignment with lowest-cent_id ties, and fixed-point member means
+    (floor(val·1e6) BIGINT sums — order-independent, so bit-identical to
+    Spark's distributed aggregation — rounded to 4dp)."""
+    its = []
+    for i in range(1, refine_iters + 1):
+        its.append(f"""
+    a{i} AS (
+      SELECT vec_id, cent_id, ee FROM (
+        SELECT e.vec_id, c.cent_id, e.ee,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos("e.ee", "c.ce")} DESC, c.cent_id) AS rn
+        FROM e, cent{i - 1} c) x WHERE rn = 1),
+    m{i} AS (
+      SELECT a.cent_id, t.i AS pos,
+             ROUND(SUM(CAST(FLOOR(a.ee[t.i] * 1000000) AS BIGINT))
+                   / (COUNT(*) * 1000000.0), 4) AS mv
+      FROM a{i} a, UNNEST(generate_series(1, len(a.ee))) AS t(i)
+      GROUP BY a.cent_id, t.i),
+    cent{i} AS (
+      SELECT c.cent_id, COALESCE(m.ce2, c.ce) AS ce
+      FROM cent{i - 1} c LEFT JOIN (
+        SELECT cent_id, list(mv ORDER BY pos) AS ce2 FROM m{i} GROUP BY cent_id
+      ) m USING (cent_id))""")
+    cent = f"cent{refine_iters}"
+    return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
-    cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cent_id,
-                    ee AS ce
-             FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
-    ascore AS (
-      SELECT e.vec_id, c.cent_id,
-             ROUND(list_dot_product(ee, ce)
-                   / (sqrt(list_dot_product(ee, ee)) * sqrt(list_dot_product(ce, ce))),
-                   6) AS csim
-      FROM e, cent c),
+    eb AS (SELECT vec_id, array_to_string(list_transform(ee[1:4],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket FROM e),
+    cent0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY b.bucket) AS INTEGER) - 1 AS cent_id,
+             e2.ee AS ce
+      FROM (SELECT bucket, MIN(vec_id) AS vec_id FROM eb GROUP BY bucket) b
+      JOIN e e2 USING (vec_id)),{",".join(its)}{"," if its else ""}
     assign AS (
       SELECT vec_id, cent_id FROM (
-        SELECT vec_id, cent_id,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
-        FROM ascore) x WHERE rn = 1),
+        SELECT e.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos("e.ee", "c.ce")} DESC, c.cent_id) AS rn
+        FROM e, {cent} c) x WHERE rn = 1),
     q AS (SELECT vec_id AS query_id, ee AS qe FROM e WHERE vec_id < 10),
-    qscore AS (
-      SELECT query_id, cent_id,
-             ROUND(list_dot_product(qe, ce)
-                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
-                   6) AS csim
-      FROM q, cent c),
     probes AS (
       SELECT query_id, cent_id FROM (
         SELECT query_id, cent_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY csim DESC, cent_id) AS rn
-        FROM qscore) x WHERE rn <= 4),
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY {_duck_cos("qe", "c.ce")} DESC, c.cent_id) AS rn
+        FROM q, {cent} c) x WHERE rn <= 4),
     s AS (
       SELECT p.query_id, a.vec_id,
-             ROUND(list_dot_product(q.qe, e.ee)
-                   / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.ee, e.ee))),
-                   6) AS sim
+             {_duck_cos("q.qe", "e.ee")} AS sim
       FROM probes p JOIN assign a USING (cent_id)
       JOIN q ON p.query_id = q.query_id
       JOIN e ON a.vec_id = e.vec_id
@@ -331,12 +410,15 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
       FROM s) r
     WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@query("pipe_ann_ivf_topk", oracle=_duck_ivf_oracle(0))
 def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: nearest-centroid inverted lists (16 deterministic
-    centroids), 4 probed lists per query, exact cosine re-rank — the third
-    ANN path beside brute-force and sign-LSH."""
+    """IVF ANN: nearest-centroid inverted lists (sign-orthant-seeded
+    deterministic centroids, map-side fold assignment — no corpus shuffle),
+    4 probed lists per query, exact cosine re-rank — the third ANN path
+    beside brute-force and sign-LSH."""
     e = load_table(spark, sf_dir, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
@@ -347,13 +429,12 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- IVF ANN with k-means-refined centroids ----------------------------------
-@query("pipe_ann_ivf_refined")  # no oracle: iterative float means are not
-# bit-reproducible across engines (partition-order-dependent avg); the
-# refinement is instead proven by tests (objective non-decreasing, exact
-# sims on the query path) and the unrefined twin is fully hash-checked.
+@query("pipe_ann_ivf_refined", oracle=_duck_ivf_oracle(2))
 def ann_ivf_refined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN after 2 distributed Lloyd's iterations on the centroids —
-    the iterative-algorithm entry in the inventory (rows-only check)."""
+    the iterative-algorithm entry. Fixed-point (1e-6-quantized) member
+    means make the iteration bit-reproducible across engines, so this
+    entry is fully hash-checked rather than rows-only."""
     e = load_table(spark, sf_dir, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, register_views
+from ..catalog import TPCH_TABLES, load_table, register_views
 from ..functions import dsum_expr, sql_dsum, sql_dsum_wide
 from .registry import query
 
@@ -148,7 +148,7 @@ def not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kept in SQL form: a DataFrame left_anti is NOT equivalent when the
     subquery can yield NULLs (SURVEY §2-B joins table); Spark plans this as
     a null-aware broadcast anti join."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=TPCH_TABLES)
     return spark.sql(
         """
         SELECT p.p_brand AS brand, p.p_type AS ptype, p.p_size AS psize,
@@ -184,7 +184,7 @@ def correlated_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     The correlated AVG compares (not outputs) values, so double AVG
     differences below filter-threshold granularity are immaterial; the
     output aggregate itself is exact-decimal."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=TPCH_TABLES)
     return spark.sql(
         """
         SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
@@ -214,7 +214,7 @@ def correlated_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated MIN-of-region scalar subquery — the min-supplycost shape
     of tpch/q02.sql:24-38 re-targeted at supplier balances."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=TPCH_TABLES)
     return spark.sql(
         """
         SELECT s.s_name AS sname, n.n_name AS nname, s.s_acctbal AS acctbal
@@ -245,7 +245,7 @@ def scalar_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING against an uncorrelated scalar-aggregate subquery
     (tpch/q11.sql:14-26). Both sides of the comparison are exact decimals,
     so the threshold cut is deterministic."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=TPCH_TABLES)
     return spark.sql(
         """
         SELECT l_suppkey AS suppkey,
@@ -323,7 +323,7 @@ def exists_not_exists_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Waiting-supplier shape: EXISTS + NOT EXISTS, both correlated with a
     <> theta predicate (tpch/q21.sql:14-32). Kept in SQL; Catalyst plans
     semi + anti joins on l_orderkey with the <> as residual condition."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=TPCH_TABLES)
     return spark.sql(
         """
         SELECT s.s_name AS sname, COUNT(*) AS numwait
@@ -356,7 +356,7 @@ def exists_not_exists_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_between_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BETWEEN whose bounds are scalar subqueries (tpcds/q54.sql:47-59
     d_month_seq+1 .. +3 shape)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=TPCH_TABLES)
     return spark.sql(
         """
         SELECT CAST(o_orderdate AS DATE) AS orderdate, COUNT(*) AS n_orders
@@ -387,7 +387,7 @@ def disjunctive_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS ... AND (EXISTS ... OR EXISTS ...) — the disjunctive
     correlated-exists shape of tpcds/q10.sql:23-52 / q35.sql:26-55.
     Kept in SQL per SURVEY §2-B ("plans as semi joins + Or")."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=TPCH_TABLES)
     return spark.sql(
         """
         SELECT c.c_mktsegment AS segment, COUNT(*) AS cnt
@@ -417,7 +417,7 @@ def disjunctive_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 def correlated_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated COUNT(*) subquery compared against a bound + SELECT
     DISTINCT (tpcds/q41.sql:1-15)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=TPCH_TABLES)
     return spark.sql(
         """
         SELECT DISTINCT p.p_name AS pname
@@ -447,7 +447,7 @@ def in_or_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tpcds/q45.sql:14-20). A disjunction blocks the semi-join rewrite, so
     Catalyst plans the subquery as an ExistenceJoin feeding the OR filter —
     the subquery side here is a filtered dimension, kept broadcastable."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=TPCH_TABLES)
     return spark.sql(
         """
         SELECT n.n_name AS nation, COUNT(*) AS numcust
@@ -487,7 +487,7 @@ def scalar_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tpcds/q09.sql:2-17's bucket pattern). Each scalar is an independent
     1-row subplan Catalyst executes once and inlines — the 1-row driving
     table never multiplies work. Deterministic avg via decimal-sum/count."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=TPCH_TABLES)
     return spark.sql(
         """
         SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) > 2000
