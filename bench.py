@@ -38,8 +38,10 @@ HEADLINE = [
     "agg_monthly_pivot",
     "set_union_all_reagg",
     "pipe_minhash_lsh_candidates",
+    "pipe_dedup_clusters",
     "pipe_ann_cosine_topk",
     "pipe_ann_ivf_topk",
+    "pipe_ann_recall",
     "pipe_embedding_near_dup",
     "pipe_text_quality",
     "pipe_events_hourly",

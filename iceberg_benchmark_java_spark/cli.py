@@ -101,17 +101,18 @@ def main(argv: list[str] | None = None) -> int:
         # (discovery → templating → timed noop → results CSV). Registered
         # after sf_dir views on purpose: the suite's schema wins a clash
         # (e.g. `customer` exists in both worlds with different columns).
+        # --partitioned-warehouse switches the facts to the date-partitioned
+        # layout (partitioned_runner.sh axis over the verbatim corpus).
         import os as _os
 
-        from . import fixtures as _fixtures
-        from .corpus_ref import SUITES as _SUITES
+        from .corpus_ref import register_bare_views
 
-        _fixtures.generate_all()
-        _, _fdir, _tables = _SUITES[args.fixture_suite]
-        for _t in _tables:
-            spark.read.parquet(
-                _os.path.join(_fdir, f"{_t}.parquet")
-            ).createOrReplaceTempView(_t)
+        part_dir = (
+            _os.path.join(args.partitioned_warehouse, args.fixture_suite)
+            if args.partitioned_warehouse
+            else None
+        )
+        register_bare_views(spark, args.fixture_suite, partitioned_dir=part_dir)
     # A4 config introspection (IcebergBenchmark.java:107-118): tag results
     # with the catalog's connector config; same keys and defaults.
     cat = args.catalog_name or "local"

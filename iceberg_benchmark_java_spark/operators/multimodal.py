@@ -73,10 +73,79 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL binary PPM (P6) images, built
+    deterministically from document stats with pure column expressions
+    (header + 'x'-filled raster — every byte ascii, so an engine-portable
+    digest oracle can recompute it as a string). Dimensions derive from
+    n_chars, so an oracle can predict the decoded (width, height) and
+    byte count arithmetically while the Spark side genuinely PARSES the
+    bytes back via :func:`_decode_ppm`."""
+    w = (F.col("n_chars") % 64 + 4).cast("int")
+    h = (F.col("n_chars") % 48 + 4).cast("int")
+    header = F.concat_ws(
+        "", F.lit("P6\n"), w, F.lit(" "), h, F.lit("\n255\n")
+    )
+    raster = F.repeat(F.lit("x"), (w * h * 3).cast("int"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.encode(F.concat(header, raster), "utf-8").alias("payload"),
+        w.alias("meta_width"),
+        h.alias("meta_height"),
+    )
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int] | None:
+    """REAL stdlib decoder for binary netpbm images (P5 pgm / P6 ppm).
+
+    Parses the header (magic, whitespace/comment-tolerant width, height,
+    maxval) and validates the raster length against the declared
+    dimensions. Returns (width, height), or None if the payload is not a
+    well-formed binary netpbm — no external codec needed.
+    """
+    if len(payload) < 2 or payload[:2] not in (b"P5", b"P6"):
+        return None
+    channels = 3 if payload[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":  # comment runs to end of line
+            nl = payload.find(b"\n", pos)
+            if nl == -1:
+                return None
+            pos = nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < len(payload) and payload[end : end + 1].isdigit():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+        else:
+            return None
+    if len(fields) < 3:
+        return None
+    width, height, maxval = fields
+    if not (0 < maxval < 65536 and width > 0 and height > 0):
+        return None
+    bytes_per_sample = 2 if maxval > 255 else 1
+    raster = width * height * channels * bytes_per_sample
+    # exactly one whitespace byte separates maxval from the raster
+    if len(payload) - (pos + 1) < raster:
+        return None
+    return (width, height)
+
+
 def _decode_image_kernel(payload: bytes) -> tuple[int, int]:
-    """STUB decode: real implementation would be PIL.Image.open(...).size.
-    Deterministic fake: dimensions derived from payload length so tests
-    can assert exact values."""
+    """Image decode: REAL binary-netpbm parsing (P5/P6, stdlib-only) when
+    the payload is one; deterministic fake dims otherwise (the stand-in
+    for codecs absent in this container — swap in PIL here and nothing
+    else changes)."""
+    dims = _decode_ppm(payload)
+    if dims is not None:
+        return dims
     n = len(payload)
     return (n % 1024 + 16, n % 768 + 16)
 

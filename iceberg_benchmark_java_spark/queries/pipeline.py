@@ -657,6 +657,115 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.synthesize_media(d))
 
 
+# --- multimodal REAL decode (binary netpbm round-trip) -----------------------
+@query(
+    "pipe_multimodal_ppm_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(n_chars % 64 + 4 AS INTEGER) AS w,
+             CAST(n_chars % 48 + 4 AS INTEGER) AS h
+      FROM documents
+    ),
+    p AS (
+      SELECT media_id, w, h,
+             'P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+               || chr(10) || '255' || chr(10) || repeat('x', w * h * 3) AS payload
+      FROM m
+    )
+    SELECT media_id,
+           'image/x-portable-pixmap' AS mime,
+           CAST(STRLEN(payload) AS BIGINT) AS n_bytes,
+           md5(payload) AS payload_digest,
+           w AS decoded_width,
+           h AS decoded_height
+    FROM p
+    """,
+)
+def multimodal_ppm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the mapInPandas path: payloads are
+    well-formed binary PPM (P6) images built with pure column expressions;
+    extract_features genuinely PARSES the netpbm header back out of the
+    bytes (operators/multimodal._decode_ppm — stdlib, no codec). The
+    oracle predicts the round-trip arithmetically, so a parser bug (wrong
+    dims, wrong raster validation) hash-mismatches."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.synthesize_ppm_media(d))
+
+
+# --- ANN recall@k: approximate paths scored against brute force --------------
+@query(
+    "pipe_ann_recall",
+    oracle=f"""
+    WITH {_DUCK_ANN_BASE},
+    bs AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {_duck_cos("qe", "ee")} DESC, vec_id) AS rn
+      FROM q, e WHERE query_id <> vec_id),
+    btop AS (SELECT query_id, vec_id FROM bs WHERE rn <= 5),
+    qb AS (SELECT query_id, qe, array_to_string(list_transform(qe[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket FROM q),
+    eb8 AS (SELECT vec_id, ee, array_to_string(list_transform(ee[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket FROM e),
+    ls AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {_duck_cos("qe", "ee")} DESC, vec_id) AS rn
+      FROM qb JOIN eb8 USING (bucket) WHERE query_id <> vec_id),
+    ltop AS (SELECT query_id, vec_id FROM ls WHERE rn <= 5),
+    itop AS (SELECT query_id, vec_id FROM ({_duck_ivf_oracle(0)})),
+    methods AS (
+      SELECT 'lsh' AS method, query_id, vec_id FROM ltop
+      UNION ALL
+      SELECT 'ivf' AS method, query_id, vec_id FROM itop)
+    SELECT m.method, q.query_id,
+           COUNT(b.vec_id) / 5.0 AS recall_at_5
+    FROM (SELECT DISTINCT method FROM methods) m
+    CROSS JOIN q
+    LEFT JOIN methods t ON t.method = m.method AND t.query_id = q.query_id
+    LEFT JOIN btop b ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+    GROUP BY m.method, q.query_id
+    """,
+)
+def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the two approximate ANN paths (sign-LSH buckets, IVF
+    probed lists) against the exact brute-force top-5, per query — the
+    quality dial that tells an operator whether the 100 TB-scale index
+    parameters (bits, lists, probes) are recalling enough. Deterministic:
+    every path's top-k set is exactly reproducible in both engines."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    brute = similarity.cosine_topk_bruteforce(e, q, k=5).select("query_id", "vec_id")
+    approx = {
+        "lsh": similarity.cosine_topk_lsh(e, q, k=5),
+        "ivf": similarity.cosine_topk_ivf(e, q, k=5, n_centroids=16, n_probe=4),
+    }
+    qids = q.select("query_id")
+    parts = []
+    for method, df in approx.items():
+        hits = (
+            df.select("query_id", "vec_id")
+            .join(brute, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        parts.append(
+            qids.join(hits, "query_id", "left").select(
+                F.lit(method).alias("method"),
+                "query_id",
+                (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0)).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+    return parts[0].unionAll(parts[1])
+
+
 # --- video frame sampling (explode-then-decode shape) ------------------------
 @query(
     "pipe_frame_sample",

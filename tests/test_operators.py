@@ -395,8 +395,10 @@ def test_kmeans_refine_improves_objective(spark):
         return scored.agg(F.avg("best")).first()[0]
 
     seeded, _ = ivf_assignments(e, n_centroids=8)
+    n_seeds = seeded.count()  # one per non-empty sign-orthant, <= 8
+    assert 1 <= n_seeds <= 8
     refined = kmeans_refine(e, seeded, n_iters=2)
-    assert refined.count() == 8  # no centroid lost (empty clusters kept)
+    assert refined.count() == n_seeds  # no centroid lost (empty clusters kept)
     assert objective(refined) >= objective(seeded) - 1e-9
     # query path unchanged: refined IVF returns well-formed exact-sim top-k
     q = e.filter("vec_id < 2").select(
@@ -432,3 +434,65 @@ def test_asof_join_tolerance(spark):
     # pid 1: latest build at t<=20 is t=12 (gap 8 > 5) -> None
     # pid 2: latest build at t<=30 is t=5 (gap 25 > 5) -> None
     assert got == {0: 100, 1: None, 2: None}
+
+
+def test_connected_components_clusters(spark):
+    """Min-label propagation must produce the exact transitive closure:
+    chain + triangle + isolated pair -> three components labelled by their
+    min member, every pair member present exactly once."""
+    from iceberg_benchmark_java_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter > 1 forces multiple rounds), triangle
+        # 10-11-12 with redundant edges, isolated pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping: a 33-node path collapses within the iteration cap
+    (log2(32) + slack rounds, not 32 rounds)."""
+    from iceberg_benchmark_java_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    out = connected_components(pairs, max_iter=8).collect()
+    assert len(out) == 33
+    assert {r.cluster_id for r in out} == {0}
+
+
+def test_ppm_decode_kernel_parses_real_netpbm():
+    """The stdlib netpbm parser: P6/P5 headers with comments and arbitrary
+    whitespace; truncated rasters and bad maxvals rejected."""
+    from iceberg_benchmark_java_spark.operators.multimodal import _decode_ppm
+
+    assert _decode_ppm(b"P6\n# a comment\n3 2\n255\n" + b"\x00" * 18) == (3, 2)
+    assert _decode_ppm(b"P5 4 3 255 " + b"\x00" * 12) == (4, 3)
+    assert _decode_ppm(b"P6\n3 2\n65535\n" + b"\x00" * 36) == (3, 2)  # 16-bit
+    assert _decode_ppm(b"P6\n3 2\n255\n" + b"\x00" * 17) is None  # short raster
+    assert _decode_ppm(b"P6\n3 2\n70000\n" + b"\x00" * 18) is None  # bad maxval
+    assert _decode_ppm(b"not an image") is None
+
+
+def test_ppm_synthesis_roundtrip(spark, docs):
+    """synthesize_ppm_media emits REAL P6 bytes; extract_features must
+    parse back exactly the metadata dims."""
+    from iceberg_benchmark_java_spark.operators import multimodal
+
+    media = multimodal.synthesize_ppm_media(docs.limit(20))
+    meta = {r.media_id: (r.meta_width, r.meta_height) for r in media.collect()}
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == len(meta)
+    for r in feats:
+        assert (r.decoded_width, r.decoded_height) == meta[r.media_id]

@@ -245,3 +245,90 @@ def test_corpus_plan_quality(spark, name):
     assert not pushed_head.startswith(" []"), f"{name}: empty pushdown"
     if name not in BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ivf_assignment_no_corpus_shuffle(spark):
+    """Nearest-centroid assignment must be a map-side fold over a broadcast
+    centroid array: NO hash-partitioning Exchange between the embeddings
+    scan and the cent_id column (the old Window.partitionBy(vec_id) argmax
+    shuffled N x C scored rows)."""
+    from iceberg_benchmark_java_spark.catalog import load_table
+    from iceberg_benchmark_java_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    _, assignments = ivf_assignments(e, n_centroids=16)
+    plan = assignments._jdf.queryExecution().executedPlan().toString()
+    # no shuffle of the corpus on vec_id, and no per-vector window argmax;
+    # the tiny seed side may window/shuffle its <=16 rows freely
+    assert "Exchange hashpartitioning(vec_id" not in plan
+    assert "windowspecdefinition(vec_id" not in plan
+
+
+# --- partitioned TPC-DS fixture warehouse (partitioned_runner.sh axis) -------
+
+
+@pytest.fixture(scope="module")
+def tpcds_part_dir(spark, tmp_path_factory):
+    """Materialize + register the date-partitioned TPC-DS fixture facts;
+    restore the flat views afterwards so later tests see the flat axis."""
+    from iceberg_benchmark_java_spark import corpus_ref
+
+    d = str(tmp_path_factory.mktemp("tpcds_part"))
+    corpus_ref.register_fixture_views(spark, "tpcds", partitioned_dir=d)
+    yield d
+    corpus_ref.register_fixture_views(spark, "tpcds", force=True)
+
+
+def test_tpcds_partitioned_static_pruning(spark, tpcds_part_dir):
+    """A direct ss_sold_date_sk range on the partitioned store_sales must
+    prune at the DIRECTORY level (PartitionFilters), not row level."""
+    plan = (
+        spark.sql(
+            "SELECT ss_item_sk FROM ref_tpcds_store_sales "
+            "WHERE ss_sold_date_sk BETWEEN 2451000 AND 2451100"
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "ss_sold_date_sk" in pf
+
+
+def test_tpcds_partitioned_dpp(spark, tpcds_part_dir):
+    """date_dim-derived filters must reach store_sales as DYNAMIC partition
+    pruning — the plan shape the 198 corpus date_dim references rely on."""
+    plan = (
+        spark.sql(
+            "SELECT ss_item_sk, ss_ext_sales_price "
+            "FROM ref_tpcds_store_sales, ref_tpcds_date_dim "
+            "WHERE ss_sold_date_sk = d_date_sk AND d_year = 2000 AND d_moy = 3"
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_tpcds_partitioned_corpus_q03_plans_dpp(spark, tpcds_part_dir):
+    """The verbatim corpus q03 (date_dim ⋈ store_sales ⋈ item) must plan
+    dynamic partition pruning on the partitioned axis."""
+    from iceberg_benchmark_java_spark import corpus_ref
+
+    df = corpus_ref.run_ref_query(spark, "tpcds", "q03")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_tpcds_partitioned_matches_flat(spark, tpcds_part_dir):
+    """Layout must never change results: verbatim q03 returns identical
+    rows on the flat and partitioned warehouses."""
+    from iceberg_benchmark_java_spark import corpus_ref
+
+    corpus_ref.register_fixture_views(spark, "tpcds", force=True)
+    flat = corpus_ref.run_ref_query(spark, "tpcds", "q03").collect()
+    corpus_ref.register_fixture_views(
+        spark, "tpcds", partitioned_dir=tpcds_part_dir
+    )
+    part = corpus_ref.run_ref_query(spark, "tpcds", "q03").collect()
+    assert sorted(map(tuple, flat)) == sorted(map(tuple, part))
+    assert len(flat) > 0
