@@ -65,7 +65,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             # LONG nanos → microsecond timestamp_ntz by pure NTZ
@@ -76,6 +76,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.expr(
                     "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif isinstance(df.schema["ts"].dataType, TimestampType):
+            # instant-typed era (timestamp[us] with tz) → the UTC wall
+            # clock as timestamp_ntz via epoch arithmetic; a direct cast
+            # would interpret through the SESSION timezone instead.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts), "
                     "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )

@@ -44,36 +44,35 @@ def _write_events(dirpath: str, ts_array: pa.Array) -> str:
 def drift_dirs(tmp_path_factory):
     nanos_dir = str(tmp_path_factory.mktemp("events_nanos"))
     micros_dir = str(tmp_path_factory.mktemp("events_micros"))
+    instant_dir = str(tmp_path_factory.mktemp("events_instant"))
     _write_events(
         nanos_dir,
         pa.array([m * 1000 for m in _MICROS], pa.timestamp("ns")),
     )
     _write_events(micros_dir, pa.array(_MICROS, pa.timestamp("us")))
-    return nanos_dir, micros_dir
+    _write_events(instant_dir, pa.array(_MICROS, pa.timestamp("us", tz="UTC")))
+    return nanos_dir, micros_dir, instant_dir
 
 
-def test_both_encodings_load_with_identical_schema(spark, drift_dirs):
-    nanos_dir, micros_dir = drift_dirs
-    df_n = load_table(spark, nanos_dir, "events")
-    df_u = load_table(spark, micros_dir, "events")
-    assert df_n.schema["ts"].dataType.typeName() == "timestamp_ntz"
-    assert df_u.schema["ts"].dataType.typeName() == "timestamp_ntz"
-    assert [f.name for f in df_n.schema.fields] == [
-        f.name for f in df_u.schema.fields
+def test_all_encodings_load_with_identical_schema(spark, drift_dirs):
+    dfs = [load_table(spark, d, "events") for d in drift_dirs]
+    for df in dfs:
+        assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+        assert [f.name for f in df.schema.fields] == [
+            f.name for f in dfs[0].schema.fields
+        ]
+
+
+def test_all_encodings_load_identical_values(spark, drift_dirs):
+    results = [
+        sorted(
+            load_table(spark, d, "events").select("event_id", "ts").collect()
+        )
+        for d in drift_dirs
     ]
-
-
-def test_both_encodings_load_identical_values(spark, drift_dirs):
-    nanos_dir, micros_dir = drift_dirs
-    rows_n = sorted(
-        load_table(spark, nanos_dir, "events").select("event_id", "ts").collect()
-    )
-    rows_u = sorted(
-        load_table(spark, micros_dir, "events").select("event_id", "ts").collect()
-    )
-    assert rows_n == rows_u
-    # spot-check the wall-clock value survived both paths
-    assert rows_n[0].ts.isoformat() == "2024-03-01T12:34:56.789000"
+    assert results[0] == results[1] == results[2]
+    # spot-check the wall-clock value survived every path
+    assert results[0][0].ts.isoformat() == "2024-03-01T12:34:56.789000"
 
 
 def test_live_fixture_loads(spark):

@@ -37,8 +37,9 @@ def test_query_matches_oracle(spark, duck, name):
 def test_every_query_has_oracle_or_is_documented():
     missing = set(QUERIES) - set(ORACLES)
     # Policy: every registered query ships an oracle unless genuinely
-    # non-SQL-expressible; keep this list explicit and tiny.
-    # - pipe_ann_ivf_refined: iterative (Lloyd's) float means are
-    #   partition-order dependent — no bit-exact cross-engine oracle
-    #   exists; proven by tests instead (see operators/similarity.py).
-    assert missing == {"pipe_ann_ivf_refined"}, f"queries without oracles: {missing}"
+    # non-SQL-expressible; keep this list explicit and tiny. Round 4:
+    # the list is EMPTY — the last holdout (pipe_ann_ivf_refined) became
+    # oracle-checkable once k-means member means moved to fixed-point
+    # accumulation (order-independent BIGINT sums, bit-identical across
+    # engines; see operators/similarity.py kmeans_refine).
+    assert missing == set(), f"queries without oracles: {missing}"
