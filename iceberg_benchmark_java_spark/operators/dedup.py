@@ -278,12 +278,15 @@ def connected_components(
             .join(labels.alias("b"), F.col("a.label") == F.col("b.node"))
             .select(F.col("a.node").alias("node"), F.col("b.label").alias("label"))
         )
+        # lazy checkpoint: the convergence count below is the round's ONE
+        # action — it materializes the checkpoint and measures the delta
+        # in the same job (an eager checkpoint would double the jobs).
         new_labels = (
             labels.union(nbr)
             .union(jump)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.withColumnRenamed("label", "new_label")

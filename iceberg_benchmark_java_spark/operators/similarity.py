@@ -128,20 +128,22 @@ def nearest_centroid(
     cent_arr = centroids.agg(
         F.array_sort(F.collect_list(F.struct("cent_id", "c_emb"))).alias("_cents")
     )
-    init = F.struct(
-        F.lit(-1).alias("cent_id"), F.lit(float("-inf")).alias("csim")
+    # score each centroid ONCE (one dot product per centroid), then take
+    # the struct-lexicographic max of (csim, -cent_id): max csim, ties to
+    # the LOWEST cent_id — identical semantics to ORDER BY csim DESC,
+    # cent_id with rn=1, with no per-element double evaluation.
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.round(cosine(F.col(emb_col), c.getField("c_emb")), SIM_SCALE).alias(
+                "csim"
+            ),
+            (-c.getField("cent_id")).alias("neg_cent_id"),
+        ),
     )
-
-    def step(acc, c):
-        s = F.round(cosine(F.col(emb_col), c.getField("c_emb")), SIM_SCALE)
-        return F.when(
-            s > acc.getField("csim"),
-            F.struct(c.getField("cent_id").alias("cent_id"), s.alias("csim")),
-        ).otherwise(acc)
-
     return (
         df.crossJoin(F.broadcast(cent_arr))
-        .withColumn("cent_id", F.aggregate("_cents", init, step).getField("cent_id"))
+        .withColumn("cent_id", (-F.array_max(scored).getField("neg_cent_id")))
         .drop("_cents")
     )
 
