@@ -1,5 +1,6 @@
 from .events import (
     click_purchase_join_stream,
+    dedup_against_corpus_stream,
     dedup_events_stream,
     enrich_events_stream,
     enrich_with_customer_stream,
@@ -12,6 +13,7 @@ from .events import (
 
 __all__ = [
     "click_purchase_join_stream",
+    "dedup_against_corpus_stream",
     "dedup_events_stream",
     "enrich_events_stream",
     "enrich_with_customer_stream",

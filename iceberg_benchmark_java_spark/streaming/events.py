@@ -230,6 +230,32 @@ def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def dedup_against_corpus_stream(
+    docs_stream: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Stream-static anti-join dedup: drop incoming documents whose content
+    digest already exists in the historical corpus — the ingestion front
+    of a training-data pipeline (new crawl data vs everything already
+    curated).
+
+    Each micro-batch left_anti-joins the static digest set on the md5
+    fingerprint; the static side is re-resolved per batch, so a corpus
+    refresh (new curation run landing) is picked up without restarting the
+    stream. Here the digest set is broadcast; at 100 TB the same plan
+    degrades gracefully to a shuffled anti-join when the digest table
+    outgrows the broadcast threshold — or put a Bloom filter of the
+    corpus digests in front as a cheap pre-filter and keep the exact
+    anti-join for the survivors. Complements dedup_events_stream
+    (within-stream dedup): this is ACROSS the stream/batch boundary.
+    """
+    known = F.broadcast(
+        corpus.select(F.md5(F.col("text")).alias("fingerprint")).distinct()
+    )
+    return docs_stream.withColumn("fingerprint", F.md5(F.col("text"))).join(
+        known, "fingerprint", "left_anti"
+    )
+
+
 def click_purchase_join_stream(
     events: DataFrame, watermark: str = "2 hours", horizon_minutes: int = 60
 ) -> DataFrame:

@@ -332,3 +332,47 @@ def test_tpcds_partitioned_matches_flat(spark, tpcds_part_dir):
     part = corpus_ref.run_ref_query(spark, "tpcds", "q03").collect()
     assert sorted(map(tuple, flat)) == sorted(map(tuple, part))
     assert len(flat) > 0
+
+
+def test_runtime_bloom_filter_on_selective_fact_join(spark):
+    """Runtime bloom-filter injection (on by default in the session conf):
+    a selective filter on one fact side must semi-reduce the other side's
+    scan via might_contain BEFORE the shuffle. The size thresholds are
+    lowered to emulate cluster-scale scan sizes — at 100 TB the default
+    10 GB application-side threshold passes naturally and this is the
+    plan Spark produces with our session defaults."""
+    from pyspark.sql import functions as F
+
+    from iceberg_benchmark_java_spark.catalog import load_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load_table(spark, SF_SMOKE, "lineitem")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

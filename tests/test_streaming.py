@@ -239,3 +239,35 @@ def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
     ids = [r.event_id for r in rows]
     assert len(ids) == len(set(ids)), "duplicate event_ids survived dedup"
     assert len(set(ids)) == events.count()
+
+
+def test_dedup_against_corpus_stream(spark, tmp_path):
+    """Stream-static anti-join dedup: docs whose text already exists in the
+    static corpus are dropped; novel docs pass through exactly once."""
+    corpus = load_table(spark, SF_SMOKE, "documents")
+    known = [r.text for r in corpus.limit(3).collect()]
+    incoming = spark.createDataFrame(
+        [(1000, known[0]), (1001, "genuinely new document one"),
+         (1002, known[1]), (1003, "genuinely new document two"),
+         (1004, known[2])],
+        "doc_id BIGINT, text STRING",
+    )
+    src_dir = str(tmp_path / "docs_stream")
+    incoming.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING").parquet(src_dir)
+    )
+    out = streaming.dedup_against_corpus_stream(stream, corpus)
+    q = streaming.run_stream_to_memory(
+        out, "corpus_dedup_test", output_mode="append", available_now=True
+    )
+    try:
+        _await_done(q)
+        got = sorted(
+            r.doc_id for r in spark.sql(
+                "SELECT doc_id FROM corpus_dedup_test"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    assert got == [1001, 1003]
