@@ -99,3 +99,84 @@ def fingerprint_clusters(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = 50, stride: int = 40
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows — the
+    standard chunking step that turns variable-length documents into
+    training-sequence candidates (stride < chunk_size gives the overlap
+    that preserves cross-boundary context).
+
+    Pure column expressions (sequence → transform/slice → explode): a
+    narrow, embarrassingly parallel transformation with no shuffle at all —
+    exactly what the 100 TB chunking pass must be. Output: one row per
+    (doc_id, chunk_idx) with the chunk text and its token count; the final
+    short chunk is kept (truncation policy belongs downstream).
+    """
+    toks = tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(toks, s, chunk_size).alias("_ctoks"),
+        ),
+    )
+    c = F.explode(chunks).alias("c")
+    return docs.select("doc_id", c).select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("c._ctoks").cast("int").alias("n_tokens"),
+        F.array_join("c._ctoks", " ").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 512,
+    group_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Greedy sequence packing: within each group, documents (ordered by
+    doc_id) fill training bins of ``capacity`` tokens; a doc that would
+    overflow starts the next bin (an oversized doc occupies a bin alone).
+    Returns (group_cols..., doc_id, n_tokens, bin_id) — the packing plan a
+    sequence-builder materializes.
+
+    Packing is inherently sequential WITHIN a bin stream, so this is a
+    legitimate applyInPandas case — but only the per-group scan is Python,
+    and only (group, doc_id, n_tokens) crosses the Arrow boundary (token
+    counting stays JVM-side). At 100 TB the group key becomes
+    (lang, shard) so each sequential scan is bounded; groups pack in
+    parallel across executors.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    gcols = list(group_cols)
+    slim = docs.select(
+        *gcols, "doc_id", token_count(F.col("text")).cast("int").alias("n_tokens")
+    )
+    out_schema = StructType(
+        [f for f in slim.schema.fields] + [StructField("bin_id", IntegerType())]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_id, fill = -1, capacity + 1  # forces a new bin on the first doc
+        for n in pdf["n_tokens"]:
+            if fill + n <= capacity:
+                fill += n
+            else:
+                bin_id += 1
+                fill = n
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int32")
+        return pdf
+
+    return slim.groupBy(*gcols).applyInPandas(pack, out_schema)

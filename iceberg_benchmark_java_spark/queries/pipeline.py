@@ -657,6 +657,65 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.synthesize_media(d))
 
 
+# --- document chunking (training-sequence prep) ------------------------------
+@query(
+    "pipe_doc_chunks",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents)
+    SELECT doc_id,
+           CAST((t.i - 1) // 40 AS INTEGER) AS chunk_idx,
+           CAST(len(w[t.i:t.i + 49]) AS INTEGER) AS n_tokens,
+           array_to_string(w[t.i:t.i + 49], ' ') AS chunk_text
+    FROM words,
+         UNNEST(generate_series(1, GREATEST(len(w), 1), 40)) AS t(i)
+    """,
+)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token windows per document (size 50, stride
+    40) — the chunking pass that turns documents into training-sequence
+    candidates. Narrow transformation, zero shuffles (operators/text.py
+    chunk_documents); the oracle recomputes the identical windows via
+    generate_series + list slicing."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(d, chunk_size=50, stride=40)
+
+
+# --- greedy sequence packing (per-group bin assignment) ----------------------
+@query(
+    "pipe_sequence_packing",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT lang, doc_id,
+             CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, n_tokens, rn,
+             0 AS bin_id, n_tokens AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.lang, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN p.fill + d.n_tokens <= 512
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + d.n_tokens <= 512
+                  THEN p.fill + d.n_tokens ELSE d.n_tokens END
+      FROM packed p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1
+    )
+    SELECT lang, doc_id, n_tokens, CAST(bin_id AS INTEGER) AS bin_id
+    FROM packed
+    """,
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy training-sequence packing per language: docs (by doc_id) fill
+    512-token bins, overflow starts the next bin. Token counts stay
+    JVM-side; only the tiny (lang, doc_id, n_tokens) triple crosses into
+    the per-group Arrow kernel (operators/text.pack_sequences). Oracle:
+    the identical sequential rule as a DuckDB recursive CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.pack_sequences(d, capacity=512, group_cols=("lang",))
+
+
 # --- multimodal REAL decode (binary netpbm round-trip) -----------------------
 @query(
     "pipe_multimodal_ppm_decode",

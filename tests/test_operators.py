@@ -496,3 +496,45 @@ def test_ppm_synthesis_roundtrip(spark, docs):
     assert len(feats) == len(meta)
     for r in feats:
         assert (r.decoded_width, r.decoded_height) == meta[r.media_id]
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk windows: size/stride arithmetic, overlap, short-final-chunk."""
+    from iceberg_benchmark_java_spark.operators.text import chunk_documents
+
+    d = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(110))), (1, "only three words")],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(d, chunk_size=50, stride=40).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: starts at tokens 1, 41, 81 → 3 chunks of 50/50/30
+    c0 = sorted(by_doc[0], key=lambda r: r.chunk_idx)
+    assert [r.n_tokens for r in c0] == [50, 50, 30]
+    assert c0[0].chunk_text.split()[40:] == c0[1].chunk_text.split()[:10]  # overlap
+    # doc 1: single short chunk
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_tokens == 3
+
+
+def test_pack_sequences_greedy_rule(spark):
+    """Packing: fill until overflow, oversized doc gets a bin alone."""
+    from iceberg_benchmark_java_spark.operators.text import pack_sequences
+
+    mk = lambda n: " ".join("t" for _ in range(n))
+    d = spark.createDataFrame(
+        [(0, "en", mk(300)), (1, "en", mk(200)), (2, "en", mk(100)),
+         (3, "en", mk(600)), (4, "en", mk(10)), (5, "fr", mk(500))],
+        ["doc_id", "lang", "text"],
+    )
+    got = {
+        (r.lang, r.doc_id): r.bin_id
+        for r in pack_sequences(d, capacity=512, group_cols=("lang",)).collect()
+    }
+    # en: 300+200=500 fits bin0; 100 overflows → bin1; 600 oversized → bin2;
+    # 10 can't join an over-capacity bin → bin3. fr packs independently.
+    assert got == {
+        ("en", 0): 0, ("en", 1): 0, ("en", 2): 1,
+        ("en", 3): 2, ("en", 4): 3, ("fr", 5): 0,
+    }
