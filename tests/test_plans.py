@@ -376,3 +376,12 @@ def test_runtime_bloom_filter_on_selective_fact_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_doc_chunks_no_shuffle(spark):
+    """Chunking is a narrow transformation: sequence→slice→explode with no
+    Exchange anywhere in the plan — the property that makes the 100 TB
+    chunking pass scan-bound."""
+    plan = _plan(spark, "pipe_doc_chunks")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
