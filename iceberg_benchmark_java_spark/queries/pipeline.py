@@ -680,6 +680,94 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(d, chunk_size=50, stride=40)
 
 
+# --- embedding-space dedup clusters (CC over cosine pairs) -------------------
+@query(
+    "pipe_embedding_clusters",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee,
+             array_to_string(list_transform(CAST(embedding AS DOUBLE[])[1:8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM e a JOIN e b USING (bucket)
+      WHERE a.vec_id < b.vec_id
+        AND ROUND(list_dot_product(a.ee, b.ee)
+                  / (sqrt(list_dot_product(a.ee, a.ee))
+                     * sqrt(list_dot_product(b.ee, b.ee))), 6) >= 0.25),
+    edges AS (
+      SELECT va AS u, vb AS v FROM pairs
+      UNION
+      SELECT vb AS u, va AS v FROM pairs),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e2.v, r.label FROM reach r JOIN edges e2 ON e2.u = r.node)
+    SELECT node AS doc_id,
+           MIN(label) AS cluster_id,
+           CAST(node = MIN(label) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def embedding_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dup clusters: sign-LSH-bucketed cosine pairs
+    (≥ 0.25) → connected components → keep/drop decision — the
+    embedding-side twin of pipe_dedup_clusters (MinHash pairs). Same
+    min-label + pointer-jump operator; the two cluster sets let a curator
+    cross-check text-similarity vs embedding-similarity duplicates."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs(
+        e.select("vec_id", "embedding")
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    cc = dedup.connected_components(pairs)
+    return cc.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+
+
+# --- event funnel (ordered-step conversion) ----------------------------------
+@query(
+    "pipe_events_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_viewed,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM firsts
+    """,
+)
+def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel conversion (view → click → purchase by FIRST
+    occurrence per user): one conditional-min aggregation per user then a
+    global rollup — two shuffles total regardless of event volume, the
+    standard scalable funnel shape (no per-user sorting, no windows)."""
+    e = load_table(spark, sf_dir, "events")
+    t = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    firsts = e.groupBy("user_id").agg(
+        t("view").alias("t_view"),
+        t("click").alias("t_click"),
+        t("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    full = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("long")).alias("n_viewed"),
+        F.sum(clicked.cast("long")).alias("n_clicked_after_view"),
+        F.sum(full.cast("long")).alias("n_full_funnel"),
+    )
+
+
 # --- greedy sequence packing (per-group bin assignment) ----------------------
 @query(
     "pipe_sequence_packing",
