@@ -768,6 +768,49 @@ def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- weekly cohort retention -------------------------------------------------
+@query(
+    "pipe_events_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    acts AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+      FROM events)
+    SELECT f.cohort_week,
+           CAST((a.act_week - f.cohort_week) // 7 AS INTEGER) AS week_offset,
+           CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_active
+    FROM firsts f JOIN acts a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-event week, counted
+    in each later activity week. Two aggregations + one user-key join —
+    every step shuffles on a natural key, so the shape holds at any event
+    volume (no per-user windows, no sorting)."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    acts = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    return (
+        firsts.join(acts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 # --- greedy sequence packing (per-group bin assignment) ----------------------
 @query(
     "pipe_sequence_packing",
