@@ -768,6 +768,45 @@ def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hourly volume anomalies (z-score per event type) ------------------------
+@query(
+    "pipe_events_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, AVG(n) AS mu, stddev_samp(n) AS sigma
+      FROM hourly GROUP BY event_type)
+    SELECT h.event_type, h.hour, h.n,
+           ROUND((h.n - s.mu) / s.sigma, 4) AS z
+    FROM hourly h JOIN stats s USING (event_type)
+    WHERE s.sigma > 0 AND ROUND(ABS((h.n - s.mu) / s.sigma), 4) >= 2.0
+    """,
+)
+def events_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly flags: hours whose event count sits ≥ 2 sample
+    standard deviations from that event type's hourly mean. One hourly
+    rollup, one tiny per-type stats aggregate broadcast back — the
+    monitoring query a pipeline runs over its own ingest counts. The
+    threshold compares the 4dp-ROUNDED z on both engines so a sub-ULP
+    stddev difference can never flip membership."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.round(F.abs(z), 4) >= 2.0))
+        .select("event_type", "hour", "n", F.round(z, 4).alias("z"))
+    )
+
+
 # --- weekly cohort retention -------------------------------------------------
 @query(
     "pipe_events_retention",
