@@ -345,10 +345,12 @@ def _duck_cos(a: str, b: str) -> str:
     )
 
 
-def _duck_ivf_oracle(refine_iters: int) -> str:
+def _duck_ivf_oracle(refine_iters: int, final_select: str | None = None) -> str:
     """DuckDB oracle for cosine_topk_ivf(k=5, n_centroids=16, n_probe=4),
     with ``refine_iters`` unrolled Lloyd's iterations — generated from one
     template so the refined and unrefined entries can never drift.
+    ``final_select`` swaps the top-k tail for a different projection over
+    the same CTEs (e.g. list-size diagnostics over ``assign``).
 
     Mirrors operators/similarity.py exactly: sign-orthant seeding (4 bits,
     min vec_id per bucket, cent_id ranked by bucket), argmax-cosine
@@ -405,11 +407,11 @@ def _duck_ivf_oracle(refine_iters: int) -> str:
       JOIN q ON p.query_id = q.query_id
       JOIN e ON a.vec_id = e.vec_id
       WHERE p.query_id <> a.vec_id)
-    SELECT query_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
+    {final_select or '''SELECT query_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
       SELECT query_id, vec_id, sim,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
       FROM s) r
-    WHERE rnk <= 5
+    WHERE rnk <= 5'''}
     """
 
 
@@ -766,6 +768,60 @@ def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(clicked.cast("long")).alias("n_clicked_after_view"),
         F.sum(full.cast("long")).alias("n_full_funnel"),
     )
+
+
+# --- corpus bigram statistics (top-k n-grams) --------------------------------
+@query(
+    "pipe_bigram_topk",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    grams AS (
+      SELECT array_to_string(w[t.i:t.i + 1], ' ') AS bigram
+      FROM words, UNNEST(generate_series(1, GREATEST(len(w) - 1, 1))) AS t(i))
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 100
+    """,
+)
+def bigram_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 bigrams (all occurrences, not per-doc distinct)
+    — the n-gram frequency table that feeds stopword lists and contamination
+    checks. explode → count → TakeOrderedAndProject top-k (deterministic
+    ties on the bigram string); one shuffle on the bigram key."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    return (
+        d.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(100)
+    )
+
+
+# --- IVF index balance diagnostics -------------------------------------------
+@query(
+    "pipe_ann_ivf_balance",
+    oracle=_duck_ivf_oracle(
+        0,
+        final_select="SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS list_size "
+        "FROM assign GROUP BY cent_id",
+    ),
+)
+def ann_ivf_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list sizes per centroid — the balance diagnostic that
+    tells an operator whether the coarse quantizer needs more centroids or
+    refinement (a skewed list degrades probe latency at 100 TB). Reuses
+    the exact assignment path of pipe_ann_ivf_topk."""
+    e = load_table(spark, sf_dir, "embeddings")
+    _, assignments = similarity.ivf_assignments(
+        e.select("vec_id", "embedding"), n_centroids=16
+    )
+    return assignments.groupBy("cent_id").agg(F.count("*").alias("list_size"))
 
 
 # --- hourly volume anomalies (z-score per event type) ------------------------
