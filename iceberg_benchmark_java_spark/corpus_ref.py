@@ -266,7 +266,12 @@ def write_partitioned_fixture_warehouse(
         df = spark.read.parquet(os.path.join(fdir, f"{t}.parquet"))
         df.write.mode("overwrite").partitionBy(keys[t]).parquet(path)
     os.makedirs(out_dir, exist_ok=True)
-    open(marker, "w").close()
+    # marker only when every expected fact directory materialized (mirrors
+    # catalog.register_views' completeness guard) — and never for suites
+    # with no partitioned facts (tpch), where an empty dir must not read
+    # as a materialized warehouse.
+    if out and all(os.path.isdir(p) for p in out.values()):
+        open(marker, "w").close()
     return out
 
 

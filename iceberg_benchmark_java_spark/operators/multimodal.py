@@ -132,7 +132,10 @@ def _decode_ppm(payload: bytes) -> tuple[int, int] | None:
         return None
     bytes_per_sample = 2 if maxval > 255 else 1
     raster = width * height * channels * bytes_per_sample
-    # exactly one whitespace byte separates maxval from the raster
+    # exactly one whitespace byte separates maxval from the raster —
+    # verify it IS whitespace (b'P6 3 2 255Zraster' must be rejected)
+    if not payload[pos : pos + 1].isspace():
+        return None
     if len(payload) - (pos + 1) < raster:
         return None
     return (width, height)

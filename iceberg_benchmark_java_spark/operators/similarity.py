@@ -93,6 +93,11 @@ def seed_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     ranked by bucket string. Cost: one tiny aggregation (≤ n_centroids
     groups) — no ordering of the corpus. Empty orthants simply yield fewer
     lists; C adapts to the data's directional spread.
+
+    For non-power-of-two ``n_centroids`` the leading dims span up to
+    ``2^ceil(log2(n))`` orthants, so the bucket-ranked list is explicitly
+    capped at ``n_centroids`` seeds (first n buckets in bucket order —
+    deterministic) to honor the ≤ n_centroids contract.
     """
     bits = max(1, (max(n_centroids, 2) - 1).bit_length())
     reps = (
@@ -107,6 +112,7 @@ def seed_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
         reps.join(embeddings, "vec_id")
         .select("bucket", F.col("embedding").alias("c_emb"))
         .withColumn("cent_id", F.row_number().over(w) - 1)
+        .filter(F.col("cent_id") < n_centroids)
         .select("cent_id", "c_emb")
     )
 

@@ -1008,7 +1008,7 @@ def multimodal_ppm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'ivf' AS method, query_id, vec_id FROM itop)
     SELECT m.method, q.query_id,
            COUNT(b.vec_id) / 5.0 AS recall_at_5
-    FROM (SELECT DISTINCT method FROM methods) m
+    FROM (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m
     CROSS JOIN q
     LEFT JOIN methods t ON t.method = m.method AND t.query_id = q.query_id
     LEFT JOIN btop b ON b.query_id = t.query_id AND b.vec_id = t.vec_id
