@@ -135,23 +135,41 @@ def chunk_documents(
     )
 
 
+def shard_of(doc_id: Column, n_shards: int) -> Column:
+    """Deterministic, engine-portable shard id in [0, n_shards): the 60-bit
+    integer value of md5(doc_id)'s first 15 hex chars, mod n_shards. md5 is
+    identical in every engine (DuckDB mirror: the same hex→int fold), and
+    the 60-bit value is non-negative so ``pmod`` == ``%``."""
+    h60 = F.conv(
+        F.substring(F.md5(doc_id.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h60, F.lit(n_shards)).cast("int")
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = 512,
     group_cols: tuple[str, ...] = ("lang",),
+    n_shards: int = 1,
 ) -> DataFrame:
     """Greedy sequence packing: within each group, documents (ordered by
     doc_id) fill training bins of ``capacity`` tokens; a doc that would
     overflow starts the next bin (an oversized doc occupies a bin alone).
-    Returns (group_cols..., doc_id, n_tokens, bin_id) — the packing plan a
-    sequence-builder materializes.
+    Returns (group_cols..., doc_id, n_tokens[, shard], bin_id) — the packing
+    plan a sequence-builder materializes.
 
     Packing is inherently sequential WITHIN a bin stream, so this is a
     legitimate applyInPandas case — but only the per-group scan is Python,
     and only (group, doc_id, n_tokens) crosses the Arrow boundary (token
-    counting stays JVM-side). At 100 TB the group key becomes
-    (lang, shard) so each sequential scan is bounded; groups pack in
-    parallel across executors.
+    counting stays JVM-side).
+
+    ``n_shards`` is the 100 TB dial: with ``n_shards > 1`` a deterministic
+    ``shard`` column (md5(doc_id) mod n — :func:`shard_of`) is folded into
+    the group key, so one popular group (e.g. lang='en' over a whole corpus)
+    splits into n bounded sequential scans that pack in parallel across
+    executors instead of one unbounded Arrow group. Expected group size is
+    |group| / n_shards — size n to taste (rows_per_group ≈ 1-10M). The
+    packing remains deterministic: shard membership depends only on doc_id.
     """
     import pandas as pd
 
@@ -161,6 +179,9 @@ def pack_sequences(
     slim = docs.select(
         *gcols, "doc_id", token_count(F.col("text")).cast("int").alias("n_tokens")
     )
+    if n_shards > 1:
+        slim = slim.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+        gcols = gcols + ["shard"]
     out_schema = StructType(
         [f for f in slim.schema.fields] + [StructField("bin_id", IntegerType())]
     )

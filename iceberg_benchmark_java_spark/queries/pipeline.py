@@ -942,6 +942,58 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pack_sequences(d, capacity=512, group_cols=("lang",))
 
 
+# --- sharded sequence packing (the bounded-group 100 TB shape) ---------------
+
+# DuckDB mirror of operators/text.shard_of: md5(doc_id) first-15-hex → 60-bit
+# int → mod n. Same fold as Spark's conv(substr(md5(..),1,15),16,10) % n.
+_N_PACK_SHARDS = 4
+_DUCK_SHARD = (
+    "CAST(list_sum(list_transform(generate_series(1,15), i -> "
+    "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT"
+    f" * (1::BIGINT << (4 * (15 - i))))) % {_N_PACK_SHARDS} AS INTEGER)"
+)
+
+
+@query(
+    "pipe_sequence_packing_sharded",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT lang, doc_id,
+             CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens,
+             {_DUCK_SHARD} AS shard,
+             ROW_NUMBER() OVER (PARTITION BY lang, {_DUCK_SHARD}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, shard, doc_id, n_tokens, rn,
+             0 AS bin_id, n_tokens AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.lang, d.shard, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN p.fill + d.n_tokens <= 512
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + d.n_tokens <= 512
+                  THEN p.fill + d.n_tokens ELSE d.n_tokens END
+      FROM packed p JOIN d ON d.lang = p.lang AND d.shard = p.shard
+                          AND d.rn = p.rn + 1
+    )
+    SELECT lang, doc_id, n_tokens, shard, CAST(bin_id AS INTEGER) AS bin_id
+    FROM packed
+    """,
+)
+def sequence_packing_sharded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded greedy packing: the group key is (lang, shard) with shard =
+    md5(doc_id) mod 4 — the dial that bounds the per-group sequential Arrow
+    scan at corpus scale (one popular language splits into n parallel
+    streams). Oracle: the identical rule per (lang, shard) as a DuckDB
+    recursive CTE over the same md5-derived shard."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.pack_sequences(
+        d, capacity=512, group_cols=("lang",), n_shards=_N_PACK_SHARDS
+    )
+
+
 # --- multimodal REAL decode (binary netpbm round-trip) -----------------------
 @query(
     "pipe_multimodal_ppm_decode",

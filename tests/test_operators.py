@@ -538,3 +538,39 @@ def test_pack_sequences_greedy_rule(spark):
         ("en", 0): 0, ("en", 1): 0, ("en", 2): 1,
         ("en", 3): 2, ("en", 4): 3, ("fr", 5): 0,
     }
+
+
+def test_pack_sequences_sharding_bounds_groups(spark):
+    """n_shards splits each lang group into bounded (lang, shard) groups:
+    every shard is < the unsharded group size, shards partition the docs,
+    and within a shard the greedy fill rule still holds."""
+    from iceberg_benchmark_java_spark.operators.text import pack_sequences
+
+    mk = lambda n: " ".join("t" for _ in range(n))
+    d = spark.createDataFrame(
+        [(i, "en", mk(50 + i % 7)) for i in range(64)], ["doc_id", "lang", "text"]
+    )
+    n_shards = 4
+    rows = pack_sequences(
+        d, capacity=512, group_cols=("lang",), n_shards=n_shards
+    ).collect()
+    assert len(rows) == 64 and len({r.doc_id for r in rows}) == 64
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.shard < n_shards
+        by_shard.setdefault(r.shard, []).append(r)
+    # md5 spreads 64 ids over 4 shards: every shard non-empty and strictly
+    # smaller than the unsharded group — the bounded-scan property.
+    assert len(by_shard) == n_shards
+    assert all(0 < len(v) < 64 for v in by_shard.values())
+    # greedy fill rule holds independently inside each shard
+    for members in by_shard.values():
+        members.sort(key=lambda r: r.doc_id)
+        fill, bin_id = None, -1
+        for r in members:
+            if fill is None or fill + r.n_tokens > 512:
+                bin_id += 1
+                fill = r.n_tokens
+            else:
+                fill += r.n_tokens
+            assert r.bin_id == bin_id
