@@ -472,6 +472,30 @@ def test_connected_components_long_chain_converges(spark):
     assert {r.cluster_id for r in out} == {0}
 
 
+def test_connected_components_batched_check_same_clusters(spark):
+    """Batched convergence checking (check_every > 1) must yield exactly the
+    per-round-checked assignments — labels are monotone, so a clean k-round
+    span is a true fixpoint, and an odd-length chain must not terminate
+    early mid-collapse."""
+    from iceberg_benchmark_java_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # 10-node path (odd collapse rounds) + triangle + isolated pair
+        [(i, i + 1) for i in range(9)] + [(50, 51), (51, 52), (50, 52), (90, 91)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    per_round = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, check_every=1).collect()
+    }
+    for k in (2, 3):
+        batched = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(pairs, check_every=k).collect()
+        }
+        assert batched == per_round
+
+
 def test_ppm_decode_kernel_parses_real_netpbm():
     """The stdlib netpbm parser: P6/P5 headers with comments and arbitrary
     whitespace; truncated rasters and bad maxvals rejected."""
