@@ -328,6 +328,82 @@ def cosine_near_dup_pairs(
     )
 
 
+def sign_bucket_band(emb: Column, band: int, n_bits: int = 8) -> Column:
+    """Sign bucket over the band-th n_bits-dim slice (dims
+    band*n_bits+1 .. (band+1)*n_bits). Band 0 equals :func:`sign_bucket`."""
+    bits = F.transform(
+        F.slice(emb, band * n_bits + 1, n_bits),
+        lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
+
+
+def cosine_near_dup_pairs_banded(
+    embeddings: DataFrame,
+    threshold: float = 0.25,
+    n_bits: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Multi-band sign-LSH near-duplicate pairs: candidates are the UNION
+    over ``n_bands`` sign-bit slices of same-bucket pairs (MinHash-LSH's
+    banding applied to sign-LSH), deduplicated, then exact-cosine re-ranked
+    against ``threshold``. Because band 0 is exactly the single-band bucket,
+    the candidate set is a superset of :func:`cosine_near_dup_pairs` — the
+    recall-closing move the single-slice path documents.
+
+    Scale shape: only (vec_id, band_idx, bucket) rows enter the candidate
+    self-join (the vectors do NOT fan out ×n_bands); exact re-rank joins the
+    embedding back by vec_id. One equi-join on (band_idx, bucket) + one
+    distinct + two key joins — no all-pairs stage. Per-bucket pair counts
+    stay quadratic in bucket size, so at 100 TB raise n_bits and n_bands
+    together (smaller buckets, recall recovered by the union over bands).
+    """
+    slim = embeddings.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        sign_bucket_band(F.col("embedding"), b, n_bits).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "vec_id",
+        F.col("bb.band_idx").alias("band_idx"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    a = slim.toDF("vec_a", "band_idx", "bucket")
+    b = slim.toDF("vec_b", "band_idx", "bucket")
+    cand = (
+        a.join(b, ["band_idx", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), SIM_SCALE).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8
 ) -> DataFrame:

@@ -474,6 +474,135 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(e.select("vec_id", "embedding"))
 
 
+# --- multi-band sign-LSH near-dup (recall-recovering banding) ----------------
+_DUCK_BANDED_CAND = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+    bands AS (
+      SELECT vec_id, t.b AS band_idx,
+             array_to_string(list_transform(ee[t.b*8+1 : t.b*8+8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM e, UNNEST(generate_series(0, 3)) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    )
+"""
+
+
+@query(
+    "pipe_embedding_near_dup_banded",
+    oracle=f"""
+    WITH {_DUCK_BANDED_CAND}
+    SELECT c.vec_a, c.vec_b, {_duck_cos("ea.ee", "eb.ee")} AS sim
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
+    WHERE {_duck_cos("ea.ee", "eb.ee")} >= 0.25
+    """,
+)
+def embedding_near_dup_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band sign-LSH near-dup: 4 bands × 8 sign bits, union of
+    same-bucket candidates (band 0 = the single-band bucket, so candidates
+    strictly contain pipe_embedding_near_dup's), exact cosine ≥ 0.25 inside.
+    Only (vec_id, band_idx, bucket) rows enter the self-join — vectors
+    rejoin by key for the re-rank."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs_banded(
+        e.select("vec_id", "embedding"), threshold=0.25, n_bits=8, n_bands=4
+    )
+
+
+# --- near-dup pair recall: bucketed paths vs the exact threshold join --------
+@query(
+    "pipe_near_dup_recall",
+    oracle=f"""
+    WITH {_DUCK_BANDED_CAND},
+    exact AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {_duck_cos("a.ee", "b.ee")} >= 0.25
+    ),
+    single AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = 0 AND b.band_idx = 0 AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    ),
+    methods AS (
+      SELECT 'single' AS method, vec_a, vec_b FROM single
+      UNION ALL
+      SELECT 'banded' AS method, vec_a, vec_b FROM cand
+    ),
+    hits AS (
+      SELECT m.method, CAST(COUNT(*) AS BIGINT) AS n_found
+      FROM methods m JOIN exact x
+        ON m.vec_a = x.vec_a AND m.vec_b = x.vec_b
+      GROUP BY m.method
+    )
+    SELECT lbl.method,
+           CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+           CAST(COALESCE(h.n_found, 0) AS BIGINT) AS n_found,
+           ROUND(CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 1.0
+                 ELSE COALESCE(h.n_found, 0) * 1.0
+                      / (SELECT COUNT(*) FROM exact) END, 6) AS recall
+    FROM (SELECT 'single' AS method UNION ALL SELECT 'banded') lbl
+    LEFT JOIN hits h ON h.method = lbl.method
+    """,
+)
+def near_dup_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIR recall of the bucketed paths against the exact
+    all-pairs threshold join (eval-only brute force at fixture scale):
+    'single' = one 8-bit sign bucket, 'banded' = the 4-band union. Banded
+    candidates are a superset of single's, so banded recall ≥ single recall
+    by construction — this entry MEASURES the gap the banding closes, the
+    quality dial for embedding-dedup index parameters at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.toDF("vec_a", "emb_a")
+    b = e.toDF("vec_b", "emb_b")
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            F.round(
+                similarity.cosine(F.col("emb_a"), F.col("emb_b")),
+                similarity.SIM_SCALE,
+            )
+            >= 0.25
+        )
+        .select("vec_a", "vec_b")
+    )
+    paths = {
+        "single": similarity.cosine_near_dup_pairs(e, threshold=0.25, n_bits=8)
+        .select("vec_a", "vec_b"),
+        "banded": similarity.cosine_near_dup_pairs_banded(
+            e, threshold=0.25, n_bits=8, n_bands=4
+        ).select("vec_a", "vec_b"),
+    }
+    n_exact = exact.agg(F.count("*").alias("n_exact_pairs"))
+    parts = []
+    for method, df in paths.items():
+        found = df.join(exact, ["vec_a", "vec_b"]).agg(
+            F.count("*").alias("n_found")
+        )
+        parts.append(
+            found.crossJoin(F.broadcast(n_exact)).select(
+                F.lit(method).alias("method"),
+                "n_exact_pairs",
+                "n_found",
+                F.round(
+                    F.when(F.col("n_exact_pairs") == 0, F.lit(1.0)).otherwise(
+                        F.col("n_found") / F.col("n_exact_pairs")
+                    ),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    return parts[0].unionAll(parts[1])
+
+
 # --- embedding norm stats ----------------------------------------------------
 @query(
     "pipe_embedding_norms",

@@ -564,6 +564,31 @@ def test_pack_sequences_greedy_rule(spark):
     }
 
 
+def test_banded_near_dup_superset_of_single_band(spark):
+    """Multi-band sign-LSH: band 0 equals the single-band bucket, so the
+    banded pair set must contain every single-band pair (recall can only
+    go up), and every surviving pair must meet the exact threshold."""
+    from iceberg_benchmark_java_spark.catalog import load_table
+    from iceberg_benchmark_java_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_banded,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    single = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_near_dup_pairs(e, threshold=0.25, n_bits=8).collect()
+    }
+    banded_rows = cosine_near_dup_pairs_banded(
+        e, threshold=0.25, n_bits=8, n_bands=4
+    ).collect()
+    banded = {(r.vec_a, r.vec_b) for r in banded_rows}
+    assert single <= banded
+    assert all(r.sim >= 0.25 and r.vec_a < r.vec_b for r in banded_rows)
+
+
 def test_pack_sequences_sharding_bounds_groups(spark):
     """n_shards splits each lang group into bounded (lang, shard) groups:
     every shard is < the unsharded group size, shards partition the docs,
