@@ -241,6 +241,139 @@ def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
     assert len(set(ids)) == events.count()
 
 
+def _write_event_file(spark, source_dir: str, seq: int, rows: list) -> None:
+    """Write one micro-batch file (event_id, ts, user_id, event_type, value,
+    props) into ``source_dir`` with a strictly increasing mtime so the file
+    source processes files in ``seq`` order."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    df = spark.createDataFrame(
+        [(i, ts, 1, et, 1.0, None) for (i, ts, et) in rows],
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(Path(tmp).glob("part-*.parquet"))
+        dest = Path(source_dir) / f"batch-{seq:03d}.parquet"
+        shutil.copy(part, dest)
+    base = 1_700_000_000  # fixed epoch; only relative order matters
+    os.utime(Path(source_dir) / f"batch-{seq:03d}.parquet", (base + seq, base + seq))
+
+
+def test_hourly_aggregate_stream_late_data_watermark(spark, tmp_path):
+    """Late-data contract of hourly_aggregate_stream (2h watermark):
+    out-of-order events still above the watermark are aggregated exactly
+    like batch; events whose hour fell below the watermark are DROPPED.
+
+    Spark ≥3.4 filters late records with the PREVIOUS micro-batch's
+    watermark and evicts state with the current one (the two-watermark
+    design that makes chained stateful operators correct), so a straggler
+    is reliably dropped once the watermark advanced a full batch before it
+    arrives — the timeline below leaves that one-batch gap:
+      b0: 00:10, 00:20, 10:00   -> wm after b0 = 08:00
+      b1: 11:00 (filler)        -> wm 09:00; b2's filter wm = 08:00
+      b2: 09:30 (late, above wm: KEPT), 00:30 (late, below wm: DROPPED)
+      b3: 13:00                 -> wm 11:00, finalizes hours 9/10
+    Append mode emits only watermark-finalized windows, so the final table
+    must show hour 00 with n=2 (not 3), hours 09/10 with 1 each, and no
+    hour-11/13 rows (their windows never finalize)."""
+    src = str(tmp_path / "late_events")
+    import os
+
+    os.makedirs(src)
+    d = "2024-01-01"
+    _write_event_file(
+        spark, src, 0,
+        [(1, f"{d} 00:10:00", "x"), (2, f"{d} 00:20:00", "x"),
+         (3, f"{d} 10:00:00", "x")],
+    )
+    _write_event_file(spark, src, 1, [(9, f"{d} 11:00:00", "x")])
+    _write_event_file(
+        spark, src, 2,
+        [(4, f"{d} 09:30:00", "x"), (5, f"{d} 00:30:00", "x")],
+    )
+    _write_event_file(spark, src, 3, [(6, f"{d} 13:00:00", "x")])
+
+    stream = streaming.read_events_stream(spark, src)
+    agg = streaming.hourly_aggregate_stream(stream, watermark="2 hours")
+    q = streaming.run_stream_to_memory(
+        agg, "late_hourly_test", output_mode="append", available_now=True
+    )
+    try:
+        _await_done(q)
+        got = {
+            str(r.hour): r.n_events
+            for r in spark.sql(
+                "SELECT hour, n_events FROM late_hourly_test"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        f"{d} 00:00:00": 2,  # the 00:30 straggler was beyond-watermark: dropped
+        f"{d} 09:00:00": 1,  # the 09:30 straggler was within-watermark: kept
+        f"{d} 10:00:00": 1,
+    }
+    # within-watermark data equals the batch aggregate over accepted events
+    batch = {
+        str(r.hour): r.n
+        for r in spark.read.parquet(src)
+        .filter(F.col("event_id") != 5)  # minus the dropped straggler
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for hour, n in got.items():
+        assert batch[hour] == n
+
+
+def test_dedup_stream_late_data_watermark(spark, tmp_path):
+    """Late-data contract of dedup_events_stream (2h watermark): a
+    re-delivered id still within the watermark is dropped as a duplicate;
+    a record whose event time fell below the watermark is dropped as late
+    (even though its id was never seen); fresh within-watermark ids pass.
+    Every surviving id appears exactly once. Same one-batch filter-watermark
+    lag as the hourly test: a filler batch sits between the watermark
+    advance and the straggler."""
+    src = str(tmp_path / "late_dedup")
+    import os
+
+    os.makedirs(src)
+    d = "2024-01-01"
+    _write_event_file(
+        spark, src, 0,
+        [(1, f"{d} 00:10:00", "x"), (2, f"{d} 00:20:00", "x"),
+         (3, f"{d} 10:00:00", "x")],
+    )
+    _write_event_file(spark, src, 1, [(9, f"{d} 11:00:00", "x")])
+    # b2's filter watermark = 08:00: id3 re-delivery (10:00) = duplicate,
+    # dropped; id4 (09:30) = new and above watermark, kept; id5 (00:30) =
+    # never seen but below watermark, dropped as late
+    _write_event_file(
+        spark, src, 2,
+        [(3, f"{d} 10:00:00", "x"), (4, f"{d} 09:30:00", "x"),
+         (5, f"{d} 00:30:00", "x")],
+    )
+    stream = streaming.read_events_stream(spark, src)
+    deduped = streaming.dedup_events_stream(stream, watermark="2 hours")
+    q = streaming.run_stream_to_memory(
+        deduped, "late_dedup_test", output_mode="append", available_now=True
+    )
+    try:
+        _await_done(q)
+        ids = [
+            r.event_id
+            for r in spark.sql("SELECT event_id FROM late_dedup_test").collect()
+        ]
+    finally:
+        q.stop()
+    assert sorted(ids) == [1, 2, 3, 4, 9], f"got {sorted(ids)}"
+
+
 def test_dedup_against_corpus_stream(spark, tmp_path):
     """Stream-static anti-join dedup: docs whose text already exists in the
     static corpus are dropped; novel docs pass through exactly once."""
