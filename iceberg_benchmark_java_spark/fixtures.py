@@ -779,7 +779,26 @@ def gen_inventory(rng):
     }
 
 
-def generate_tpcds(out_dir: str = TPCDS_DIR, force: bool = False) -> list[str]:
+def generate_tpcds(
+    out_dir: str = TPCDS_DIR, force: bool = False, scale: int = 1
+) -> list[str]:
+    """Generate the TPC-DS fixture warehouse. ``scale`` multiplies the FACT
+    group counts (store tickets / catalog orders / web orders — returns and
+    line counts follow proportionally) while dimensions stay fixed — the
+    realistic growth shape (facts grow, dims don't) that also preserves the
+    planted predicate domains. Used by tools/run_scaling.py to produce the
+    10× warehouse for scaling-curve measurements; the committed fixtures
+    are scale=1."""
+    global N_STORE_TICKETS, N_CATALOG_ORDERS, N_WEB_ORDERS
+    if scale != 1:
+        saved = (N_STORE_TICKETS, N_CATALOG_ORDERS, N_WEB_ORDERS)
+        N_STORE_TICKETS, N_CATALOG_ORDERS, N_WEB_ORDERS = (
+            x * scale for x in saved
+        )
+        try:
+            return generate_tpcds(out_dir, force, scale=1)
+        finally:
+            N_STORE_TICKETS, N_CATALOG_ORDERS, N_WEB_ORDERS = saved
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_complete")
     if os.path.exists(marker) and not force:

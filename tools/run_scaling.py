@@ -1,0 +1,136 @@
+"""Scaling-curve evidence for the verbatim TPC-DS headliners.
+
+Generates a 10× fixtures warehouse (fact counts ×10 via fixtures.py's scale
+knob, dims fixed), then runs the corpus plan-quality sample
+(tests/test_plans.py::CORPUS_PLAN_SAMPLE) at both scales through the
+identical spark.sql path and records per-query wall-time ratios plus the
+plan-quality asserts at the larger scale.
+
+The point: turn "these plans would hold at 100×" from prose into a
+measurement. A healthy plan scales sub-linearly-to-linearly in fact volume
+(ratio ≲ data ratio); a quadratic candidate stage, a lost pushdown, or a
+broadcast flipping to a shuffle shows up as a super-linear ratio or a
+failed plan assert.
+
+Usage:  python tools/run_scaling.py [out_json] [scale]
+Writes SCALING_r05.json (default) and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from iceberg_benchmark_java_spark import corpus_ref, fixtures
+from iceberg_benchmark_java_spark.session import build_session, local_test_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# mirrors tests/test_plans.py::CORPUS_PLAN_SAMPLE / BNLJ_OK
+SAMPLE = ["q03", "q07", "q14_1", "q36", "q64", "q67", "q72", "q88", "q90", "q95"]
+BNLJ_OK = {"q88", "q90"}
+
+
+def register_views_from(spark, warehouse_dir: str) -> None:
+    """Point the ref_tpcds_* temp views at an arbitrary warehouse dir."""
+    for t in corpus_ref.TPCDS_TABLES:
+        spark.read.parquet(
+            os.path.join(warehouse_dir, f"{t}.parquet")
+        ).createOrReplaceTempView(corpus_ref._view("tpcds", t))
+
+
+def run_query(spark, name: str):
+    sql = corpus_ref.template("tpcds", corpus_ref.corpus_sql("tpcds", name))
+    return spark.sql(sql)
+
+
+def time_sample(spark, warehouse_dir: str) -> dict[str, float]:
+    register_views_from(spark, warehouse_dir)
+    # warm: parquet footers + codegen for this warehouse
+    run_query(spark, "q03").write.format("noop").mode("overwrite").save()
+    out: dict[str, float] = {}
+    for name in SAMPLE:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            run_query(spark, name).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def plan_asserts(spark, warehouse_dir: str) -> dict[str, str]:
+    """The test_corpus_plan_quality asserts, evaluated on this warehouse."""
+    register_views_from(spark, warehouse_dir)
+    results: dict[str, str] = {}
+    for name in SAMPLE:
+        plan = run_query(spark, name)._jdf.queryExecution().executedPlan().toString()
+        errs = []
+        if "CartesianProduct" in plan:
+            errs.append("CartesianProduct")
+        if "PushedFilters: [" not in plan:
+            errs.append("no PushedFilters")
+        elif plan.split("PushedFilters:")[1][:40].startswith(" []"):
+            errs.append("empty pushdown")
+        if name not in BNLJ_OK and "BroadcastNestedLoopJoin" in plan:
+            errs.append("BroadcastNestedLoopJoin")
+        results[name] = "pass" if not errs else "; ".join(errs)
+    return results
+
+
+def main() -> int:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALING_r05.json")
+    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    base_dir = fixtures.TPCDS_DIR
+    scaled_dir = os.path.join(REPO, "fixtures", f"tpcds_x{scale}")
+
+    fixtures.generate_tpcds(base_dir)  # ensure the 1x warehouse exists
+    fixtures.generate_tpcds(scaled_dir, scale=scale)  # marker-protected
+
+    spark = build_session(local_test_config("ibx-scaling"))
+    try:
+        # fact-volume ratio actually materialized (line counts are random
+        # per ticket, so measure rather than assume exactly 10.0)
+        n1 = spark.read.parquet(os.path.join(base_dir, "store_sales.parquet")).count()
+        n10 = spark.read.parquet(os.path.join(scaled_dir, "store_sales.parquet")).count()
+        data_ratio = round(n10 / n1, 3)
+
+        t1 = time_sample(spark, base_dir)
+        t10 = time_sample(spark, scaled_dir)
+        asserts10 = plan_asserts(spark, scaled_dir)
+    finally:
+        spark.stop()
+
+    queries = {
+        q: {
+            "t_1x_sec": t1[q],
+            f"t_{scale}x_sec": t10[q],
+            "ratio": round(t10[q] / t1[q], 2) if t1[q] else None,
+            "plan_asserts_at_scale": asserts10[q],
+        }
+        for q in SAMPLE
+    }
+    result = {
+        "metric": "corpus_sample_scaling_ratio",
+        "scale": scale,
+        "fact_rows_1x": n1,
+        f"fact_rows_{scale}x": n10,
+        "data_ratio": data_ratio,
+        "queries": queries,
+        "max_ratio": max(v["ratio"] for v in queries.values()),
+        "plan_asserts_failed": [
+            q for q, v in queries.items() if v["plan_asserts_at_scale"] != "pass"
+        ],
+    }
+    with open(out_json, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
