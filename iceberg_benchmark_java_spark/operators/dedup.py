@@ -312,6 +312,66 @@ def connected_components(
     )
 
 
+def cross_corpus_contamination(
+    train: DataFrame, eval_docs: DataFrame, n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its distinct
+    n-word shingles also appear in the eval/benchmark set. The standard
+    train-set hygiene pass before an LLM data release — docs with a high
+    ``contamination_ratio`` get dropped or scrubbed.
+
+    Shape at 100 TB: the eval shingle set is tiny (benchmarks are small) —
+    broadcast it; the train side is one shingle explode + one groupBy
+    doc_id. No self-joins, no quadratic stage. Returns only contaminated
+    docs (n_contaminated > 0): (doc_id, n_shingles, n_contaminated,
+    contamination_ratio).
+    """
+    ev = with_word_shingles(eval_docs, n).select("shingle").distinct()
+    tr = with_word_shingles(train, n)
+    sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        sizes.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_shingles"), 6
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Boilerplate/repetition score: distinct-shingle ratio per doc.
+    Heavily templated or looping text repeats its n-grams, driving the
+    ratio toward 0; natural text stays near 1 — the cheap compression-ratio
+    proxy used for quality filtering. Total shingle count is a pure column
+    expression; distinct count is one groupBy — a single shuffle on doc_id.
+    """
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    total = F.greatest(F.size(words) - (n - 1), F.lit(1)).cast("long")
+    base = docs.select("doc_id", total.alias("n_shingles_total"))
+    distinct = (
+        with_word_shingles(docs, n)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles_distinct"))
+    )
+    return base.join(distinct, "doc_id").select(
+        "doc_id",
+        "n_shingles_total",
+        "n_shingles_distinct",
+        F.round(
+            F.col("n_shingles_distinct") / F.col("n_shingles_total"), 6
+        ).alias("distinct_ratio"),
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame, blocking_cols: list[str], max_hamming: int = 2
 ) -> DataFrame:

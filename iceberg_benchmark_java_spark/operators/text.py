@@ -135,6 +135,34 @@ def chunk_documents(
     )
 
 
+def pattern_hit_stats(
+    docs: DataFrame, patterns: dict[str, str]
+) -> DataFrame:
+    """Corpus-wide sensitive-pattern scan: for each named regex, the number
+    of documents with ≥1 match and the total match count. The PII-scrub
+    front of a data release — in production the patterns are email / phone
+    / SSN / credential regexes; the machinery (JVM-side regexp_count, one
+    narrow pass, one tiny rollup per pattern, union of P one-row frames)
+    is identical for any pattern set. No Python UDFs; the scan is one pass
+    over text per pattern and would fold into a single pass with a
+    struct-of-counts projection at 100 TB.
+    """
+    parts = []
+    for name, pat in sorted(patterns.items()):
+        hits = F.regexp_count(F.col("text"), F.lit(pat))
+        parts.append(
+            docs.select(hits.alias("h")).agg(
+                F.lit(name).alias("pattern"),
+                F.sum((F.col("h") > 0).cast("long")).alias("n_docs_with_hits"),
+                F.sum("h").alias("total_hits"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def shard_of(doc_id: Column, n_shards: int) -> Column:
     """Deterministic, engine-portable shard id in [0, n_shards): the 60-bit
     integer value of md5(doc_id)'s first 15 hex chars, mod n_shards. md5 is

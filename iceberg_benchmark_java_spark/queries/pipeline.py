@@ -1317,3 +1317,132 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id", "h")
     )
+
+
+# --- benchmark decontamination (train vs eval n-gram overlap) ----------------
+@query(
+    "pipe_decontamination",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+              FROM tr GROUP BY doc_id),
+    hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+             FROM tr JOIN ev USING (shingle) GROUP BY doc_id)
+    SELECT s.doc_id, s.n_shingles, h.n_contaminated,
+           ROUND(h.n_contaminated * 1.0 / s.n_shingles, 6)
+             AS contamination_ratio
+    FROM sizes s JOIN hits h USING (doc_id)
+    """,
+)
+def decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: distinct 3-word-shingle overlap of each
+    training doc against the benchmark set (here: docs with doc_id % 97 = 0
+    stand in for the eval suite). Eval shingles broadcast (benchmarks are
+    tiny at any corpus scale); train side is one explode + one groupBy —
+    no quadratic stage. The release-hygiene pass every LLM data pipeline
+    runs before shipping a training set."""
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    return dedup.cross_corpus_contamination(tr, ev, n=3)
+
+
+# --- repetition / boilerplate scoring ----------------------------------------
+@query(
+    "pipe_repetition_score",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    base AS (
+      SELECT doc_id,
+             CAST(GREATEST(len(w) - 2, 1) AS BIGINT) AS n_shingles_total
+      FROM words),
+    dist AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles_distinct
+             FROM sh GROUP BY doc_id)
+    SELECT b.doc_id, b.n_shingles_total, d.n_shingles_distinct,
+           ROUND(d.n_shingles_distinct * 1.0 / b.n_shingles_total, 6)
+             AS distinct_ratio
+    FROM base b JOIN dist d USING (doc_id)
+    """,
+)
+def repetition_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate score per doc: distinct-3-gram ratio (the
+    compression-ratio proxy quality filters threshold on — templated text
+    repeats its n-grams and sinks toward 0). One narrow pass + one doc_id
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.repetition_stats(d, n=3)
+
+
+# --- corpus mixture weights (per-stratum sampling rates) ---------------------
+@query(
+    "pipe_mixture_weights",
+    oracle="""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    t AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_langs FROM c)
+    SELECT c.lang, c.n_docs,
+           ROUND(c.n_docs * 1.0 / t.total, 6) AS actual_frac,
+           ROUND(LEAST(1.0, (t.total * 1.0 / t.n_langs) / c.n_docs), 6)
+             AS sample_rate
+    FROM c, t
+    """,
+)
+def mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: per-language sampling rates that move
+    the corpus toward a uniform language mix (rate = target/actual, capped
+    at 1 — undersampled strata keep everything). The mixture-weighting step
+    of training-data assembly; one tiny aggregate broadcast against the
+    stratum counts, applied downstream as a deterministic-hash filter."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_langs")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("actual_frac"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("total") / F.col("n_langs")) / F.col("n_docs"),
+            ),
+            6,
+        ).alias("sample_rate"),
+    )
+
+
+# --- sensitive-pattern scan (PII-scrub machinery) ----------------------------
+_SCAN_PATTERNS = {
+    # stand-in patterns that fire on the synthetic corpus; in production
+    # these slots hold email/phone/SSN/credential regexes — the plan shape
+    # (JVM regexp_count, per-pattern rollup) is identical
+    "customer_ref": r"\bcustomer\b",
+    "key_material": r"\bkey\b",
+}
+
+
+@query(
+    "pipe_pattern_scan",
+    oracle="""
+    SELECT p.pattern,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(d.text, p.pat)) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_hits,
+           CAST(SUM(len(regexp_extract_all(d.text, p.pat))) AS BIGINT)
+             AS total_hits
+    FROM documents d
+    CROSS JOIN (SELECT 'customer_ref' AS pattern, '\\bcustomer\\b' AS pat
+                UNION ALL
+                SELECT 'key_material', '\\bkey\\b') p
+    GROUP BY p.pattern
+    """,
+)
+def pattern_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-pattern corpus scan: per named regex, docs-with-hits and
+    total hits (operators/text.pattern_hit_stats). The PII-scrub front of a
+    data release with swap-in patterns; counts are JVM-side regexp_count,
+    no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.pattern_hit_stats(d, _SCAN_PATTERNS)
