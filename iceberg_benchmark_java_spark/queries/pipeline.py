@@ -1414,6 +1414,139 @@ def mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- mixture weights APPLIED (deterministic-hash downsampling) ---------------
+@query(
+    "pipe_mixture_apply",
+    oracle=f"""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    t AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_langs FROM c),
+    rates AS (
+      SELECT c.lang, c.n_docs,
+             ROUND(LEAST(1.0, (t.total * 1.0 / t.n_langs) / c.n_docs), 6)
+               AS sample_rate
+      FROM c, t),
+    hashed AS (
+      SELECT d.lang, d.doc_id,
+             list_sum(list_transform(generate_series(1,15), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(d.doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+               * (1::BIGINT << (4 * (15 - i))))) % 1000000 AS h
+      FROM documents d),
+    kept AS (
+      SELECT h.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM hashed h JOIN rates r USING (lang)
+      WHERE h.h < CAST(ROUND(r.sample_rate * 1000000) AS BIGINT)
+      GROUP BY h.lang)
+    SELECT r.lang, r.n_docs, r.sample_rate,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k USING (lang)
+    """,
+)
+def mixture_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weights APPLIED: per-language keep counts after
+    deterministic-hash downsampling at the pipe_mixture_weights rates
+    (keep doc iff md5(doc_id)-hash mod 1e6 < rate·1e6). Reproducible across
+    runs/engines/partitionings — the property TABLESAMPLE/rand() sampling
+    lacks — and composable: re-running on the kept set is a no-op for
+    rate-1 strata. One narrow filter + two tiny aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    t = c.agg(F.sum("n_docs").alias("total"), F.count("*").alias("n_langs"))
+    rates = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        F.round(
+            F.least(
+                F.lit(1.0), (F.col("total") / F.col("n_langs")) / F.col("n_docs")
+            ),
+            6,
+        ).alias("sample_rate"),
+    )
+    h = text.shard_of(F.col("doc_id"), 1_000_000)
+    kept = (
+        d.select("lang", h.alias("h"))
+        .join(F.broadcast(rates), "lang")
+        .filter(
+            F.col("h")
+            < F.round(F.col("sample_rate") * 1_000_000).cast("long")
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "sample_rate",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )
+
+
+# --- per-language TF-IDF top terms -------------------------------------------
+@query(
+    "pipe_tfidf_top_terms",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, doc_id, UNNEST({_DUCK_TOKENS}) AS term FROM documents),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM w GROUP BY term),
+    tf AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM w GROUP BY lang, term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.lang, tf.term, tf.tf, df.df,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf, df, n WHERE tf.term = df.term)
+    SELECT lang, term, tf, df, tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY tfidf DESC, term) AS rnk
+          FROM scored) x
+    WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language TF-IDF top-5 terms: tf within the language stratum,
+    idf = ln(N/df) over the whole corpus — the vocabulary-signature pass of
+    corpus analysis. Two natural-key aggregations (term; lang×term) + one
+    broadcast scalar + a per-stratum top-k window; no global sort. tfidf
+    rounded to 6dp before ranking so the order is engine-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "lang",
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    df_ = (
+        w.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    tf = w.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
 # --- sensitive-pattern scan (PII-scrub machinery) ----------------------------
 _SCAN_PATTERNS = {
     # stand-in patterns that fire on the synthetic corpus; in production

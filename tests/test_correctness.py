@@ -22,8 +22,19 @@ from tests.conftest import SF_SMOKE
 QUERIES = all_queries()
 ORACLES = all_oracles()
 
+# Two-tier invocation: the 125 verbatim corpus entries re-execute the full
+# reference SQL through Spark AND DuckDB — the bulk of the suite's wall
+# time — and are additionally swept by tools/check_correctness.py each
+# round, so the fast tier (`pytest -m "not slow"`) keeps every non-corpus
+# operator oracle-checked while the corpus tier runs under `-m slow` /
+# the plain full suite.
+_PARAMS = [
+    pytest.param(n, marks=pytest.mark.slow) if n.startswith("corpus_") else n
+    for n in sorted(QUERIES)
+]
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+
+@pytest.mark.parametrize("name", _PARAMS)
 def test_query_matches_oracle(spark, duck, name):
     sdf = QUERIES[name](spark, SF_SMOKE).toPandas()
     if name not in ORACLES:

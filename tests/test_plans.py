@@ -228,6 +228,7 @@ CORPUS_PLAN_SAMPLE = [
 BNLJ_OK = {"q88", "q90"}
 
 
+@pytest.mark.slow  # corpus tier: also re-run at 1x AND 10x by tools/run_scaling.py
 @pytest.mark.parametrize("name", CORPUS_PLAN_SAMPLE)
 def test_corpus_plan_quality(spark, name):
     """Marquee verbatim TPC-DS files: filters reach the parquet scan, no
@@ -281,6 +282,7 @@ def tpcds_part_dir(spark, tmp_path_factory):
     corpus_ref.register_fixture_views(spark, "tpcds", force=True)
 
 
+@pytest.mark.slow
 def test_tpcds_partitioned_static_pruning(spark, tpcds_part_dir):
     """A direct ss_sold_date_sk range on the partitioned store_sales must
     prune at the DIRECTORY level (PartitionFilters), not row level."""
@@ -295,6 +297,7 @@ def test_tpcds_partitioned_static_pruning(spark, tpcds_part_dir):
     assert "ss_sold_date_sk" in pf
 
 
+@pytest.mark.slow
 def test_tpcds_partitioned_dpp(spark, tpcds_part_dir):
     """date_dim-derived filters must reach store_sales as DYNAMIC partition
     pruning — the plan shape the 198 corpus date_dim references rely on."""
@@ -309,6 +312,7 @@ def test_tpcds_partitioned_dpp(spark, tpcds_part_dir):
     assert "dynamicpruning" in plan.lower()
 
 
+@pytest.mark.slow
 def test_tpcds_partitioned_corpus_q03_plans_dpp(spark, tpcds_part_dir):
     """The verbatim corpus q03 (date_dim ⋈ store_sales ⋈ item) must plan
     dynamic partition pruning on the partitioned axis."""
@@ -319,6 +323,7 @@ def test_tpcds_partitioned_corpus_q03_plans_dpp(spark, tpcds_part_dir):
     assert "dynamicpruning" in plan.lower()
 
 
+@pytest.mark.slow
 def test_tpcds_partitioned_matches_flat(spark, tpcds_part_dir):
     """Layout must never change results: verbatim q03 returns identical
     rows on the flat and partitioned warehouses."""
