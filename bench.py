@@ -45,6 +45,9 @@ HEADLINE = [
     "pipe_embedding_near_dup",
     "pipe_text_quality",
     "pipe_events_hourly",
+    # round-5 additions (new computation, disclosed in BENCH_DELTA_r05):
+    "pipe_decontamination",
+    "pipe_sequence_packing_sharded",
     "tpch_q08_market_share",
     "tpch_q21_waiting_supplier",
     # Verbatim reference corpus headliners (fixtures/ warehouse, fixed
