@@ -1547,6 +1547,79 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- unigram log-probability scoring (perplexity-filter proxy) ---------------
+@query(
+    "pipe_unigram_logprob",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, UNNEST({_DUCK_TOKENS}) AS term FROM documents),
+    freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY term),
+    t AS (SELECT SUM(cnt) AS total FROM freq),
+    scored AS (
+      SELECT w.doc_id,
+             CAST(FLOOR(ln(f.cnt * 1.0 / t.total) * 1000000) AS BIGINT) AS lp
+      FROM w, freq f, t WHERE w.term = f.term)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(lp) / (COUNT(*) * 1000000.0), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per doc, the mean log-probability of
+    its tokens under the corpus unigram distribution — the fully-relational
+    stand-in for perplexity-based quality filtering (swap the broadcast
+    frequency table for real LM scores and nothing else changes). Fixed
+    point: each ln is floored to 1e-6 before summation so the per-doc sum
+    is an exact BIGINT — order-independent, hence bit-identical across
+    engines and partitionings (the kmeans_refine discipline). One explode,
+    one vocab aggregate (broadcast — vocabulary ≪ corpus), one doc_id
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    freq = w.groupBy("term").agg(F.count("*").alias("cnt"))
+    t = freq.agg(F.sum("cnt").alias("total"))
+    lp = F.floor(F.log(F.col("cnt") / F.col("total")) * 1_000_000).cast("long")
+    return (
+        w.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(t))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("lp") / (F.count("*") * F.lit(1_000_000.0)), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+# --- per-language token-length histogram -------------------------------------
+@query(
+    "pipe_length_histogram",
+    oracle=f"""
+    SELECT lang,
+           CAST(len({_DUCK_TOKENS}) // 32 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram per language (bucket width 32) — the length
+    profile curation dashboards threshold on (truncation/padding planning
+    for sequence packing). Pure column expression + one two-key aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.floor(text.token_count(F.col("text")) / 32).cast("long").alias("bucket"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # --- sensitive-pattern scan (PII-scrub machinery) ----------------------------
 _SCAN_PATTERNS = {
     # stand-in patterns that fire on the synthetic corpus; in production
