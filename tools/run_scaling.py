@@ -91,7 +91,12 @@ def main() -> int:
     fixtures.generate_tpcds(base_dir)  # ensure the 1x warehouse exists
     fixtures.generate_tpcds(scaled_dir, scale=scale)  # marker-protected
 
-    spark = build_session(local_test_config("ibx-scaling"))
+    cfg = local_test_config("ibx-scaling")
+    # local mode puts executor heap inside the driver JVM: the 1g default
+    # that suffices for the committed fixtures OOMs on a 32x warehouse.
+    # On a real cluster this is executor memory in the submit conf.
+    cfg.extra_confs["spark.driver.memory"] = "24g"
+    spark = build_session(cfg)
     try:
         # fact-volume ratio actually materialized (line counts are random
         # per ticket, so measure rather than assume exactly 10.0)
