@@ -267,6 +267,57 @@ def test_ivf_assignment_no_corpus_shuffle(spark):
     assert "windowspecdefinition(vec_id" not in plan
 
 
+def test_decontamination_broadcasts_eval_side(spark):
+    """Decontamination must broadcast the (tiny) eval shingle set against
+    the train explode — a shuffled join on the shingle key would move the
+    whole training corpus at 100 TB."""
+    plan = _plan(spark, "pipe_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_banded_near_dup_equijoin_no_vector_fanout(spark):
+    """Multi-band near-dup: the candidate stage must be an equi-join on
+    (band_idx, bucket) — no cartesian/BNLJ — and the embedding vectors must
+    NOT fan out through the banded self-join (only vec_id/band/bucket rows
+    do; vectors rejoin by key for the re-rank)."""
+    from iceberg_benchmark_java_spark.catalog import load_table
+    from iceberg_benchmark_java_spark.operators.similarity import (
+        cosine_near_dup_pairs_banded,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    df = cosine_near_dup_pairs_banded(e, threshold=0.25, n_bits=8, n_bands=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the generate (band explode) node computes buckets FROM the vector but
+    # must not RETAIN it: its retained-columns list ("..., [cols], false,
+    # [out]") holds only vec_id
+    import re
+
+    gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gen
+    for ln in gen:
+        m = re.search(r"\[([^\]]*)\],\s*(?:false|true),\s*\[[^\]]*\]\s*$", ln)
+        assert m and "embedding" not in m.group(1), ln
+
+
+def test_mixture_apply_broadcasts_rates(spark):
+    """Applying mixture weights must broadcast the per-stratum rate table
+    (|langs| rows) against the corpus scan — never shuffle the corpus on
+    the stratum key."""
+    plan = _plan(spark, "pipe_mixture_apply")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """Unigram scoring must broadcast the vocabulary frequency table —
+    the corpus-side explode must not shuffle on the term key."""
+    plan = _plan(spark, "pipe_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+
+
 # --- partitioned TPC-DS fixture warehouse (partitioned_runner.sh axis) -------
 
 
