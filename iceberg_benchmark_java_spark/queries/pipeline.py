@@ -143,6 +143,148 @@ def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(d, n=3)
 
 
+# --- SimHash blocked near-pairs ----------------------------------------------
+@query(
+    "pipe_simhash_near_pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt,
+             {_DUCK_HEX15} AS wh
+      FROM (SELECT doc_id, UNNEST({_DUCK_TOKENS}) AS w FROM documents) t
+      GROUP BY doc_id, w
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (wh >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+      FROM words, UNNEST(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b(bit)
+      GROUP BY doc_id, bit
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    fpl AS (
+      SELECT f.doc_id, f.simhash, d.lang
+      FROM fp f, documents d WHERE d.doc_id = f.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fpl a JOIN fpl b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: same language block + Hamming distance ≤ 3
+    over the 16-bit fingerprint — the third text-dedup candidate path
+    (operators/dedup.simhash_near_pairs) now gate-checked end-to-end, not
+    just its fingerprint stage. Blocking bounds the pair join; at 100 TB
+    the block key widens to (lang, source, length-bucket)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, ["lang"], max_hamming=3)
+
+
+# --- MinHash estimator quality (est vs exact Jaccard on candidates) ----------
+@query(
+    "pipe_minhash_est_quality",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(substr(md5(concat('{'a' if k < dedup.N_HASHES // 2 else 'b'}|', shingle)), {(k % (dedup.N_HASHES // 2)) * 8 + 1}, 8)) AS h{k}" for k in range(dedup.N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, concat(h{2 * b}, h{2 * b + 1}) AS band_key FROM sig" for b in range(dedup.N_HASHES // dedup.BAND_SIZE))}
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             ({" + ".join(f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END" for k in range(dedup.N_HASHES))}) / {dedup.N_HASHES}.0 AS est_jaccard
+      FROM cand c, sig sa, sig sb
+      WHERE sa.doc_id = c.doc_a AND sb.doc_id = c.doc_b
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b,
+           ROUND(e.est_jaccard, 6) AS est_jaccard,
+           ROUND(COALESCE(i.i, 0) * 1.0
+                 / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) AS exact_jaccard,
+           ROUND(ABS(e.est_jaccard - COALESCE(i.i, 0) * 1.0
+                 / (sa.sz + sb.sz - COALESCE(i.i, 0))), 6) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    """,
+)
+def minhash_est_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality on the LSH candidate pairs: estimated
+    Jaccard (fraction of agreeing signature slots) vs the exact
+    shingle-set Jaccard, with absolute error — the quality dial for
+    N_HASHES, as pipe_ann_recall is for the ANN index parameters. The
+    exact side is computed only for candidates (|cand| pairs), never all
+    pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(d)
+    cand = dedup.minhash_lsh_candidates(d).select("doc_a", "doc_b")
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(dedup.N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(dedup.N_HASHES)],
+    )
+    agree = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int")
+        for k in range(dedup.N_HASHES)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", (agree / float(dedup.N_HASHES)).alias("est_j")
+        )
+    )
+    sh = dedup.with_word_shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(sh.toDF("doc_a", "shingle"), "doc_a")
+        .join(sh.toDF("doc_b", "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    exact = F.coalesce(F.col("i"), F.lit(0)) / (
+        F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("i"), F.lit(0))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+        .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("est_j"), 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_j") - exact), 6).alias("abs_err"),
+        )
+    )
+
+
 # --- candidate pairs → connected-component clusters --------------------------
 @query(
     "pipe_dedup_clusters",
