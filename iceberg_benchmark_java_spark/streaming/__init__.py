@@ -9,6 +9,7 @@ from .events import (
     run_stream_to_memory,
     run_stream_to_parquet,
     sessionize_stream,
+    sessionize_stream_event_time,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "run_stream_to_memory",
     "run_stream_to_parquet",
     "sessionize_stream",
+    "sessionize_stream_event_time",
 ]

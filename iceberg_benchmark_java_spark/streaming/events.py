@@ -187,6 +187,76 @@ def sessionize_stream(events: DataFrame, close_by_timeout: bool = True) -> DataF
     )
 
 
+def _sessionize_event_time_group(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Event-time sessionizer kernel: same gap rule as the processing-time
+    variant, but the close timer is an EVENT-TIME timestamp (last event +
+    gap) fired by watermark progress — deterministic under replay and
+    backfill, where wall-clock timers are not."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        session_id, _last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_id": [session_id],
+                "n_events": [n],
+                "closed": [1],
+            }
+        )
+        return
+    rows = pd.concat(list(batches), ignore_index=True).sort_values("ts")
+    if state.exists:
+        session_id, last_epoch, n = state.get
+    else:
+        session_id, last_epoch, n = 0, None, 0
+    out_rows = []
+    for ts in rows["ts"]:
+        epoch = ts.timestamp()
+        if last_epoch is not None and (epoch - last_epoch) > SESSION_GAP_SECONDS:
+            out_rows.append((user_id, session_id, n, 1))  # close previous
+            session_id += 1
+            n = 0
+        n += 1
+        last_epoch = epoch
+    state.update((session_id, last_epoch, n))
+    # close when the WATERMARK passes last event + gap (not wall clock)
+    state.setTimeoutTimestamp(int(last_epoch * 1000) + SESSION_GAP_SECONDS * 1000)
+    out_rows.append((user_id, session_id, n, 0))  # open session snapshot
+    yield pd.DataFrame(
+        out_rows, columns=["user_id", "session_id", "n_events", "closed"]
+    )
+
+
+def sessionize_stream_event_time(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time sessionization (applyInPandasWithState +
+    EventTimeTimeout): sessions close when the WATERMARK passes their last
+    event + gap. Unlike the processing-time variant this is deterministic
+    under replay/backfill (timers keyed to the data, not the wall clock),
+    terminates cleanly under availableNow (timeouts fire from watermark
+    advance, including the final no-data batch), and late events below the
+    watermark are dropped by the engine before the kernel sees them. State
+    is one tuple per user within the watermark horizon."""
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_event_time_group,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def enrich_events_stream(events: DataFrame) -> DataFrame:
     """Stateless ingestion enrichment: event-time derivatives + value
     bucket. The ETL-to-table path — at scale this lands in hour-partitioned

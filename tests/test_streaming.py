@@ -374,6 +374,70 @@ def test_dedup_stream_late_data_watermark(spark, tmp_path):
     assert sorted(ids) == [1, 2, 3, 4, 9], f"got {sorted(ids)}"
 
 
+def test_sessionize_event_time_closes_on_watermark(spark, tmp_path):
+    """Event-time sessionizer: sessions close when the WATERMARK passes
+    last-event + gap — no wall-clock waiting, deterministic under replay.
+    Timeline (30-min gap, 2h watermark):
+      b0: u1 at 00:00 and 00:10; u2 at 00:05
+      b1: u1 at 02:00  -> inline-closes u1 session 0 (gap exceeded)
+      b2: u2 at 06:00  -> inline-closes u2 session 0; wm after b2 = 04:00,
+          which passes u1's (02:00 + 30min) timer -> u1 session 1 closes by
+          EVENT-TIME timeout in the final no-data batch
+    Final: u1 s0 n=2 closed, u1 s1 n=1 closed, u2 s0 n=1 closed,
+    u2 s1 n=1 still open (timer 06:30 > wm)."""
+    src = str(tmp_path / "et_sessions")
+    import os
+
+    os.makedirs(src)
+    d = "2024-01-01"
+
+    def wf(seq, rows):  # (event_id, ts, user_id)
+        import shutil
+        import tempfile
+        from pathlib import Path
+
+        df = spark.createDataFrame(
+            [(i, ts, u, "x", 1.0, None) for (i, ts, u) in rows],
+            "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        with tempfile.TemporaryDirectory() as tmp:
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(Path(tmp).glob("part-*.parquet"))
+            dest = Path(src) / f"batch-{seq:03d}.parquet"
+            shutil.copy(part, dest)
+        os.utime(
+            Path(src) / f"batch-{seq:03d}.parquet",
+            (1_700_000_000 + seq, 1_700_000_000 + seq),
+        )
+
+    wf(0, [(1, f"{d} 00:00:00", 1), (2, f"{d} 00:10:00", 1),
+           (3, f"{d} 00:05:00", 2)])
+    wf(1, [(4, f"{d} 02:00:00", 1)])
+    wf(2, [(5, f"{d} 06:00:00", 2)])
+
+    stream = streaming.read_events_stream(spark, src)
+    sess = streaming.sessionize_stream_event_time(stream, watermark="2 hours")
+    q = streaming.run_stream_to_memory(
+        sess, "et_sessions_test", output_mode="append", available_now=True
+    )
+    try:
+        _await_done(q)
+        rows = spark.sql("SELECT * FROM et_sessions_test").collect()
+    finally:
+        q.stop()
+    # reconstruct final per-session state: counts only grow within a
+    # session, closed=1 rows are terminal
+    final: dict = {}
+    closed: dict = {}
+    for r in rows:
+        k = (r.user_id, r.session_id)
+        final[k] = max(final.get(k, 0), r.n_events)
+        closed[k] = closed.get(k, 0) or r.closed
+    assert final == {(1, 0): 2, (1, 1): 1, (2, 0): 1, (2, 1): 1}
+    assert closed == {(1, 0): 1, (1, 1): 1, (2, 0): 1, (2, 1): 0}
+
+
 def test_dedup_against_corpus_stream(spark, tmp_path):
     """Stream-static anti-join dedup: docs whose text already exists in the
     static corpus are dropped; novel docs pass through exactly once."""
