@@ -933,7 +933,21 @@ def _phone(rng, nationkeys):
     return [f"{10 + nk}-{x}-{y}-{z}" for nk, x, y, z in zip(nationkeys, a, b, c)]
 
 
-def generate_tpch(out_dir: str = TPCH_DIR, force: bool = False) -> list[str]:
+def generate_tpch(
+    out_dir: str = TPCH_DIR, force: bool = False, scale: int = 1
+) -> list[str]:
+    """Generate the TPC-H fixture warehouse. ``scale`` multiplies the
+    order count (lineitem follows at ~4 lines/order); part/supplier/
+    customer stay fixed, the facts-grow-dims-don't shape used by
+    tools/run_scaling.py. Committed fixtures are scale=1."""
+    global NH_ORDERS
+    if scale != 1:
+        saved = NH_ORDERS
+        NH_ORDERS = saved * scale
+        try:
+            return generate_tpch(out_dir, force, scale=1)
+        finally:
+            NH_ORDERS = saved
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_complete")
     if os.path.exists(marker) and not force:

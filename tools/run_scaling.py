@@ -12,7 +12,7 @@ measurement. A healthy plan scales sub-linearly-to-linearly in fact volume
 broadcast flipping to a shuffle shows up as a super-linear ratio or a
 failed plan assert.
 
-Usage:  python tools/run_scaling.py [out_json] [scale]
+Usage:  python tools/run_scaling.py [out_json] [scale] [suite: tpcds|tpch]
 Writes SCALING_r05.json (default) and prints one JSON line.
 """
 
@@ -30,45 +30,58 @@ from iceberg_benchmark_java_spark.session import build_session, local_test_confi
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# mirrors tests/test_plans.py::CORPUS_PLAN_SAMPLE / BNLJ_OK
-SAMPLE = ["q03", "q07", "q14_1", "q36", "q64", "q67", "q72", "q88", "q90", "q95"]
-BNLJ_OK = {"q88", "q90"}
+# tpcds mirrors tests/test_plans.py::CORPUS_PLAN_SAMPLE / BNLJ_OK; tpch is
+# the marquee verbatim TPC-H shapes (scan-agg, join chain, 9-way join,
+# HAVING-feed semi join, multi-EXISTS)
+SAMPLES = {
+    "tpcds": ["q03", "q07", "q14_1", "q36", "q64", "q67", "q72", "q88", "q90", "q95"],
+    "tpch": ["q01", "q03", "q09", "q18", "q21"],
+}
+BNLJ_OK_BY_SUITE = {"tpcds": {"q88", "q90"}, "tpch": set()}
+FACT_TABLE = {"tpcds": "store_sales", "tpch": "lineitem"}
 
 
-def register_views_from(spark, warehouse_dir: str) -> None:
-    """Point the ref_tpcds_* temp views at an arbitrary warehouse dir."""
-    for t in corpus_ref.TPCDS_TABLES:
+def register_views_from(spark, suite: str, warehouse_dir: str) -> None:
+    """Point the ref_<suite>_* temp views at an arbitrary warehouse dir."""
+    for t in corpus_ref.SUITES[suite][2]:
         spark.read.parquet(
             os.path.join(warehouse_dir, f"{t}.parquet")
-        ).createOrReplaceTempView(corpus_ref._view("tpcds", t))
+        ).createOrReplaceTempView(corpus_ref._view(suite, t))
 
 
-def run_query(spark, name: str):
-    sql = corpus_ref.template("tpcds", corpus_ref.corpus_sql("tpcds", name))
+def run_query(spark, suite: str, name: str):
+    sql = corpus_ref.template(suite, corpus_ref.corpus_sql(suite, name))
     return spark.sql(sql)
 
 
-def time_sample(spark, warehouse_dir: str) -> dict[str, float]:
-    register_views_from(spark, warehouse_dir)
+def time_sample(spark, suite: str, warehouse_dir: str) -> dict[str, float]:
+    register_views_from(spark, suite, warehouse_dir)
     # warm: parquet footers + codegen for this warehouse
-    run_query(spark, "q03").write.format("noop").mode("overwrite").save()
+    run_query(spark, suite, SAMPLES[suite][0]).write.format("noop").mode(
+        "overwrite"
+    ).save()
     out: dict[str, float] = {}
-    for name in SAMPLE:
+    for name in SAMPLES[suite]:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            run_query(spark, name).write.format("noop").mode("overwrite").save()
+            run_query(spark, suite, name).write.format("noop").mode(
+                "overwrite"
+            ).save()
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
     return out
 
 
-def plan_asserts(spark, warehouse_dir: str) -> dict[str, str]:
+def plan_asserts(spark, suite: str, warehouse_dir: str) -> dict[str, str]:
     """The test_corpus_plan_quality asserts, evaluated on this warehouse."""
-    register_views_from(spark, warehouse_dir)
+    register_views_from(spark, suite, warehouse_dir)
     results: dict[str, str] = {}
-    for name in SAMPLE:
-        plan = run_query(spark, name)._jdf.queryExecution().executedPlan().toString()
+    for name in SAMPLES[suite]:
+        plan = (
+            run_query(spark, suite, name)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
         errs = []
         if "CartesianProduct" in plan:
             errs.append("CartesianProduct")
@@ -76,7 +89,7 @@ def plan_asserts(spark, warehouse_dir: str) -> dict[str, str]:
             errs.append("no PushedFilters")
         elif plan.split("PushedFilters:")[1][:40].startswith(" []"):
             errs.append("empty pushdown")
-        if name not in BNLJ_OK and "BroadcastNestedLoopJoin" in plan:
+        if name not in BNLJ_OK_BY_SUITE[suite] and "BroadcastNestedLoopJoin" in plan:
             errs.append("BroadcastNestedLoopJoin")
         results[name] = "pass" if not errs else "; ".join(errs)
     return results
@@ -85,11 +98,13 @@ def plan_asserts(spark, warehouse_dir: str) -> dict[str, str]:
 def main() -> int:
     out_json = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALING_r05.json")
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    base_dir = fixtures.TPCDS_DIR
-    scaled_dir = os.path.join(REPO, "fixtures", f"tpcds_x{scale}")
+    suite = sys.argv[3] if len(sys.argv) > 3 else "tpcds"
+    gen = {"tpcds": fixtures.generate_tpcds, "tpch": fixtures.generate_tpch}[suite]
+    base_dir = {"tpcds": fixtures.TPCDS_DIR, "tpch": fixtures.TPCH_DIR}[suite]
+    scaled_dir = os.path.join(REPO, "fixtures", f"{suite}_x{scale}")
 
-    fixtures.generate_tpcds(base_dir)  # ensure the 1x warehouse exists
-    fixtures.generate_tpcds(scaled_dir, scale=scale)  # marker-protected
+    gen(base_dir)  # ensure the 1x warehouse exists
+    gen(scaled_dir, scale=scale)  # marker-protected
 
     cfg = local_test_config("ibx-scaling")
     # local mode puts executor heap inside the driver JVM: the 1g default
@@ -100,13 +115,14 @@ def main() -> int:
     try:
         # fact-volume ratio actually materialized (line counts are random
         # per ticket, so measure rather than assume exactly 10.0)
-        n1 = spark.read.parquet(os.path.join(base_dir, "store_sales.parquet")).count()
-        n10 = spark.read.parquet(os.path.join(scaled_dir, "store_sales.parquet")).count()
+        fact = f"{FACT_TABLE[suite]}.parquet"
+        n1 = spark.read.parquet(os.path.join(base_dir, fact)).count()
+        n10 = spark.read.parquet(os.path.join(scaled_dir, fact)).count()
         data_ratio = round(n10 / n1, 3)
 
-        t1 = time_sample(spark, base_dir)
-        t10 = time_sample(spark, scaled_dir)
-        asserts10 = plan_asserts(spark, scaled_dir)
+        t1 = time_sample(spark, suite, base_dir)
+        t10 = time_sample(spark, suite, scaled_dir)
+        asserts10 = plan_asserts(spark, suite, scaled_dir)
     finally:
         spark.stop()
 
@@ -117,10 +133,11 @@ def main() -> int:
             "ratio": round(t10[q] / t1[q], 2) if t1[q] else None,
             "plan_asserts_at_scale": asserts10[q],
         }
-        for q in SAMPLE
+        for q in SAMPLES[suite]
     }
     result = {
         "metric": "corpus_sample_scaling_ratio",
+        "suite": suite,
         "scale": scale,
         "fact_rows_1x": n1,
         f"fact_rows_{scale}x": n10,
