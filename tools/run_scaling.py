@@ -1,10 +1,10 @@
-"""Scaling-curve evidence for the verbatim TPC-DS headliners.
+"""Scaling-curve evidence for the verbatim corpus headliners (both suites).
 
-Generates a 10× fixtures warehouse (fact counts ×10 via fixtures.py's scale
-knob, dims fixed), then runs the corpus plan-quality sample
-(tests/test_plans.py::CORPUS_PLAN_SAMPLE) at both scales through the
-identical spark.sql path and records per-query wall-time ratios plus the
-plan-quality asserts at the larger scale.
+Generates an N× fixtures warehouse (fact counts ×N via fixtures.py's scale
+knobs, dims fixed), then runs the suite's plan-quality sample (TPC-DS:
+tests/test_plans.py::CORPUS_PLAN_SAMPLE; TPC-H: the five marquee shapes)
+at both scales through the identical spark.sql path and records per-query
+wall-time ratios plus the plan-quality asserts at the larger scale.
 
 The point: turn "these plans would hold at 100×" from prose into a
 measurement. A healthy plan scales sub-linearly-to-linearly in fact volume
