@@ -671,6 +671,102 @@ def ann_ivf_refined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF probe sweep: recall as a function of n_probe ------------------------
+_PROBE_SWEEP = (1, 2, 4, 8)
+
+
+def _duck_probe_sweep_oracle() -> str:
+    seeds = f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+    eb AS (SELECT vec_id, array_to_string(list_transform(ee[1:4],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket FROM e),
+    cent0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY b.bucket) AS INTEGER) - 1 AS cent_id,
+             e2.ee AS ce
+      FROM (SELECT bucket, MIN(vec_id) AS vec_id FROM eb GROUP BY bucket) b
+      JOIN e e2 USING (vec_id)),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos("e.ee", "c.ce")} DESC, c.cent_id) AS rn
+        FROM e, cent0 c) x WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, ee AS qe FROM e WHERE vec_id < 10),
+    qscore AS (
+      SELECT query_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {_duck_cos("qe", "c.ce")} DESC, c.cent_id) AS probe_rank
+      FROM q, cent0 c),
+    cand AS (
+      SELECT p.query_id, p.probe_rank, a.vec_id
+      FROM qscore p JOIN assign a USING (cent_id)
+      WHERE p.query_id <> a.vec_id),
+    bs AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {_duck_cos("qe", "ee")} DESC, vec_id) AS rn
+      FROM q, e WHERE query_id <> vec_id),
+    btop AS (SELECT query_id, vec_id FROM bs WHERE rn <= 5)"""
+    tops = ",".join(
+        f"""
+    tp{p} AS (
+      SELECT query_id, vec_id FROM (
+        SELECT c.query_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                 ORDER BY {_duck_cos("q.qe", "e.ee")} DESC, c.vec_id) AS rnk
+        FROM cand c JOIN q ON q.query_id = c.query_id
+        JOIN e ON e.vec_id = c.vec_id
+        WHERE c.probe_rank <= {p}) x WHERE rnk <= 5)"""
+        for p in _PROBE_SWEEP
+    )
+    selects = " UNION ALL ".join(
+        f"""
+    SELECT CAST({p} AS INTEGER) AS n_probe,
+           ROUND((SELECT COUNT(*) FROM tp{p} t JOIN btop b
+                  ON b.query_id = t.query_id AND b.vec_id = t.vec_id)
+                 / ((SELECT COUNT(*) FROM q) * 5.0), 6) AS avg_recall"""
+        for p in _PROBE_SWEEP
+    )
+    return f"WITH {seeds},{tops} {selects}"
+
+
+@query("pipe_ann_probe_sweep", oracle=_duck_probe_sweep_oracle())
+def ann_probe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall as a function of probed lists (n_probe ∈ 1,2,4,8):
+    average recall@5 vs brute force across the query set — the measured
+    latency/recall dial an operator uses to size n_probe at corpus scale.
+    The index (centroids + assignments) is built once per probe setting by
+    the operator under test; candidates are bounded by the probed lists."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    brute = similarity.cosine_topk_bruteforce(e, q, k=5).select(
+        "query_id", "vec_id"
+    )
+    nq = q.agg(F.count("*").alias("n_q"))
+    parts = []
+    for p in _PROBE_SWEEP:
+        hits = (
+            similarity.cosine_topk_ivf(e, q, k=5, n_centroids=16, n_probe=p)
+            .select("query_id", "vec_id")
+            .join(brute, ["query_id", "vec_id"])
+            .agg(F.count("*").alias("n_hits"))
+        )
+        parts.append(
+            hits.crossJoin(F.broadcast(nq)).select(
+                F.lit(p).cast("int").alias("n_probe"),
+                F.round(
+                    F.col("n_hits") / (F.col("n_q") * F.lit(5.0)), 6
+                ).alias("avg_recall"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return out
+
+
 # --- embedding-cosine near-duplicate pairs -----------------------------------
 @query(
     "pipe_embedding_near_dup",

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import glob
 
+import pytest
+
 from iceberg_benchmark_java_spark.harness import (
     RESULTS_SCHEMA,
     BenchmarkRunner,
@@ -176,6 +178,7 @@ def test_catalog_qualified_suite_with_use_database(spark, tmp_path):
     spark.sql("DROP TABLE ibx_cat.lineitem_cat")
 
 
+@pytest.mark.slow
 def test_cli_runs_verbatim_tpch_suite(spark, tmp_path):
     """The byte-identical reference TPC-H files execute through the full
     harness path (discovery → templating → timed noop → CSV) against the

@@ -66,6 +66,7 @@ def test_simhash_near_pairs_blocking(spark):
     assert {(p.doc_a, p.doc_b) for p in pairs} >= {(0, 1)}
 
 
+@pytest.mark.slow
 def test_cosine_topk_self_similarity(spark):
     emb = spark.createDataFrame(
         [
@@ -368,6 +369,7 @@ def test_range_join_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow
 def test_kmeans_refine_improves_objective(spark):
     """Lloyd's iterations must not worsen the clustering objective: mean
     cosine of vectors to their assigned centroid rises (or stays) after
