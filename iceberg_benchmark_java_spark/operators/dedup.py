@@ -237,6 +237,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 25,
     check_every: int = 2,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster near-dup candidate pairs into connected components.
 
@@ -261,9 +262,15 @@ def connected_components(
     actions at check_every=2. Sound because labels are MONOTONE
     non-increasing per node — equality across a k-round span forces
     equality at every round inside it, so a clean check IS a fixpoint
-    (never just a missed oscillation). Lazy per-round localCheckpoints
+    (never just a missed oscillation). Trade-off: the fixpoint is detected
+    up to 2k-2 rounds later than per-round checking (the stable span must
+    cover a full k-gap aligned to the check schedule) — extra no-op rounds
+    that cost one map-side pass each. Lazy per-round localCheckpoints
     still materialize when the next action computes through them, so
     lineage stays bounded by check_every rounds, not the whole run.
+
+    ``stats``: pass a dict to receive {"rounds": r, "checks": c} — the
+    observability hook the batching test pins (c ≈ r / check_every).
 
     Returns (doc_id, cluster_id) for every node that appears in ``pairs``.
     """
@@ -277,7 +284,9 @@ def connected_components(
         "label", F.col("node")
     )
     checked = labels  # labels as of the last convergence check
+    n_rounds = n_checks = 0
     for i in range(max_iter):
+        n_rounds += 1
         nbr = edges.join(
             labels.withColumnRenamed("node", "u"), "u"
         ).select(F.col("v").alias("node"), "label")
@@ -298,6 +307,7 @@ def connected_components(
         )
         labels = new_labels
         if (i + 1) % max(check_every, 1) == 0 or i == max_iter - 1:
+            n_checks += 1
             changed = (
                 new_labels.withColumnRenamed("label", "new_label")
                 .join(checked, "node")
@@ -307,6 +317,9 @@ def connected_components(
             checked = new_labels
             if changed == 0:
                 break
+    if stats is not None:
+        stats["rounds"] = n_rounds
+        stats["checks"] = n_checks
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

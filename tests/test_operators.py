@@ -566,6 +566,28 @@ def test_pack_sequences_greedy_rule(spark):
     }
 
 
+def test_connected_components_batched_check_fewer_actions(spark):
+    """check_every=2 must run ~half the convergence-check ACTIONS (the
+    per-round driver sync points the batching exists to remove) at the
+    cost of at most check_every-1 extra propagation rounds, with identical
+    results (pinned by the same-clusters test above)."""
+    from iceberg_benchmark_java_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    s1: dict = {}
+    s2: dict = {}
+    connected_components(pairs, check_every=1, stats=s1).collect()
+    connected_components(pairs, check_every=2, stats=s2).collect()
+    assert s1["checks"] == s1["rounds"]  # per-round checking: one per round
+    assert 0 < s2["checks"] < s1["checks"], (s1, s2)
+    # a k-batched check detects the fixpoint at most 2k-2 rounds after a
+    # per-round check would (stable span must cover a full k-gap aligned
+    # to the check schedule)
+    assert s2["rounds"] <= s1["rounds"] + 2, (s1, s2)
+
+
 def test_banded_near_dup_superset_of_single_band(spark):
     """Multi-band sign-LSH: band 0 equals the single-band bucket, so the
     banded pair set must contain every single-band pair (recall can only
