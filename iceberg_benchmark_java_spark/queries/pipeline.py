@@ -1940,6 +1940,184 @@ def length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact per-language quality percentiles ----------------------------------
+@query(
+    "pipe_quality_percentiles",
+    oracle=f"""
+    WITH m AS (
+      SELECT lang,
+             ROUND(
+               LEAST(len({_DUCK_TOKENS}) / 100.0, 1.0) * 0.5
+               + LEAST(len(list_filter({_DUCK_TOKENS},
+                   t -> t IN ('the','a','of','and'))) * 1.0
+                   / len({_DUCK_TOKENS}) * 5.0, 1.0) * 0.3
+               + LEAST(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                   / len({_DUCK_TOKENS}) / 8.0, 1.0) * 0.2, 6) AS q
+      FROM documents)
+    SELECT lang,
+           ROUND(quantile_cont(q, 0.25), 4) AS p25,
+           ROUND(quantile_cont(q, 0.50), 4) AS p50,
+           ROUND(quantile_cont(q, 0.75), 4) AS p75,
+           ROUND(quantile_cont(q, 0.95), 4) AS p95
+    FROM m GROUP BY lang
+    """,
+)
+def quality_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quality-score percentiles per language (p25/p50/p75/p95 with
+    linear interpolation) — the threshold table a quality filter is
+    calibrated from. Exact `percentile` (not approx) is fine here because
+    the per-stratum sort is bounded by the stratum, not the corpus; the
+    approx twin for corpus-wide quantiles is operators/scale.py's sketch
+    path. Scores rounded to 6dp before ranking, percentiles to 4dp, so
+    both engines interpolate the same values."""
+    d = load_table(spark, sf_dir, "documents")
+    q = text.quality_metrics(d).select("lang", F.col("quality_score").alias("q"))
+    return q.groupBy("lang").agg(
+        *[
+            F.round(F.percentile(F.col("q"), F.lit(p)), 4).alias(name)
+            for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+        ]
+    )
+
+
+# --- chunk accounting (closed-form vs explode) -------------------------------
+@query(
+    "pipe_chunk_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((GREATEST(len({_DUCK_TOKENS}), 1) - 1) // 40 + 1 AS BIGINT)
+             AS n_chunks,
+           CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def chunk_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk accounting: chunks-per-document from the actual explode
+    (chunk_documents, stride 40) aggregated back per doc, hash-checked
+    against the closed form floor((max(n,1)-1)/stride)+1 — catches an
+    off-by-one in the window arithmetic that row counts alone would
+    mask."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(d, chunk_size=50, stride=40)
+    counts = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    toks = d.select("doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens"))
+    return counts.join(toks, "doc_id").select("doc_id", "n_chunks", "n_tokens")
+
+
+# --- rolling active users (DAU / 7-day rolling) ------------------------------
+@query(
+    "pipe_active_users_rolling",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    dau AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1),
+    wau AS (
+      SELECT days.d,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau7
+      FROM days JOIN events e
+        ON CAST(e.ts AS DATE) BETWEEN days.d - 6 AND days.d
+      GROUP BY days.d)
+    SELECT dau.d AS day, dau.dau, wau.wau7
+    FROM dau JOIN wau ON wau.d = dau.d
+    """,
+)
+def active_users_rolling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + 7-day rolling distinct active users per day. Rolling COUNT
+    DISTINCT cannot use a window frame (distinct is not frame-mergeable),
+    so the rolling set is expressed as a bounded range join: day grid ⋈
+    events within [d-6, d] then countDistinct — at scale the grid side is
+    tiny (one row per day) and broadcast, events shuffle once on the day
+    key; state never exceeds 7 days × daily actives per group."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    days = e.select("d").distinct()
+    dau = e.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    grid = days.select(F.col("d").alias("day"))
+    wau = (
+        F.broadcast(grid)
+        .join(
+            e,
+            (F.col("d") >= F.date_sub(F.col("day"), 6))
+            & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau7"))
+    )
+    return (
+        dau.withColumnRenamed("d", "day")
+        .join(wau, "day")
+        .select("day", "dau", "wau7")
+    )
+
+
+# --- vocabulary coverage curve (tokenizer sizing) ----------------------------
+_COVERAGE_KS = (5, 10, 25, 50)
+
+
+@query(
+    "pipe_vocab_coverage",
+    oracle=f"""
+    WITH w AS (SELECT UNNEST({_DUCK_TOKENS}) AS term FROM documents),
+    freq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY term),
+    ranked AS (
+      SELECT term, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk,
+             SUM(cnt) OVER (ORDER BY cnt DESC, term
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM freq)
+    SELECT CAST(k.k AS INTEGER) AS k,
+           CAST(r.cum AS BIGINT) AS covered_tokens,
+           CAST(r.total AS BIGINT) AS total_tokens,
+           ROUND(r.cum * 1.0 / r.total, 6) AS coverage
+    FROM (VALUES {", ".join(f"({k})" for k in _COVERAGE_KS)}) k(k)
+    JOIN ranked r ON r.rnk = k.k
+    """,
+)
+def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of all corpus tokens covered
+    by the top-k most frequent terms (k ∈ 5,10,25,50) — the measurement a
+    tokenizer/vocab-size decision is made from. One term aggregate, one
+    rank+running-sum window over the (tiny) vocabulary, never over the
+    corpus; everything integer until the final ratio, so exact in both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = freq.select(
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in _COVERAGE_KS], "k INT"
+    )
+    return (
+        F.broadcast(ks)
+        .join(ranked, F.col("rnk") == F.col("k"))
+        .select(
+            "k",
+            F.col("cum").alias("covered_tokens"),
+            F.col("total").alias("total_tokens"),
+            F.round(F.col("cum") / F.col("total"), 6).alias("coverage"),
+        )
+    )
+
+
 # --- sensitive-pattern scan (PII-scrub machinery) ----------------------------
 _SCAN_PATTERNS = {
     # stand-in patterns that fire on the synthetic corpus; in production
