@@ -2118,6 +2118,64 @@ def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Zipf rank-frequency slope (corpus naturalness diagnostic) ---------------
+@query(
+    "pipe_zipf_slope",
+    oracle=f"""
+    WITH w AS (SELECT UNNEST({_DUCK_TOKENS}) AS term FROM documents),
+    freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY term),
+    ranked AS (
+      SELECT CAST(FLOOR(ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, term))
+                        * 1000000) AS BIGINT) AS xq,
+             CAST(FLOOR(ln(cnt) * 1000000) AS BIGINT) AS yq
+      FROM freq),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(xq) AS sx, SUM(yq) AS sy,
+             SUM(xq * yq) AS sxy, SUM(xq * xq) AS sxx
+      FROM ranked)
+    SELECT n AS n_terms,
+           ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 4)
+             AS zipf_slope
+    FROM s
+    """,
+)
+def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope: least-squares fit of ln(freq) vs ln(rank)
+    over the vocabulary — natural text sits near -1; flat or cliffy slopes
+    flag synthetic/templated corpora (this fixture corpus is deliberately
+    un-Zipfian). Fixed point: ln values floored to 1e-6 so all regression
+    sums are exact BIGINTs (order-independent, engine-identical); one
+    vocabulary aggregate + one window over the vocab, nothing over the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rnk = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term")))
+    quant = lambda c: F.floor(F.log(c) * 1_000_000).cast("long")  # noqa: E731
+    ranked = freq.select(
+        quant(rnk.cast("double")).alias("xq"), quant(F.col("cnt")).alias("yq")
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
+    )
+
+
 # --- sensitive-pattern scan (PII-scrub machinery) ----------------------------
 _SCAN_PATTERNS = {
     # stand-in patterns that fire on the synthetic corpus; in production
