@@ -2176,6 +2176,64 @@ def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- skew-path twins as gated queries (salting is semantics-preserving) ------
+@query(
+    "pipe_salted_hot_key_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS min_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_hot_key_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a hot group key (operators/scale.
+    salted_aggregate, 8 salts): partials on (key, salt), re-aggregate per
+    key — the straggler-bound fix for aggregation skew AQE cannot touch.
+    The oracle is the PLAIN aggregate: salting must be invisible in the
+    result (decimal partials make the two-stage sum exact)."""
+    from ..operators import scale
+
+    e = load_table(spark, sf_dir, "events")
+    out = scale.salted_aggregate(
+        e,
+        ["event_type"],
+        {
+            "total_raw": ("sum", F.sum(F.col("value").cast("decimal(18,4)"))),
+            "n": ("count", F.count("*")),
+            "min_value": ("min", F.min("value")),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.round(F.col("total_raw"), 2).cast("double").alias("total_value"),
+        "n",
+        "min_value",
+    )
+
+
+@query(
+    "pipe_salted_count_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact count-distinct (operators/scale.
+    salted_count_distinct): dedupe on (key, value) — a hot key spreads over
+    its distinct values — then count survivors per key. The decomposition
+    that summing per-salt countDistinct partials silently gets wrong.
+    Oracle: plain COUNT(DISTINCT)."""
+    from ..operators import scale
+
+    e = load_table(spark, sf_dir, "events")
+    return scale.salted_count_distinct(e, ["event_type"], "user_id")
+
+
 # --- sensitive-pattern scan (PII-scrub machinery) ----------------------------
 _SCAN_PATTERNS = {
     # stand-in patterns that fire on the synthetic corpus; in production
