@@ -196,3 +196,41 @@ def test_repetition_ratio_bounds(spark, texts):
     for total, distinct, ratio in got.values():
         assert 0 < distinct <= total
         assert 0 < ratio <= 1.0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.integers(min_value=1, max_value=40), min_size=1, max_size=24
+    ),
+    n_shards=st.sampled_from([1, 2, 4]),
+)
+def test_pack_sequences_capacity_invariant(spark, docs, n_shards):
+    """For ANY doc-length distribution and shard count: no bin exceeds
+    capacity unless it holds exactly one (oversized) doc, every doc is
+    assigned exactly once, and bin ids per group are dense from 0."""
+    from iceberg_benchmark_java_spark.operators.text import pack_sequences
+
+    capacity = 32
+    rows = [(i, "en", " ".join("t" for _ in range(n))) for i, n in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = pack_sequences(
+        df, capacity=capacity, group_cols=("lang",), n_shards=n_shards
+    ).collect()
+    assert len(out) == len(docs)
+    groups: dict = {}
+    for r in out:
+        key = (r.lang, getattr(r, "shard", 0), r.bin_id)
+        groups.setdefault(key, []).append(r.n_tokens)
+    for members in groups.values():
+        assert sum(members) <= capacity or len(members) == 1
+    # dense bin ids from 0 within each (lang, shard)
+    per_group: dict = {}
+    for (lang, shard, bin_id), _m in groups.items():
+        per_group.setdefault((lang, shard), set()).add(bin_id)
+    for bins in per_group.values():
+        assert bins == set(range(len(bins)))

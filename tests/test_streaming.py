@@ -438,6 +438,90 @@ def test_sessionize_event_time_closes_on_watermark(spark, tmp_path):
     assert closed == {(1, 0): 1, (1, 1): 1, (2, 0): 1, (2, 1): 0}
 
 
+def test_sessionize_event_time_matches_batch(spark, stream_source_dir, tmp_path):
+    """Event-time sessionizer equals the batch sessionization on real
+    fixture events once the watermark passes every session's close timer:
+    a far-future sentinel event (dummy user) appended as a final
+    micro-batch advances the watermark beyond last+gap for every real
+    user, so ALL their sessions close by event-time timeout, and the
+    closed session set must reproduce win_sessionize_events exactly."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    src = str(tmp_path / "et_full")
+    os.makedirs(src)
+    parts = sorted(Path(stream_source_dir).glob("*.parquet"))
+    base = 1_700_000_000
+    for i, p in enumerate(parts):
+        dest = Path(src) / f"batch-{i:03d}.parquet"
+        shutil.copy(p, dest)
+        os.utime(dest, (base + i, base + i))
+    max_ts = spark.read.parquet(stream_source_dir).agg(
+        F.max("ts").alias("m")
+    ).first().m
+    import datetime
+    import tempfile
+
+    sentinel_ts = str(
+        max_ts
+        + datetime.timedelta(seconds=streaming.events.SESSION_GAP_SECONDS + 3 * 3600)
+    )
+    sentinel = spark.createDataFrame(
+        [(10**9, sentinel_ts, -1, "x", 1.0, None)],
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as tmp:
+        sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(Path(tmp).glob("part-*.parquet"))
+        dest = Path(src) / f"batch-{len(parts):03d}.parquet"
+        shutil.copy(part, dest)
+    os.utime(
+        Path(src) / f"batch-{len(parts):03d}.parquet",
+        (base + len(parts), base + len(parts)),
+    )
+
+    stream = streaming.read_events_stream(spark, src)
+    sess = streaming.sessionize_stream_event_time(stream, watermark="2 hours")
+    q = streaming.run_stream_to_memory(
+        sess, "et_full_test", output_mode="append", available_now=True
+    )
+    try:
+        _await_done(q)
+        rows = spark.sql("SELECT * FROM et_full_test").collect()
+    finally:
+        q.stop()
+    # final per-session counts (counts only grow within a session); the
+    # sentinel user (-1) is excluded below — its own session stays open
+    stream_sessions: dict = {}
+    closed: dict = {}
+    for r in rows:
+        k = (r.user_id, r.session_id)
+        stream_sessions[k] = max(stream_sessions.get(k, 0), r.n_events)
+        closed[k] = closed.get(k, 0) or r.closed
+    from iceberg_benchmark_java_spark.queries import all_queries
+
+    batch = all_queries()["win_sessionize_events"](spark, SF_SMOKE).collect()
+    batch_count: dict = {}
+    batch_events: dict = {}
+    for r in batch:
+        batch_count[r.user_id] = max(batch_count.get(r.user_id, 0), r.session_id)
+        batch_events[r.user_id] = batch_events.get(r.user_id, 0) + r.n_events
+    real_users = set(batch_count)
+    # every real user's sessions all CLOSED (timers fired), and counts match
+    stream_count: dict = {}
+    stream_events: dict = {}
+    for (u, sid), n in stream_sessions.items():
+        if u not in real_users:
+            continue  # the sentinel user's own open session
+        assert closed[(u, sid)] == 1, f"session ({u},{sid}) never closed"
+        stream_count[u] = max(stream_count.get(u, 0), sid + 1)
+        stream_events[u] = stream_events.get(u, 0) + n
+    assert stream_count == batch_count
+    assert stream_events == batch_events
+
+
 def test_dedup_against_corpus_stream(spark, tmp_path):
     """Stream-static anti-join dedup: docs whose text already exists in the
     static corpus are dropped; novel docs pass through exactly once."""
