@@ -779,8 +779,23 @@ def gen_inventory(rng):
     }
 
 
+def _marker_fresh(marker: str, scale: int, force: bool) -> bool:
+    """True when an existing ``_complete`` marker proves the warehouse was
+    generated at the REQUESTED scale (the marker records the scale; legacy
+    empty markers read as scale=1). A dir previously generated at a
+    different scale is regenerated instead of silently reused — a scaling
+    run pointed at a reused dir must never measure the wrong data volume."""
+    if force or not os.path.exists(marker):
+        return False
+    content = open(marker).read().strip()
+    return (int(content) if content else 1) == scale
+
+
 def generate_tpcds(
-    out_dir: str = TPCDS_DIR, force: bool = False, scale: int = 1
+    out_dir: str = TPCDS_DIR,
+    force: bool = False,
+    scale: int = 1,
+    _marker_scale: int = 1,
 ) -> list[str]:
     """Generate the TPC-DS fixture warehouse. ``scale`` multiplies the FACT
     group counts (store tickets / catalog orders / web orders — returns and
@@ -796,12 +811,14 @@ def generate_tpcds(
             x * scale for x in saved
         )
         try:
-            return generate_tpcds(out_dir, force, scale=1)
+            return generate_tpcds(
+                out_dir, force, scale=1, _marker_scale=scale
+            )
         finally:
             N_STORE_TICKETS, N_CATALOG_ORDERS, N_WEB_ORDERS = saved
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_complete")
-    if os.path.exists(marker) and not force:
+    if _marker_fresh(marker, _marker_scale, force):
         return []
     rng = np.random.default_rng(SEED)
     zips = _zip_pool()
@@ -866,7 +883,8 @@ def generate_tpcds(
     write("web_returns", wr_cols)
 
     write("inventory", gen_inventory(rng))
-    open(marker, "w").close()
+    with open(marker, "w") as f:
+        f.write(str(_marker_scale))
     return written
 
 
@@ -934,23 +952,28 @@ def _phone(rng, nationkeys):
 
 
 def generate_tpch(
-    out_dir: str = TPCH_DIR, force: bool = False, scale: int = 1
+    out_dir: str = TPCH_DIR,
+    force: bool = False,
+    scale: int = 1,
+    _marker_scale: int = 1,
 ) -> list[str]:
     """Generate the TPC-H fixture warehouse. ``scale`` multiplies the
     order count (lineitem follows at ~4 lines/order); part/supplier/
     customer stay fixed, the facts-grow-dims-don't shape used by
-    tools/run_scaling.py. Committed fixtures are scale=1."""
+    tools/run_scaling.py. Committed fixtures are scale=1. The ``_complete``
+    marker records the scale (see :func:`_marker_fresh`), so re-pointing a
+    scaling run at a dir generated at another scale regenerates it."""
     global NH_ORDERS
     if scale != 1:
         saved = NH_ORDERS
         NH_ORDERS = saved * scale
         try:
-            return generate_tpch(out_dir, force, scale=1)
+            return generate_tpch(out_dir, force, scale=1, _marker_scale=scale)
         finally:
             NH_ORDERS = saved
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_complete")
-    if os.path.exists(marker) and not force:
+    if _marker_fresh(marker, _marker_scale, force):
         return []
     rng = np.random.default_rng(SEED + 1)
     written = []
@@ -1081,7 +1104,8 @@ def generate_tpch(
         "shipmode": pa.array([SHIPMODES[i] for i in rng.integers(0, 7, n_li)]),
         "comment": pa.array(_comments(rng, n_li)),
     })
-    open(marker, "w").close()
+    with open(marker, "w") as f:
+        f.write(str(_marker_scale))
     return written
 
 

@@ -147,6 +147,8 @@ def pattern_hit_stats(
     over text per pattern and would fold into a single pass with a
     struct-of-counts projection at 100 TB.
     """
+    if not patterns:
+        raise ValueError("pattern_hit_stats requires at least one pattern")
     parts = []
     for name, pat in sorted(patterns.items()):
         hits = F.regexp_count(F.col("text"), F.lit(pat))

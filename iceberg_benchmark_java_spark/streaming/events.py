@@ -120,7 +120,16 @@ def _make_sessionize_group(use_timeout: bool):
         (user_id,) = key
         if state.hasTimedOut:
             session_id, _last, n = state.get
-            state.remove()
+            # Tombstone, not remove(): keep the NEXT session id so a user
+            # returning after a timeout-close continues numbering at
+            # session_id+1 instead of colliding with the already-emitted
+            # (user_id, session_id) close row. last_epoch=None marks "no
+            # open session"; no new timeout is registered, so the tombstone
+            # never re-fires. State cost: one tiny tuple per user ever
+            # seen — bounded by key cardinality, not throughput (for
+            # unbounded key domains, derive ids from the session-start
+            # timestamp instead and drop the tombstone).
+            state.update((session_id + 1, None, 0))
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
@@ -195,11 +204,26 @@ def _sessionize_event_time_group(
     """Event-time sessionizer kernel: same gap rule as the processing-time
     variant, but the close timer is an EVENT-TIME timestamp (last event +
     gap) fired by watermark progress — deterministic under replay and
-    backfill, where wall-clock timers are not."""
+    backfill, where wall-clock timers are not.
+
+    Ordering contract: events are sorted WITHIN each micro-batch; ACROSS
+    batches the kernel assumes per-user event-time-monotone delivery (each
+    batch's events for a user are at or after that user's previous batch).
+    An above-watermark event older than the state's last_epoch (allowed
+    late data arriving out of order across batches) would be appended to
+    the current session with a negative gap — to also reorder across
+    batches, buffer events in state until the watermark passes them before
+    assigning sessions (a state-size trade this engine doesn't take).
+    Replay/backfill of an ordered log satisfies the contract."""
     (user_id,) = key
     if state.hasTimedOut:
         session_id, _last, n = state.get
-        state.remove()
+        # Tombstone (see _make_sessionize_group): persist the next session
+        # id so a post-timeout return continues at session_id+1 instead of
+        # colliding with the closed session's id. No timeout is registered
+        # on the tombstone, so it never re-fires; state is one tuple per
+        # user ever seen.
+        state.update((session_id + 1, None, 0))
         yield pd.DataFrame(
             {
                 "user_id": [user_id],

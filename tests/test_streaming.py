@@ -552,3 +552,134 @@ def test_dedup_against_corpus_stream(spark, tmp_path):
     finally:
         q.stop()
     assert got == [1001, 1003]
+
+
+def test_sessionize_event_time_timeout_then_return(spark, tmp_path):
+    """A user who RETURNS after an event-time timeout closed their session
+    must continue numbering at session_id+1 — the timeout tombstone keeps
+    the counter, so the new session never collides with the already-emitted
+    closed (user_id, session_id) rows. Timeline (30-min gap, 2h watermark):
+      b0: u1 @ 00:00                      -> opens u1 s0
+      b1: u3 @ 03:00                      -> wm after b1 = 01:00 (> 00:30)
+      b2: u3 @ 04:00                      -> u1 s0 closes by TIMEOUT here
+                                             (no u1 data in this batch);
+                                             u3 s0 inline-closes (1h gap)
+      b3: u1 @ 05:00                      -> u1 returns: must be s1, not s0
+    Final: u1 {s0 closed n=1, s1 open n=1}; u3 {s0 closed n=1, s1 open}."""
+    import os
+    import shutil
+    import tempfile
+
+    src = str(tmp_path / "et_return")
+    os.makedirs(src)
+    d = "2024-01-01"
+
+    def wf(seq, rows):  # (event_id, ts, user_id)
+        df = spark.createDataFrame(
+            [(i, ts, u, "x", 1.0, None) for (i, ts, u) in rows],
+            "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        with tempfile.TemporaryDirectory() as tmp:
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(Path(tmp).glob("part-*.parquet"))
+            dest = Path(src) / f"batch-{seq:03d}.parquet"
+            shutil.copy(part, dest)
+        os.utime(
+            Path(src) / f"batch-{seq:03d}.parquet",
+            (1_700_000_000 + seq, 1_700_000_000 + seq),
+        )
+
+    wf(0, [(1, f"{d} 00:00:00", 1)])
+    wf(1, [(2, f"{d} 03:00:00", 3)])
+    wf(2, [(3, f"{d} 04:00:00", 3)])
+    wf(3, [(4, f"{d} 05:00:00", 1)])
+
+    stream = streaming.read_events_stream(spark, src)
+    sess = streaming.sessionize_stream_event_time(stream, watermark="2 hours")
+    q = streaming.run_stream_to_memory(
+        sess, "et_return_test", output_mode="append", available_now=True
+    )
+    try:
+        _await_done(q)
+        rows = spark.sql("SELECT * FROM et_return_test").collect()
+    finally:
+        q.stop()
+    final: dict = {}
+    closed: dict = {}
+    for r in rows:
+        k = (r.user_id, r.session_id)
+        final[k] = max(final.get(k, 0), r.n_events)
+        closed[k] = closed.get(k, 0) or r.closed
+    assert final == {(1, 0): 1, (1, 1): 1, (3, 0): 1, (3, 1): 1}, final
+    assert closed == {(1, 0): 1, (1, 1): 0, (3, 0): 1, (3, 1): 0}, closed
+
+
+def test_click_purchase_join_late_data(spark, tmp_path):
+    """Interval-join late-data contract: an out-of-order purchase that is
+    still ABOVE the watermark joins its click exactly as in batch; one that
+    has fallen BELOW the watermark is dropped (and its click's join state
+    is already evicted — wm passed click_ts + horizon). Timeline
+    (60-min horizon, 2h watermark):
+      b0: click c1 u1 @ 01:00, purchase p1 u1 @ 01:30  -> pair (1, 101)
+          click c2 u2 @ 01:00 (its purchase arrives too late)
+      b1: click c3 u3 @ 09:30, purchase u88 @ 10:00    -> wm -> ~07:30
+      b2: filler click/purchase @ 10:30 (u77/u88)      -> this batch's
+          state cleanup evicts c2's join state (wm passed 01:00 + 60min;
+          eviction lags the wm advance by one batch)
+      b3: purchase p3 u3 @ 09:45 (out-of-order vs 10:00 but above wm)
+                                                       -> pair (3, 103)
+          purchase p2 u2 @ 01:20 (far below wm)        -> DROPPED — c2's
+          state is gone and the row is beyond the join's state horizon
+    """
+    import os
+    import shutil
+    import tempfile
+
+    src = str(tmp_path / "sj_late")
+    os.makedirs(src)
+    d = "2024-01-01"
+
+    def wf(seq, rows):  # (event_id, ts, user_id, event_type)
+        df = spark.createDataFrame(
+            [(i, ts, u, et, 1.0, None) for (i, ts, u, et) in rows],
+            "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        with tempfile.TemporaryDirectory() as tmp:
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.copy(part, Path(src) / f"batch-{seq:03d}.parquet")
+        os.utime(
+            Path(src) / f"batch-{seq:03d}.parquet",
+            (1_700_000_000 + seq, 1_700_000_000 + seq),
+        )
+
+    wf(0, [(1, f"{d} 01:00:00", 1, "click"),
+           (101, f"{d} 01:30:00", 1, "purchase"),
+           (2, f"{d} 01:00:00", 2, "click")])
+    wf(1, [(3, f"{d} 09:30:00", 3, "click"),
+           (888, f"{d} 10:00:00", 88, "purchase")])
+    wf(2, [(77, f"{d} 10:30:00", 77, "click"),
+           (889, f"{d} 10:30:00", 88, "purchase")])
+    wf(3, [(103, f"{d} 09:45:00", 3, "purchase"),
+           (102, f"{d} 01:20:00", 2, "purchase")])
+
+    stream = streaming.read_events_stream(spark, src)
+    joined = streaming.click_purchase_join_stream(
+        stream, watermark="2 hours", horizon_minutes=60
+    )
+    q = streaming.run_stream_to_memory(
+        joined, "sj_late_test", output_mode="append", available_now=True
+    )
+    try:
+        _await_done(q)
+        pairs = sorted(
+            (r.click_id, r.purchase_id)
+            for r in spark.sql(
+                "SELECT click_id, purchase_id FROM sj_late_test"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    assert pairs == [(1, 101), (3, 103)], pairs
