@@ -1830,8 +1830,17 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language TF-IDF top-5 terms: tf within the language stratum,
     idf = ln(N/df) over the whole corpus — the vocabulary-signature pass of
     corpus analysis. Two natural-key aggregations (term; lang×term) + one
-    broadcast scalar + a per-stratum top-k window; no global sort. tfidf
-    rounded to 6dp before ranking so the order is engine-stable."""
+    broadcast scalar + a TWO-PHASE per-stratum top-k; no global sort.
+    tfidf rounded to 6dp before ranking so the order is engine-stable.
+
+    Scale shape: a single rank window partitioned by lang holds one
+    language's entire vocabulary per partition — with 90% of a web corpus
+    in one language that is a near-global window. Instead, phase 1 ranks
+    within (lang, term-shard) — each partition bounded by
+    |lang vocab|/64 — and keeps each shard's top-5; phase 2 re-ranks the
+    ≤ 5×64 survivors per language (a bounded-size window, independent of
+    vocabulary growth). Every global top-5 term is its own shard's top-5,
+    so the result is exactly the single-window answer."""
     d = load_table(spark, sf_dir, "documents")
     w = d.select(
         "lang",
@@ -1859,9 +1868,18 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+    shard = text.shard_of(F.col("term"), 64)
+    win_shard = Window.partitionBy("lang", "shard").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    survivors = (
+        scored.withColumn("shard", shard)
+        .withColumn("rnk1", F.row_number().over(win_shard))
+        .filter(F.col("rnk1") <= 5)
+    )
     win = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
-        scored.withColumn("rnk", F.row_number().over(win))
+        survivors.withColumn("rnk", F.row_number().over(win))
         .filter(F.col("rnk") <= 5)
         .select("lang", "term", "tf", "df", "tfidf", "rnk")
     )
@@ -2082,26 +2100,37 @@ _COVERAGE_KS = (5, 10, 25, 50)
 def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve: the fraction of all corpus tokens covered
     by the top-k most frequent terms (k ∈ 5,10,25,50) — the measurement a
-    tokenizer/vocab-size decision is made from. One term aggregate, one
-    rank+running-sum window over the (tiny) vocabulary, never over the
-    corpus; everything integer until the final ratio, so exact in both
-    engines."""
+    tokenizer/vocab-size decision is made from.
+
+    Scale shape: the curve only needs the top-max(k)=50 terms, so the
+    global rank window of the naive form (which would move the WHOLE
+    vocabulary — unbounded at web scale: typos/URLs/numbers — to one
+    partition) is replaced by ``orderBy().limit(50)``, which Spark plans as
+    TakeOrderedAndProject (per-partition top-50, tiny driver merge, never a
+    global sort). Rank + running sum over those 50 rows come from a
+    broadcast triangular self-join (b ranked at-or-before a), and the
+    grand total is an ordinary map-side-combined aggregate — NO WindowExec
+    anywhere (asserted in test_plans.py). Everything integer until the
+    final ratio, so exact in both engines."""
     d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
     )
-    w_rank = Window.orderBy(F.desc("cnt"), F.asc("term"))
-    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = freq.select(
-        F.row_number().over(w_rank).alias("rnk"),
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total"),
+    top = freq.orderBy(F.desc("cnt"), F.asc("term")).limit(max(_COVERAGE_KS))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    a, b = top.alias("a"), top.alias("b")
+    at_or_before = (F.col("b.cnt") > F.col("a.cnt")) | (
+        (F.col("b.cnt") == F.col("a.cnt")) & (F.col("b.term") <= F.col("a.term"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), at_or_before)
+        .groupBy(F.col("a.term"), F.col("a.cnt"))
+        .agg(
+            F.count("*").alias("rnk"),
+            F.sum(F.col("b.cnt")).alias("cum"),
+        )
     )
     ks = spark.range(0).sparkSession.createDataFrame(
         [(k,) for k in _COVERAGE_KS], "k INT"
@@ -2109,6 +2138,7 @@ def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         F.broadcast(ks)
         .join(ranked, F.col("rnk") == F.col("k"))
+        .crossJoin(F.broadcast(total))
         .select(
             "k",
             F.col("cum").alias("covered_tokens"),
@@ -2145,19 +2175,47 @@ def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the vocabulary — natural text sits near -1; flat or cliffy slopes
     flag synthetic/templated corpora (this fixture corpus is deliberately
     un-Zipfian). Fixed point: ln values floored to 1e-6 so all regression
-    sums are exact BIGINTs (order-independent, engine-identical); one
-    vocabulary aggregate + one window over the vocab, nothing over the
-    corpus."""
+    sums are exact BIGINTs (order-independent, engine-identical).
+
+    Scale shape: the fit needs EVERY term's global rank, so instead of a
+    global rank window (whole vocabulary on one partition — unbounded at
+    web scale) ranks come from the per-partition-offset trick (the
+    zipWithIndex decomposition): range-repartition the vocab on the rank
+    order, row_number WITHIN each range partition (a window partitioned by
+    spark_partition_id — bounded at |vocab|/N), and add each partition's
+    broadcast offset (= count of rows in earlier ranges, a triangular
+    self-join over N tiny per-partition counts). The sorted frame is
+    localCheckpoint'd once so both the counts branch and the rank branch
+    read the SAME materialized partitioning — zero single-partition
+    stages (asserted in test_plans.py)."""
     d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
     )
-    rnk = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term")))
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
+    srt = (
+        freq.repartitionByRange(n_parts, F.col("cnt").desc(), F.col("term").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    pc = srt.groupBy("pid").agg(F.count("*").alias("pn"))
+    a, b = pc.alias("a"), pc.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.pn"), F.lit(0)).alias("off"))
+    )
+    w_in = Window.partitionBy("pid").orderBy(F.desc("cnt"), F.asc("term"))
     quant = lambda c: F.floor(F.log(c) * 1_000_000).cast("long")  # noqa: E731
-    ranked = freq.select(
-        quant(rnk.cast("double")).alias("xq"), quant(F.col("cnt")).alias("yq")
+    ranked = (
+        srt.withColumn("r_in", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            quant((F.col("r_in") + F.col("off")).cast("double")).alias("xq"),
+            quant(F.col("cnt")).alias("yq"),
+        )
     )
     s = ranked.agg(
         F.count("*").alias("n"),

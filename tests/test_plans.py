@@ -441,3 +441,47 @@ def test_doc_chunks_no_shuffle(spark):
     plan = _plan(spark, "pipe_doc_chunks")
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def _unpartitioned_window_specs(plan: str) -> list[str]:
+    """windowspecdefinition(...) occurrences whose FIRST argument is an
+    ordering (col ASC/DESC ...) — i.e. windows with no partition columns,
+    which move the whole input to one partition."""
+    import re
+
+    bad = []
+    for m in re.finditer(r"windowspecdefinition\(([^,]+),", plan):
+        first_arg = m.group(1)
+        if " ASC" in first_arg or " DESC" in first_arg:
+            bad.append(m.group(0))
+    return bad
+
+
+def test_vocab_coverage_scale_no_window(spark):
+    """pipe_vocab_coverage must plan the top-max(k) via
+    TakeOrderedAndProject (per-partition top-k, no global sort) and contain
+    NO WindowExec at all — the rank/running-sum come from a broadcast
+    triangular self-join over the 50 survivors, so the whole-vocabulary
+    single-partition window of the naive form never appears."""
+    plan = _plan(spark, "pipe_vocab_coverage")
+    assert "Window" not in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zipf_slope_partitioned_rank_only(spark):
+    """pipe_zipf_slope needs every term's global rank; the plan must get it
+    from the partition-offset decomposition — its only window is
+    partitioned by spark_partition_id (bounded at |vocab|/N rows), never an
+    unpartitioned global-rank window."""
+    plan = _plan(spark, "pipe_zipf_slope")
+    assert "windowspecdefinition(pid#" in plan, plan[:1500]
+    assert not _unpartitioned_window_specs(plan), _unpartitioned_window_specs(plan)
+
+
+def test_tfidf_topk_two_phase_windows(spark):
+    """pipe_tfidf_top_terms must rank in two phases: a (lang, shard) window
+    (per-partition bound |lang vocab|/64) feeding a lang window over ≤5×64
+    survivors — and no unpartitioned window anywhere."""
+    plan = _plan(spark, "pipe_tfidf_top_terms")
+    assert "shard#" in plan
+    assert not _unpartitioned_window_specs(plan), _unpartitioned_window_specs(plan)
