@@ -65,6 +65,13 @@ HEADLINE = [
 
 
 def main() -> None:
+    # The result JSON must be the ONLY stdout line (the driver parses
+    # stdout structurally). Re-point fd 1 at stderr for the whole run —
+    # the JVM child inherits the redirected fd, so Spark/Ivy/log chatter
+    # can never interleave — and keep the real stdout for the final line.
+    real_stdout = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_session(local_test_config("ibx-bench"))
@@ -121,25 +128,25 @@ def main() -> None:
         name: (corpus_fixture_scale() if name.startswith("corpus_") else sf_val)
         for name in HEADLINE
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall_sec_noop_sink",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "probe": {
-                    "query": "corpus_tpch_q01",
-                    "runs": probe_runs,
-                    "best": min(probe_runs),
-                },
-                "failed": failed,
-                "query_sf": scales,
-                "sf": sf_val,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_total_wall_sec_noop_sink",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "runs": runs,
+            "probe": {
+                "query": "corpus_tpch_q01",
+                "runs": probe_runs,
+                "best": min(probe_runs),
+            },
+            "failed": failed,
+            "query_sf": scales,
+            "sf": sf_val,
+        }
     )
+    os.write(real_stdout, line.encode() + b"\n")
+    os.close(real_stdout)
     spark.stop()
 
 
