@@ -108,8 +108,13 @@ def seed_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
         .agg(F.min("vec_id").alias("vec_id"))
     )
     w = Window.orderBy("bucket")
+    # reps is <= 2^bits rows BY CONSTRUCTION (one per orthant), but
+    # Catalyst's size estimate for an aggregate scales with its child, so
+    # on a large corpus the auto-broadcast lapses and the seed join would
+    # plan a corpus shuffle on vec_id. Hint it explicitly — the bound is
+    # structural, not statistical.
     return (
-        reps.join(embeddings, "vec_id")
+        F.broadcast(reps).join(embeddings, "vec_id")
         .select("bucket", F.col("embedding").alias("c_emb"))
         .withColumn("cent_id", F.row_number().over(w) - 1)
         .filter(F.col("cent_id") < n_centroids)

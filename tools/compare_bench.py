@@ -1,6 +1,12 @@
 """Compare two bench.py JSON lines (e.g. BENCH_r1.json vs BENCH_r2.json).
 
 Usage: python tools/compare_bench.py <old.json> <new.json> [threshold_pct]
+       python tools/compare_bench.py <old> <new> [threshold_pct] --out FILE
+
+``--out FILE`` additionally writes the full report (probe classification +
+per-query table) to FILE — the mechanism that generates BENCH_DELTA_r{N}.txt
+directly from the tool, so the host-noise argument is mechanical rather than
+hand-written.
 
 Prints per-query deltas sorted by regression size and exits 1 if any
 query regressed more than threshold_pct (default 25%) — the cross-round
@@ -21,12 +27,25 @@ import sys
 
 
 def main() -> int:
-    if len(sys.argv) < 3:
+    args = sys.argv[1:]
+    out_file = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_file = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    if len(args) < 2:
         print(__doc__)
         return 2
-    old = json.loads(open(sys.argv[1]).read().strip().splitlines()[-1])
-    new = json.loads(open(sys.argv[2]).read().strip().splitlines()[-1])
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
+    lines: list[str] = []
+
+    def emit(msg: str) -> None:
+        lines.append(msg)
+        print(msg)
+
+    old = json.loads(open(args[0]).read().strip().splitlines()[-1])
+    new = json.loads(open(args[1]).read().strip().splitlines()[-1])
+    threshold = float(args[2]) if len(args) > 2 else 25.0
+    emit(f"# bench delta: {args[0]} -> {args[1]} (threshold {threshold}%)")
     # probe-based host-noise ratio: how much the fixed, code-stable query
     # moved between the two runs (1.0 = no host shift / probe absent)
     probe_ratio = 1.0
@@ -43,13 +62,13 @@ def main() -> int:
         # silently raise the effective regression gate for every query.
         if observed > 1.0 + threshold / 100.0:
             probe_ratio = observed
-            print(
+            emit(
                 f"probe {p_new['query']}: {p_old['best']} -> {p_new['best']} sec "
                 f"(x{probe_ratio:.2f}) — host shifted; regressions up to "
                 f"x{probe_ratio:.2f} classified as host-noise"
             )
         else:
-            print(
+            emit(
                 f"probe {p_new['query']}: {p_old['best']} -> {p_new['best']} sec "
                 f"(x{observed:.2f}) — within threshold, no host-noise discount"
             )
@@ -72,14 +91,17 @@ def main() -> int:
                 regressed.append(q)
             else:
                 noise = "  [host-noise]"
-        print(
+        emit(
             f"{tag}  {q:40s} "
             f"{t_old if t_old is not None else '-':>8} -> {t_new:>8}{noise}"
         )
-    print(
+    emit(
         f"total: {old.get('value')} -> {new.get('value')} sec"
         f"  ({len(regressed)} queries regressed > {threshold}%)"
     )
+    if out_file:
+        with open(out_file, "w") as f:
+            f.write("\n".join(lines) + "\n")
     return 1 if regressed else 0
 
 

@@ -1,0 +1,374 @@
+"""Scaling-curve evidence for the LLM-pipeline headliners (dedup / ANN /
+decontamination) — the measurement counterpart of tools/run_scaling.py for
+the documents/embeddings tables.
+
+Generates an N× documents+embeddings warehouse that preserves the base
+corpus's STATISTICAL profile — unigram token distribution, doc-length
+distribution, (lang, source) mix, per-label embedding Gaussians — while
+planting duplicate structure at a FIXED RATE (exact dups ~0.2%, token-level
+near-dups ~1.5%, embedding near-dups ~1%). Fixed-rate planting is the
+point: naive replication of the base docs would make every doc a near-dup
+of its copies, so candidate-pair counts would grow quadratically in the
+replication factor from the DATA, poisoning the plan measurement. With the
+profile held constant, a healthy bucketed/broadcast plan scales
+sub-quadratically (target ≲ ~1.5× the data ratio); a quadratic candidate
+stage or a broadcast flipping to a corpus shuffle shows up immediately.
+
+Usage:  python tools/run_scaling_pipe.py [out_json] [scale ...]
+Writes SCALING_r06_pipe.json (default) with per-query 1×/N× wall times,
+ratios, and the no-corpus-shuffle / broadcast plan asserts at every scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from iceberg_benchmark_java_spark.fixtures import _marker_fresh
+from iceberg_benchmark_java_spark.session import build_session, local_test_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SEED = 606
+
+HEADLINERS = [
+    "pipe_minhash_lsh_candidates",
+    "pipe_dedup_clusters",
+    "pipe_decontamination",
+    "pipe_ann_ivf_topk",
+    "pipe_embedding_near_dup_banded",
+]
+
+EXACT_DUP_RATE = 0.002
+NEAR_DUP_RATE = 0.015
+EMB_NEAR_DUP_RATE = 0.01
+MUTATION_RATE = 0.05  # fraction of tokens resampled in a near-dup
+
+
+def _gen_documents(out_path: str, scale: int, rng: np.random.Generator) -> int:
+    base = pd.read_parquet(os.path.join(BASE_DIR, "documents.parquet"))
+    token_lists = base["text"].str.split()
+    all_tokens = np.concatenate([np.asarray(t, dtype=object) for t in token_lists])
+    vocab, counts = np.unique(all_tokens.astype(str), return_counts=True)
+    probs = counts / counts.sum()
+    lengths = np.array([len(t) for t in token_lists])
+    langsrc = base[["lang", "source"]].to_numpy()
+
+    n = len(base) * scale
+    out_len = rng.choice(lengths, n)
+    offsets = np.concatenate([[0], np.cumsum(out_len)])
+    flat = rng.choice(vocab, int(offsets[-1]), p=probs)
+    texts = [
+        " ".join(flat[offsets[i] : offsets[i + 1]]) for i in range(n)
+    ]
+    # plant duplicate structure at fixed rates against EARLIER docs only,
+    # so the dup graph stays sparse and its density is scale-invariant
+    n_exact = int(round(EXACT_DUP_RATE * n))
+    n_near = int(round(NEAR_DUP_RATE * n))
+    targets = rng.choice(np.arange(1, n), size=n_exact + n_near, replace=False)
+    for j in targets[:n_exact]:
+        texts[j] = texts[int(rng.integers(0, j))]
+    for j in targets[n_exact:]:
+        src = texts[int(rng.integers(0, j))].split()
+        n_mut = max(1, int(len(src) * MUTATION_RATE))
+        pos = rng.integers(0, len(src), n_mut)
+        repl = rng.choice(vocab, n_mut, p=probs)
+        for p_, r_ in zip(pos, repl):
+            src[p_] = r_
+        texts[j] = " ".join(src)
+    ls = langsrc[rng.integers(0, len(base), n)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(ls[:, 0], pa.string()),
+            "source": pa.array(ls[:, 1], pa.string()),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts]), pa.int64()
+            ),
+        }
+    )
+    _write_split(tbl, out_path, scale)
+    return n
+
+
+def _write_split(tbl: pa.Table, out_path: str, scale: int) -> None:
+    """Write the table as a DIRECTORY of part files (one per data-multiple,
+    min 8): a single parquet file gives Spark ONE scan task regardless of
+    maxPartitionBytes (one row group), which would serialize the scaled
+    runs on a single core and measure file layout, not plan scaling. Real
+    corpora at scale are always many files."""
+    import shutil
+
+    n_files = max(8, scale)
+    if os.path.isdir(out_path):
+        shutil.rmtree(out_path)
+    elif os.path.exists(out_path):
+        os.remove(out_path)
+    os.makedirs(out_path)
+    n = tbl.num_rows
+    step = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = tbl.slice(i * step, step)
+        if chunk.num_rows:
+            pq.write_table(
+                chunk, os.path.join(out_path, f"part-{i:04d}.parquet")
+            )
+
+
+def _gen_embeddings(out_path: str, scale: int, rng: np.random.Generator) -> int:
+    base = pd.read_parquet(os.path.join(BASE_DIR, "embeddings.parquet"))
+    X = np.stack(base["embedding"].to_numpy()).astype(np.float64)
+    labels = base["label"].to_numpy()
+    ulab, lab_counts = np.unique(labels, return_counts=True)
+    means = np.stack([X[labels == u].mean(axis=0) for u in ulab])
+    stds = np.stack([X[labels == u].std(axis=0) for u in ulab])
+
+    n = len(base) * scale
+    lab_idx = rng.choice(len(ulab), n, p=lab_counts / lab_counts.sum())
+    V = means[lab_idx] + stds[lab_idx] * rng.standard_normal((n, X.shape[1]))
+    n_near = int(round(EMB_NEAR_DUP_RATE * n))
+    for j in rng.choice(np.arange(1, n), size=n_near, replace=False):
+        src = int(rng.integers(0, j))
+        V[j] = V[src] + 0.01 * rng.standard_normal(X.shape[1])
+        lab_idx[j] = lab_idx[src]
+    V32 = V.astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(V32), pa.list_(pa.float32())),
+            "label": pa.array(ulab[lab_idx].astype(np.int32), pa.int32()),
+        }
+    )
+    _write_split(tbl, out_path, scale)
+    return n
+
+
+def gen_pipe_warehouse(out_dir: str, scale: int) -> None:
+    """Marker-protected N× documents+embeddings warehouse (marker records
+    the scale, mirroring fixtures.py's discipline)."""
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_complete")
+    if _marker_fresh(marker, scale, force=False):
+        return
+    rng = np.random.default_rng(SEED + scale)
+    _gen_documents(os.path.join(out_dir, "documents.parquet"), scale, rng)
+    _gen_embeddings(os.path.join(out_dir, "embeddings.parquet"), scale, rng)
+    with open(marker, "w") as f:
+        f.write(str(scale))
+
+
+def time_headliners(spark, queries, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in HEADLINERS:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+        print(f"[scaling-pipe] {sf_dir}: {name} = {out[name]}s", file=sys.stderr)
+    return out
+
+
+def time_banded_scaled_bits(spark, sf_dir: str, n_bits: int) -> float:
+    from iceberg_benchmark_java_spark.operators.similarity import (
+        cosine_near_dup_pairs_banded,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        cosine_near_dup_pairs_banded(
+            emb, threshold=0.25, n_bits=n_bits, n_bands=4
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    print(
+        f"[scaling-pipe] {sf_dir}: banded_scaled_bits(n_bits={n_bits}) = "
+        f"{round(best, 3)}s",
+        file=sys.stderr,
+    )
+    return round(best, 3)
+
+
+def plan_asserts(spark, queries, sf_dir: str) -> dict[str, str]:
+    """The test_plans.py scale contracts, re-evaluated on this warehouse:
+    no cartesian/BNLJ anywhere; decontamination broadcasts the eval side;
+    IVF assignment never shuffles the corpus on vec_id; the banded
+    near-dup explode does not retain the embedding vector."""
+    import re
+
+    from iceberg_benchmark_java_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    def plan_of(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    results: dict[str, str] = {}
+    for name in HEADLINERS:
+        errs = []
+        plan = plan_of(queries[name](spark, sf_dir))
+        if "CartesianProduct" in plan:
+            errs.append("CartesianProduct")
+        if name == "pipe_decontamination" and "BroadcastHashJoin" not in plan:
+            errs.append("eval side not broadcast")
+        if name == "pipe_embedding_near_dup_banded":
+            if "BroadcastNestedLoopJoin" in plan:
+                errs.append("BroadcastNestedLoopJoin")
+            gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+            for ln in gen:
+                m = re.search(r"\[([^\]]*)\],\s*(?:false|true),\s*\[[^\]]*\]\s*$", ln)
+                if not m or "embedding" in m.group(1):
+                    errs.append("vector fanout through band explode")
+        results[name] = "pass" if not errs else "; ".join(errs)
+    # assignment-stage contract, on this warehouse's embeddings
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    _, assign = ivf_assignments(emb, n_centroids=16)
+    ap = plan_of(assign)
+    errs = []
+    if "Exchange hashpartitioning(vec_id" in ap:
+        errs.append("corpus shuffled on vec_id")
+    if "windowspecdefinition(vec_id" in ap:
+        errs.append("per-vector window argmax")
+    results["ivf_assignment_stage"] = "pass" if not errs else "; ".join(errs)
+    return results
+
+
+def main() -> int:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "SCALING_r06_pipe.json"
+    )
+    scales = [int(s) for s in sys.argv[2:]] or [10, 32]
+
+    for s in scales:
+        gen_pipe_warehouse(os.path.join(REPO, "fixtures", f"pipe_x{s}"), s)
+
+    from iceberg_benchmark_java_spark.queries import all_queries
+
+    cfg = local_test_config("ibx-scaling-pipe")
+    cfg.extra_confs["spark.driver.memory"] = "24g"
+    spark = build_session(cfg)
+    queries = all_queries()
+    try:
+        n_docs_1 = spark.read.parquet(
+            os.path.join(BASE_DIR, "documents.parquet")
+        ).count()
+        t1 = time_headliners(spark, queries, BASE_DIR)
+        asserts1 = plan_asserts(spark, queries, BASE_DIR)
+        per_scale: dict[str, dict] = {}
+        for s in scales:
+            d = os.path.join(REPO, "fixtures", f"pipe_x{s}")
+            n_docs = spark.read.parquet(
+                os.path.join(d, "documents.parquet")
+            ).count()
+            ts = time_headliners(spark, queries, d)
+            asserts_s = plan_asserts(spark, queries, d)
+            scaled_bits = 8 + max(1, (s - 1).bit_length())
+            t_bits = time_banded_scaled_bits(spark, d, scaled_bits)
+            per_scale[str(s)] = {
+                # the LSH-width dial doing its job: with FIXED 8-bit
+                # buckets, in-bucket candidate pairs grow quadratically in
+                # the data (a parameterization property, not a plan defect
+                # — at 100 TB n_bits widens with log2(corpus), exactly as
+                # measured here); the *_scaled_bits row re-times the same
+                # operator with n_bits = 8 + ceil(log2(scale)) so bucket
+                # occupancy stays ~constant.
+                "banded_near_dup_scaled_bits": {
+                    "n_bits": scaled_bits,
+                    "t_1x_sec_8bits": t1["pipe_embedding_near_dup_banded"],
+                    "t_sec": t_bits,
+                    "ratio": round(
+                        t_bits / t1["pipe_embedding_near_dup_banded"], 2
+                    ),
+                },
+                "docs_rows": n_docs,
+                "data_ratio": round(n_docs / n_docs_1, 3),
+                "queries": {
+                    q: {
+                        "t_1x_sec": t1[q],
+                        "t_sec": ts[q],
+                        "ratio": round(ts[q] / t1[q], 2) if t1[q] else None,
+                        "plan_asserts_at_scale": asserts_s[q],
+                    }
+                    for q in HEADLINERS
+                },
+                "ivf_assignment_stage": asserts_s["ivf_assignment_stage"],
+                "max_ratio": max(
+                    round(ts[q] / t1[q], 2) for q in HEADLINERS if t1[q]
+                ),
+                # max ratio with the banded near-dup taken at its
+                # scale-appropriate n_bits (the production setting): the
+                # fixed-8-bit row above is kept to SHOW the quadratic
+                # in-bucket growth the dial exists to prevent.
+                "max_ratio_scaled_dials": max(
+                    round(ts[q] / t1[q], 2)
+                    for q in HEADLINERS
+                    if t1[q] and q != "pipe_embedding_near_dup_banded"
+                )
+                if t1["pipe_embedding_near_dup_banded"] == 0
+                else max(
+                    [
+                        round(ts[q] / t1[q], 2)
+                        for q in HEADLINERS
+                        if t1[q] and q != "pipe_embedding_near_dup_banded"
+                    ]
+                    + [
+                        round(
+                            t_bits / t1["pipe_embedding_near_dup_banded"], 2
+                        )
+                    ]
+                ),
+            }
+    finally:
+        spark.stop()
+
+    result = {
+        "metric": "pipe_headliner_scaling_ratio",
+        "base_dir": BASE_DIR,
+        "docs_rows_1x": n_docs_1,
+        "planted_rates": {
+            "exact_dup": EXACT_DUP_RATE,
+            "near_dup": NEAR_DUP_RATE,
+            "emb_near_dup": EMB_NEAR_DUP_RATE,
+        },
+        "plan_asserts_1x": asserts1,
+        "scales": per_scale,
+        "plan_asserts_failed": sorted(
+            {
+                q
+                for s in per_scale.values()
+                for q, v in s["queries"].items()
+                if v["plan_asserts_at_scale"] != "pass"
+            }
+            | {
+                "ivf_assignment_stage"
+                for s in per_scale.values()
+                if s["ivf_assignment_stage"] != "pass"
+            }
+        ),
+    }
+    with open(out_json, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
