@@ -153,14 +153,13 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
-    """LSH candidate pairs: signatures banded (BAND_SIZE hashes per band);
-    docs sharing any band bucket pair up. Returns (doc_a, doc_b,
-    n_shared_bands). The bucket join is equi-join on (band_idx, band_key) —
-    the O(docs²) pair space never materializes."""
+def minhash_bands(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Banded MinHash signature rows (doc_id, band_idx, band_key):
+    BAND_SIZE hashes concatenated per band. Per-doc computation — banding
+    a subset of the corpus equals filtering the banded corpus."""
     sig = minhash_signatures(docs, n)
     n_bands = N_HASHES // BAND_SIZE
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -176,12 +175,39 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+
+
+def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
+    """LSH candidate pairs: signatures banded (BAND_SIZE hashes per band);
+    docs sharing any band bucket pair up. Returns (doc_a, doc_b,
+    n_shared_bands). The bucket join is equi-join on (band_idx, band_key) —
+    the O(docs²) pair space never materializes."""
+    bands = minhash_bands(docs, n)
     a = bands.toDF("doc_a", "band_idx", "band_key")
     b = bands.toDF("doc_b", "band_idx", "band_key")
     return (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame, corpus: DataFrame, n: int = 3
+) -> DataFrame:
+    """Ingestion-time near-dup candidates: band buckets of the NEW batch
+    joined against band buckets of the EXISTING corpus — the corpus never
+    self-joins, so each ingestion batch costs O(batch × shingles) + one
+    asymmetric equi-join, independent of accumulated corpus pair space.
+    The 100 TB shape: corpus band rows are computed once and stored
+    (partitioned by band_key); each arriving batch computes its own bands
+    and joins. Returns (new_id, corpus_id, n_shared_bands)."""
+    nb = minhash_bands(new_docs, n).toDF("new_id", "band_idx", "band_key")
+    cb = minhash_bands(corpus, n).toDF("corpus_id", "band_idx", "band_key")
+    return (
+        nb.join(cb, ["band_idx", "band_key"])
+        .groupBy("new_id", "corpus_id")
         .agg(F.count("*").alias("n_shared_bands"))
     )
 

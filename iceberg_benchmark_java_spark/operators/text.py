@@ -67,6 +67,62 @@ def quality_metrics(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_filter_decision(docs: DataFrame) -> DataFrame:
+    """Gopher-style composite rule filter: every document is scored against
+    a fixed battery of named heuristic rules and gets a keep/drop decision
+    plus the machine-readable reasons — the decision table a curation run
+    materializes before dropping anything (auditability beats in-place
+    filtering at corpus scale).
+
+    Rules (trip = reject): too_few_tokens (<20), too_many_tokens (>90),
+    low_stopword (<0.02), high_stopword (>0.12), bad_token_len (mean
+    non-ws chars/token outside [3, 8]), repetitious (distinct-3-gram
+    ratio < 0.99 — boilerplate proxy).
+
+    Scale shape: ONE narrow projection — every metric including the
+    distinct-shingle ratio is a per-row array expression (split /
+    transform / array_distinct), so the pass has ZERO shuffles and no
+    Python (plan-asserted). All ratios are exact integer divisions, so the
+    threshold comparisons are engine-identical.
+    """
+    t = F.col("text")
+    words = tokens(t)
+    n_tok = F.size(words)
+    sw = F.size(F.filter(words, lambda w: w.isin(*EN_MARKERS))) / n_tok
+    atl = F.length(F.regexp_replace(t, r"\s+", "")) / n_tok
+    nsh = F.greatest(n_tok - 2, F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), nsh),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    )
+    dr = F.size(F.array_distinct(shingles)) / nsh
+    rules = [
+        ("too_few_tokens", n_tok < 20),
+        ("too_many_tokens", n_tok > 90),
+        ("low_stopword", sw < 0.02),
+        ("high_stopword", sw > 0.12),
+        ("bad_token_len", (atl < 3.0) | (atl > 8.0)),
+        ("repetitious", dr < 0.99),
+    ]
+    fails = sum(
+        (cond.cast("int") for _, cond in rules), F.lit(0)
+    )
+    reasons = F.concat(
+        *[
+            F.when(cond, F.lit(name + ";")).otherwise(F.lit(""))
+            for name, cond in rules
+        ]
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        *[cond.alias(name) for name, cond in rules],
+        fails.cast("int").alias("n_rules_failed"),
+        reasons.alias("reasons"),
+        (fails == 0).alias("keep"),
+    )
+
+
 def predict_lang(col: Column) -> Column:
     """Marker-stopword language-ID heuristic: high English-marker density →
     'en', else 'other'. (n-gram-table LID reduces to the same

@@ -1669,6 +1669,120 @@ def decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_corpus_contamination(tr, ev, n=3)
 
 
+# --- composite quality-rule filter (Gopher-style keep/drop decision) ---------
+@query(
+    "pipe_quality_filter_decision",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS w,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS nchars
+      FROM documents),
+    x AS (
+      SELECT doc_id, len(w) AS n_tok,
+             len(list_filter(w, t -> t IN ('the','a','of','and')))
+               / CAST(len(w) AS DOUBLE) AS sw,
+             nchars / CAST(len(w) AS DOUBLE) AS atl,
+             len(list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(w) - 2, 1)),
+                   i -> array_to_string(w[i:i+2], ' '))))
+               / CAST(GREATEST(len(w) - 2, 1) AS DOUBLE) AS dr
+      FROM m),
+    r AS (
+      SELECT doc_id, n_tok,
+             n_tok < 20 AS too_few_tokens,
+             n_tok > 90 AS too_many_tokens,
+             sw < 0.02 AS low_stopword,
+             sw > 0.12 AS high_stopword,
+             (atl < 3.0 OR atl > 8.0) AS bad_token_len,
+             dr < 0.99 AS repetitious
+      FROM x)
+    SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tokens,
+           too_few_tokens, too_many_tokens, low_stopword, high_stopword,
+           bad_token_len, repetitious,
+           CAST(too_few_tokens::INT + too_many_tokens::INT + low_stopword::INT
+                + high_stopword::INT + bad_token_len::INT + repetitious::INT
+                AS INTEGER) AS n_rules_failed,
+           concat(CASE WHEN too_few_tokens THEN 'too_few_tokens;' ELSE '' END,
+                  CASE WHEN too_many_tokens THEN 'too_many_tokens;' ELSE '' END,
+                  CASE WHEN low_stopword THEN 'low_stopword;' ELSE '' END,
+                  CASE WHEN high_stopword THEN 'high_stopword;' ELSE '' END,
+                  CASE WHEN bad_token_len THEN 'bad_token_len;' ELSE '' END,
+                  CASE WHEN repetitious THEN 'repetitious;' ELSE '' END)
+             AS reasons,
+           (too_few_tokens::INT + too_many_tokens::INT + low_stopword::INT
+            + high_stopword::INT + bad_token_len::INT + repetitious::INT) = 0
+             AS keep
+    FROM r
+    """,
+)
+def quality_filter_decision_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery → per-doc keep/drop decision table with
+    named reasons (operators/text.quality_filter_decision). Zero-shuffle
+    narrow pass — even the distinct-3-gram boilerplate proxy is a per-row
+    array expression (plan-asserted no Exchange)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.quality_filter_decision(d)
+
+
+# --- incremental (new-batch vs corpus) LSH dedup ------------------------------
+@query(
+    "pipe_incremental_lsh_dedup",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(substr(md5(concat('{'a' if k < dedup.N_HASHES // 2 else 'b'}|', shingle)), {(k % (dedup.N_HASHES // 2)) * 8 + 1}, 8)) AS h{k}" for k in range(dedup.N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, concat(h{2 * b}, h{2 * b + 1}) AS band_key FROM sig" for b in range(dedup.N_HASHES // dedup.BAND_SIZE))}
+    ),
+    cand AS (
+      SELECT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+      FROM bands nb JOIN bands cb
+        ON nb.band_idx = cb.band_idx AND nb.band_key = cb.band_key
+      WHERE nb.doc_id % 10 = 0 AND cb.doc_id % 10 <> 0
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_corpus_matches
+      FROM cand GROUP BY new_id)
+    SELECT d.doc_id AS new_id,
+           COALESCE(a.n_corpus_matches, 0) AS n_corpus_matches,
+           a.n_corpus_matches IS NULL AS keep
+    FROM documents d LEFT JOIN agg a ON a.new_id = d.doc_id
+    WHERE d.doc_id % 10 = 0
+    """,
+)
+def incremental_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup decision: the NEW batch (doc_id % 10 = 0 stands
+    in for today's crawl) is LSH-banded and joined against the EXISTING
+    corpus's band buckets (operators/dedup.incremental_lsh_candidates) —
+    the corpus never self-joins, so batch cost is independent of the
+    accumulated pair space. Each new doc gets keep = no corpus bucket
+    collision. At 100 TB the corpus band rows are a stored table
+    partitioned by band_key; this query is then one partitioned equi-join
+    per arriving batch."""
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    cand = dedup.incremental_lsh_candidates(new, corpus, n=3)
+    agg = cand.groupBy("new_id").agg(
+        F.count("*").alias("n_corpus_matches")
+    )
+    return (
+        new.select(F.col("doc_id").alias("new_id"))
+        .join(agg, "new_id", "left")
+        .select(
+            "new_id",
+            F.coalesce(F.col("n_corpus_matches"), F.lit(0)).alias(
+                "n_corpus_matches"
+            ),
+            F.col("n_corpus_matches").isNull().alias("keep"),
+        )
+    )
+
+
 # --- repetition / boilerplate scoring ----------------------------------------
 @query(
     "pipe_repetition_score",

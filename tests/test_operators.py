@@ -647,3 +647,50 @@ def test_pack_sequences_sharding_bounds_groups(spark):
             else:
                 fill += r.n_tokens
             assert r.bin_id == bin_id
+
+
+def test_quality_filter_decision_consistency(spark, docs):
+    """keep ⇔ no rule fired; n_rules_failed equals the count of true rule
+    flags; reasons lists exactly the fired rules in battery order; and the
+    fixture corpus exercises BOTH outcomes."""
+    rows = text.quality_filter_decision(docs).collect()
+    rule_names = [
+        "too_few_tokens", "too_many_tokens", "low_stopword",
+        "high_stopword", "bad_token_len", "repetitious",
+    ]
+    kept = dropped = 0
+    for r in rows:
+        fired = [n for n in rule_names if getattr(r, n)]
+        assert r.n_rules_failed == len(fired)
+        assert r.keep == (len(fired) == 0)
+        assert r.reasons == "".join(n + ";" for n in fired)
+        kept += r.keep
+        dropped += not r.keep
+    assert kept and dropped, (kept, dropped)
+
+
+def test_incremental_lsh_candidates_planted(spark):
+    """New-batch docs near-duplicating a corpus doc collide in a band
+    bucket; distinct new docs don't; corpus docs never pair with each
+    other (no corpus self-join by construction)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+            (30, "red orange yellow green blue indigo violet ultraviolet"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.incremental_lsh_candidates(new, corpus).collect()
+    }
+    assert (10, 1) in got
+    assert all(n in (10, 30) for n, _ in got)
+    assert (30, 3) not in got and (30, 1) not in got

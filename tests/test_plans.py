@@ -485,3 +485,22 @@ def test_tfidf_topk_two_phase_windows(spark):
     plan = _plan(spark, "pipe_tfidf_top_terms")
     assert "shard#" in plan
     assert not _unpartitioned_window_specs(plan), _unpartitioned_window_specs(plan)
+
+
+def test_quality_filter_zero_shuffle(spark):
+    """The composite rule filter must be ONE narrow projection: every
+    metric including the distinct-3-gram ratio is a per-row array
+    expression, so the plan has no Exchange and no Python eval."""
+    plan = _plan(spark, "pipe_quality_filter_decision")
+    assert "Exchange" not in plan, plan[:1500]
+    assert "EvalPython" not in plan
+
+
+def test_incremental_lsh_dedup_equijoin(spark):
+    """Incremental dedup must candidate via an equi-join of new-batch band
+    buckets against corpus band buckets — no cartesian/BNLJ, and the
+    filters splitting new vs corpus must reach the scans."""
+    plan = _plan(spark, "pipe_incremental_lsh_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [" in plan
