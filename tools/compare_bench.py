@@ -40,7 +40,10 @@ def main() -> int:
 
     def emit(msg: str) -> None:
         lines.append(msg)
-        print(msg)
+        try:
+            print(msg)
+        except BrokenPipeError:
+            pass  # piped through head — keep building the --out report
 
     old = json.loads(open(args[0]).read().strip().splitlines()[-1])
     new = json.loads(open(args[1]).read().strip().splitlines()[-1])
