@@ -788,7 +788,11 @@ def _marker_fresh(marker: str, scale: int, force: bool) -> bool:
     if force or not os.path.exists(marker):
         return False
     content = open(marker).read().strip()
-    return (int(content) if content else 1) == scale
+    try:
+        recorded = int(content) if content else 1
+    except ValueError:  # corrupt marker: regenerate rather than trust it
+        return False
+    return recorded == scale
 
 
 def generate_tpcds(

@@ -2308,7 +2308,10 @@ def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
     )
-    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
+    try:  # "auto" is a legal value under some AQE configs
+        n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
+    except ValueError:
+        n_parts = 32
     srt = (
         freq.repartitionByRange(n_parts, F.col("cnt").desc(), F.col("term").asc())
         .withColumn("pid", F.spark_partition_id())
