@@ -411,6 +411,136 @@ def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def positional_ngrams(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Explode each document into ALL its n-word grams with 1-based start
+    positions (unlike with_word_shingles, which distinct-collapses and
+    drops positions). Docs shorter than n tokens produce no grams.
+
+    Columns out: doc_id, n_tok (long), start (1-based), gram. Pure JVM
+    expression (split/sequence/transform/posexplode) — no Python UDF.
+    """
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id", words.alias("w"), F.size(words).cast("long").alias("n_tok")
+    ).filter(F.col("n_tok") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(1), (F.col("n_tok") - (n - 1)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, n)),
+    )
+    return (
+        base.select("doc_id", "n_tok", F.posexplode(grams).alias("p", "gram"))
+        .withColumn("start", (F.col("p") + 1).cast("long"))
+        .drop("p")
+    )
+
+
+def dup_span_coverage(docs: DataFrame, n: int = 8, min_df: int = 2) -> DataFrame:
+    """Cross-document duplicated-span coverage — the exact-substring-dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (arXiv:2107.06499), re-expressed at n-gram granularity:
+    for each doc, the fraction of its token positions covered by at least
+    one n-gram that also occurs in >= min_df distinct documents.
+
+    Plan shape (all bounded at corpus scale):
+      1. positional n-grams              — narrow, no shuffle;
+      2. gram document-frequency         — one shuffle keyed by gram, with
+         map-side partial aggregation (countDistinct is two-phase);
+      3. left-semi join grams→dup grams  — same gram key, co-partitioned
+         with (2) under AQE;
+      4. interval-union per doc          — one shuffle on doc_id, a single
+         lead() window over (doc_id, start): covered tokens =
+         Σ min(n, next_start - start), last span counts n.
+    Nothing is O(docs²); the heaviest key is a corpus-common gram, which is
+    exactly what the min_df filter keeps (hot keys survive on purpose here
+    — they ARE the signal), so at extreme skew route step 2 through
+    scale.salted aggregation.
+
+    Returns one row per doc (including docs with zero duplicated spans and
+    docs shorter than n tokens): doc_id, n_tok, n_dup_spans,
+    covered_tokens, dup_coverage (6dp).
+    """
+    from pyspark.sql.window import Window
+
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    all_docs = docs.select("doc_id", F.size(words).cast("long").alias("n_tok"))
+    g = positional_ngrams(docs, n)
+    dup_grams = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gram")
+    )
+    starts = g.join(dup_grams, "gram", "left_semi").select("doc_id", "start")
+    w = Window.partitionBy("doc_id").orderBy("start")
+    covered = (
+        starts.withColumn("nxt", F.lead("start").over(w))
+        .withColumn(
+            "c",
+            F.least(
+                F.lit(n).cast("long"),
+                F.coalesce(F.col("nxt") - F.col("start"), F.lit(n).cast("long")),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum("c").alias("covered_tokens"),
+        )
+    )
+    return all_docs.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce(F.col("covered_tokens"), F.lit(0))
+        .cast("long")
+        .alias("covered_tokens"),
+        F.round(
+            F.coalesce(F.col("covered_tokens"), F.lit(0)) / F.col("n_tok"), 6
+        ).alias("dup_coverage"),
+    )
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_df: int | None = None
+) -> DataFrame:
+    """Directed near-containment pairs: |A∩B| / |A| over distinct n-word
+    shingles — the asymmetric cousin of Jaccard. A short doc quoted or
+    wrapped inside a long one scores high containment but low Jaccard
+    (the union is dominated by the long doc), so symmetric dedup misses
+    exactly the quote/boilerplate-wrapper duplicates this catches.
+
+    Same plan shape and ``max_df`` scale guard as ngram_jaccard_pairs
+    (shingles in more than max_df docs are dropped from both intersection
+    and sizes); pairs are directed (doc_a = the contained side, both
+    orientations emitted when both clear the threshold), doc_a != doc_b.
+    """
+    sh = with_word_shingles(docs, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle").select("doc_id", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.toDF("doc_a", "shingle")
+    b = sh.toDF("doc_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    containment = F.col("inter") / F.col("sz_a")
+    return (
+        inter.join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+        .withColumn("containment", F.round(containment, 6))
+        .filter(containment >= threshold)
+        .select("doc_a", "doc_b", "inter", F.col("sz_a").alias("sz_contained"), "containment")
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame, blocking_cols: list[str], max_hamming: int = 2
 ) -> DataFrame:

@@ -2441,3 +2441,136 @@ def pattern_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDFs."""
     d = load_table(spark, sf_dir, "documents")
     return text.pattern_hit_stats(d, _SCAN_PATTERNS)
+
+
+# --- cross-doc duplicated-span coverage (exact-substring-dedup signal) -------
+@query(
+    "pipe_dup_span_coverage",
+    oracle="""
+    WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                   FROM documents),
+    base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok, w FROM words),
+    g AS (
+      SELECT doc_id, n_tok, CAST(i AS BIGINT) AS start,
+             array_to_string(w[i:i+7], ' ') AS gram
+      FROM base, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+      WHERE n_tok >= 8
+    ),
+    dupg AS (SELECT gram FROM g GROUP BY gram
+             HAVING COUNT(DISTINCT doc_id) >= 2),
+    ds AS (SELECT doc_id, start FROM g
+           WHERE gram IN (SELECT gram FROM dupg)),
+    cov AS (SELECT doc_id, start,
+                   LEAST(8, COALESCE(LEAD(start) OVER
+                     (PARTITION BY doc_id ORDER BY start) - start, 8)) AS c
+            FROM ds),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                  CAST(SUM(c) AS BIGINT) AS covered_tokens
+           FROM cov GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tok,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(p.covered_tokens, 0) AS covered_tokens,
+           ROUND(COALESCE(p.covered_tokens, 0) * 1.0 / b.n_tok, 6)
+             AS dup_coverage
+    FROM base b LEFT JOIN pd p USING (doc_id)
+    """,
+)
+def dup_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of token positions covered by 8-grams that repeat
+    across >= 2 documents (operators/dedup.dup_span_coverage) — the
+    n-gram-granular form of exact-substring dedup (Lee et al. 2021). The
+    standard signal for trimming templated/syndicated spans out of a
+    training corpus. Two shuffles (gram docfreq, per-doc coverage window),
+    nothing O(docs²); the per-doc window partitions on the natural doc key."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.dup_span_coverage(d, n=8, min_df=2)
+
+
+# --- directed containment near-dup pairs -------------------------------------
+@query(
+    "pipe_containment_pairs",
+    oracle="""
+    WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                   FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, UNNEST(generate_series(1, GREATEST(len(w) - 2, 1))) AS t(i)
+    ),
+    shf AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh
+                        GROUP BY shingle HAVING COUNT(*) <= 100)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM shf a JOIN shf b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS sz_contained,
+           ROUND(i.inter * 1.0 / sa.sz, 6) AS containment
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+    WHERE i.inter * 1.0 / sa.sz >= 0.5
+    """,
+)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment pairs |A∩B|/|A| >= 0.5 over distinct
+    3-word shingles (operators/dedup.containment_pairs, max_df=100 scale
+    guard) — catches a short doc quoted/wrapped inside a longer one, which
+    symmetric Jaccard misses because the union is dominated by the long
+    side. Same bounded self-join shape as pipe_ngram_jaccard_pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, n=3, threshold=0.5, max_df=100)
+
+
+# --- SCD Type-2 history from an event log ------------------------------------
+@query(
+    "pipe_scd2_history",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type, ts,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_id, event_type, ts FROM o
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_id, event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build from an event log: collapse
+    consecutive same-state events per user (lag filter), then assign
+    [valid_from, valid_to) validity intervals (lead), open-ended row =
+    is_current. The warehouse-side twin of pipe_keep_latest_event — CDC
+    compaction into queryable history. Both windows partition on the
+    natural user key, so this is one shuffle total at any event volume
+    (the second window reuses the first's hash partitioning)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+    return changes.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

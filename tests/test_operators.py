@@ -694,3 +694,74 @@ def test_incremental_lsh_candidates_planted(spark):
     assert (10, 1) in got
     assert all(n in (10, 30) for n, _ in got)
     assert (30, 3) not in got and (30, 1) not in got
+
+
+def test_dup_span_coverage_planted(spark):
+    """Hand-computable coverage incl. the overlapping-interval union case."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),        # 8 tok
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),        # = doc 0
+        (2, "alpha beta gamma delta epsilon zeta eta theta xx yy"),  # 10 tok
+        (3, "one two three four five six seven eight"),              # unique
+        (4, "tiny doc under eight tokens"),                          # 5 tok
+        (5, "p1 p2 p3 p4 p5 p6 p7 p8 p9"),                           # 9 tok
+        (6, "p1 p2 p3 p4 p5 p6 p7 p8 p9"),                           # = doc 5
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.dup_span_coverage(d, n=8).collect()}
+    assert len(out) == 7  # every doc present, even short/clean ones
+    assert out[0].dup_coverage == 1.0 and out[0].covered_tokens == 8
+    assert out[1].dup_coverage == 1.0
+    # doc 2: only the start-1 gram is shared; 8 of 10 tokens covered
+    assert out[2].n_dup_spans == 1 and out[2].covered_tokens == 8
+    assert out[2].dup_coverage == 0.8
+    assert out[3].dup_coverage == 0.0 and out[3].n_dup_spans == 0
+    assert out[4].dup_coverage == 0.0 and out[4].n_tok == 5
+    # docs 5/6: TWO overlapping duplicated grams (starts 1,2) must union to
+    # 9 covered tokens, not 16
+    assert out[5].n_dup_spans == 2 and out[5].covered_tokens == 9
+    assert out[5].dup_coverage == 1.0
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A short doc fully inside a long one: high containment one way, below
+    threshold the other way — the pair symmetric Jaccard misses."""
+    rows = [
+        (0, "alpha beta gamma delta"),  # 2 distinct 3-shingles, both in doc 1
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # 6 shingles
+        (2, "one two three four five six seven eight"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.doc_a, r.doc_b): r for r in dedup.containment_pairs(d, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)].containment == 1.0
+    assert pairs[(0, 1)].sz_contained == 2
+    assert (1, 0) not in pairs  # 2/6 < 0.5 in the other direction
+    assert not any(2 in p for p in pairs)
+    # symmetric Jaccard on the same corpus misses the quote pair at 0.5
+    jacc = dedup.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    assert not any({r.doc_a, r.doc_b} == {0, 1} for r in jacc)
+
+
+def test_scd2_history_tiles_and_matches_keep_latest(spark):
+    """SCD2 invariants on the real event log: exactly one open (is_current)
+    interval per user, its state equals keep-latest's answer, and
+    consecutive intervals tile (valid_to == next valid_from)."""
+    from iceberg_benchmark_java_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    scd = qs["pipe_scd2_history"](spark, SF_SMOKE).collect()
+    latest = qs["pipe_keep_latest_event"](spark, SF_SMOKE).collect()
+    open_rows = [r for r in scd if r.is_current]
+    assert len(open_rows) == len({r.user_id for r in scd})
+    assert {r.user_id: r.state for r in open_rows} == {
+        r.user_id: r.latest_type for r in latest
+    }
+    by_user = {}
+    for r in sorted(scd, key=lambda r: (r.user_id, r.valid_from)):
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows in by_user.values():
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from  # gap-free history
+            assert a.state != b.state          # consecutive states collapsed

@@ -504,3 +504,37 @@ def test_incremental_lsh_dedup_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PushedFilters: [" in plan
+
+
+def test_dup_span_coverage_partitioned_windows_only(spark):
+    """pipe_dup_span_coverage's interval-union window must partition on
+    doc_id (the natural key) — never an unpartitioned global window — and
+    the pair space must come from equi-joins (no cartesian/BNLJ)."""
+    plan = _plan(spark, "pipe_dup_span_coverage")
+    assert not _unpartitioned_window_specs(plan), _unpartitioned_window_specs(plan)
+    assert "windowspecdefinition(doc_id#" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_pairs_equijoin_only(spark):
+    """pipe_containment_pairs must build |A∩B| via the shingle equi-join
+    with the max_df guard applied before the self-join — no cartesian or
+    BNLJ pair enumeration."""
+    plan = _plan(spark, "pipe_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_single_shuffle_on_user(spark):
+    """pipe_scd2_history's two windows share the user_id partitioning, so
+    the plan needs exactly one hashpartitioning(user_id...) exchange and no
+    unpartitioned window."""
+    plan = _plan(spark, "pipe_scd2_history")
+    assert not _unpartitioned_window_specs(plan), _unpartitioned_window_specs(plan)
+    import re
+
+    n_user_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(user_id#", plan)
+    )
+    assert n_user_exchanges == 1, plan[:2000]
