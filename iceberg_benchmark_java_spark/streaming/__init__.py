@@ -9,6 +9,7 @@ from .events import (
     run_stream_to_memory,
     run_stream_to_parquet,
     sessionize_stream,
+    sessionize_stream_buffered,
     sessionize_stream_event_time,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "run_stream_to_memory",
     "run_stream_to_parquet",
     "sessionize_stream",
+    "sessionize_stream_buffered",
     "sessionize_stream_event_time",
 ]

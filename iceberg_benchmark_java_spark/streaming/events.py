@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -275,6 +276,106 @@ def sessionize_stream_event_time(
             _sessionize_event_time_group,
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+SESSION_BUFFERED_STATE_SCHEMA = StructType(
+    [
+        StructField("session_id", LongType(), True),
+        StructField("last_ts_epoch", DoubleType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("buffer", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def _sessionize_buffered_group(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Buffer-until-watermark sessionizer kernel: incoming events are held
+    in per-user state and only assigned to sessions once the watermark has
+    passed them, in global event-time order — so unlike
+    _sessionize_event_time_group, the output is correct even when a user's
+    events arrive OUT OF ORDER ACROSS micro-batches (any above-watermark
+    late data). This is the canonical ordered-processing trade: state grows
+    by the events inside the watermark horizon (bounded by horizon ×
+    per-user rate), in exchange for batch-identical sessions under any
+    above-watermark arrival order.
+
+    Emits CLOSED sessions only — a session is final exactly when the
+    watermark passes last_event + gap with nothing assignable before that
+    boundary, which is also the moment it becomes deterministic. Timers:
+    the earlier of (earliest buffered event, open-session close boundary),
+    clamped above the current watermark as the engine requires.
+    """
+    (user_id,) = key
+    wm_ms = state.getCurrentWatermarkMs()
+    wm = wm_ms / 1000.0
+    if state.hasTimedOut:
+        session_id, last_epoch, n, buf = state.get
+        incoming: list[float] = []
+    else:
+        rows = pd.concat(list(batches), ignore_index=True)
+        incoming = [ts.timestamp() for ts in rows["ts"]]
+        if state.exists:
+            session_id, last_epoch, n, buf = state.get
+        else:
+            session_id, last_epoch, n, buf = 0, None, 0, []
+    buf = sorted(list(buf or []) + incoming)
+    safe = [e for e in buf if e <= wm]
+    buf = [e for e in buf if e > wm]
+    out_rows = []
+    for epoch in safe:
+        if last_epoch is not None and (epoch - last_epoch) > SESSION_GAP_SECONDS:
+            out_rows.append((user_id, session_id, n, 1))
+            session_id += 1
+            n = 0
+        n += 1
+        last_epoch = epoch
+    if n > 0 and wm >= last_epoch + SESSION_GAP_SECONDS:
+        # no buffered event can precede the gap boundary (buf > wm >= it):
+        # the open session is final
+        out_rows.append((user_id, session_id, n, 1))
+        session_id += 1
+        n = 0
+        last_epoch = None
+    state.update((session_id, last_epoch, n, buf))
+    pending_ms = []
+    if buf:
+        pending_ms.append(int(buf[0] * 1000) + 1)  # fire once wm passes it
+    if n > 0:
+        pending_ms.append(int((last_epoch + SESSION_GAP_SECONDS) * 1000))
+    if pending_ms:
+        state.setTimeoutTimestamp(max(min(pending_ms), wm_ms + 1))
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "session_id", "n_events", "closed"]
+        )
+
+
+def sessionize_stream_buffered(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Order-robust event-time sessionization: buffer-until-watermark
+    variant of sessionize_stream_event_time. Produces batch-identical
+    closed sessions under ANY above-watermark arrival order (cross-batch
+    out-of-order late data included), at the cost of buffering each user's
+    in-horizon events in state. Use this when the source is not per-user
+    ordered (multi-partition Kafka, merged backfills); the lean variant
+    when it is."""
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_buffered_group,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_BUFFERED_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

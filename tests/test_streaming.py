@@ -683,3 +683,63 @@ def test_click_purchase_join_late_data(spark, tmp_path):
     finally:
         q.stop()
     assert pairs == [(1, 101), (3, 103)], pairs
+
+
+def test_sessionize_buffered_handles_cross_batch_disorder(spark, tmp_path):
+    """The buffer-until-watermark sessionizer must produce batch-identical
+    sessions when a user's events arrive OUT OF ORDER ACROSS micro-batches
+    (above-watermark late data) — the delivery the lean event-time variant
+    documents as out of contract. Timeline (gap 30 min, watermark 2h):
+      b0: u1 @ 00:00 and @ 02:00; u2 @ 00:00
+      b1: u1 @ 00:10  <- belongs to u1's FIRST session but arrives after
+          02:00 was seen (filter wm = 00:00, so it is legal late data);
+          u1 @ 02:10; u2 @ 00:05 and @ 03:00
+      b2: far-future sentinel advances the watermark past every close timer
+    Correct sessions: u1 {00:00,00:10} then {02:00,02:10}; u2 {00:00,00:05}
+    then {03:00}. An order-assuming kernel would instead append 00:10 to
+    u1's second session (negative gap) and report (1, 3)."""
+    import os
+
+    src = str(tmp_path / "buf_sessions")
+    os.makedirs(src)
+    d = "2024-01-01"
+
+    def wf(seq, rows):  # (event_id, ts, user_id)
+        import shutil
+        import tempfile
+
+        df = spark.createDataFrame(
+            [(i, ts, u, "x", 1.0, None) for (i, ts, u) in rows],
+            "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        with tempfile.TemporaryDirectory() as tmp:
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.copy(part, Path(src) / f"batch-{seq:03d}.parquet")
+        os.utime(
+            Path(src) / f"batch-{seq:03d}.parquet",
+            (1_700_000_000 + seq, 1_700_000_000 + seq),
+        )
+
+    wf(0, [(1, f"{d} 00:00:00", 1), (2, f"{d} 02:00:00", 1),
+           (10, f"{d} 00:00:00", 2)])
+    wf(1, [(3, f"{d} 00:10:00", 1), (4, f"{d} 02:10:00", 1),
+           (11, f"{d} 00:05:00", 2), (12, f"{d} 03:00:00", 2)])
+    wf(2, [(999, f"{d} 23:00:00", -1)])  # sentinel: wm -> 21:00
+
+    stream = streaming.read_events_stream(spark, src)
+    sess = streaming.sessionize_stream_buffered(stream, watermark="2 hours")
+    q = streaming.run_stream_to_memory(
+        sess, "buf_sessions_test", output_mode="append", available_now=True
+    )
+    try:
+        _await_done(q)
+        rows = spark.sql("SELECT * FROM buf_sessions_test").collect()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_id): r.n_events for r in rows if r.user_id > 0
+    }
+    assert all(r.closed == 1 for r in rows)  # kernel emits only finals
+    assert got == {(1, 0): 2, (1, 1): 2, (2, 0): 2, (2, 1): 1}, got
