@@ -234,3 +234,69 @@ def test_pack_sequences_capacity_invariant(spark, docs, n_shards):
         per_group.setdefault((lang, shard), set()).add(bin_id)
     for bins in per_group.values():
         assert bins == set(range(len(bins)))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(st.lists(WORDS, min_size=1, max_size=14).map(" ".join),
+                      min_size=2, max_size=10))
+def test_dup_span_coverage_matches_reference(spark, texts):
+    """dup_span_coverage(n=3) equals a pure-Python interval-union reference
+    for ANY corpus: per doc, tokens covered by 3-grams occurring in >= 2
+    distinct docs."""
+    n = 3
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tok, r.n_dup_spans, r.covered_tokens)
+        for r in dedup.dup_span_coverage(df, n=n).collect()
+    }
+    grams: dict = {}
+    for i, t in enumerate(texts):
+        w = t.split()
+        for s in range(len(w) - n + 1):
+            grams.setdefault(" ".join(w[s : s + n]), set()).add(i)
+    expected = {}
+    for i, t in enumerate(texts):
+        w = t.split()
+        starts = [
+            s for s in range(len(w) - n + 1)
+            if len(grams[" ".join(w[s : s + n])]) >= 2
+        ]
+        covered: set = set()
+        for s in starts:
+            covered.update(range(s, s + n))
+        expected[i] = (len(w), len(starts), len(covered))
+    assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(DOC, min_size=2, max_size=10))
+def test_containment_pairs_matches_reference(spark, texts):
+    """containment_pairs (no max_df) equals the set-theoretic definition
+    |A∩B|/|A| >= t over distinct 3-shingles, for ANY corpus."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): (r.inter, r.sz_contained)
+        for r in dedup.containment_pairs(df, n=3, threshold=0.5).collect()
+    }
+    sh = []
+    for t in texts:
+        w = t.split()
+        k = max(len(w) - 2, 1)
+        sh.append({" ".join(w[s : s + 3]) for s in range(k)})
+    expected = {}
+    for a in range(len(texts)):
+        for b in range(len(texts)):
+            if a == b:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter / len(sh[a]) >= 0.5:
+                expected[(a, b)] = (inter, len(sh[a]))
+    assert got == expected
