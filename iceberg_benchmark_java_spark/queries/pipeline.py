@@ -2574,3 +2574,143 @@ def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+# --- product quantization: codebook stats + ADC recall -----------------------
+_DUCK_PQ_BASE = """
+  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+  n AS (SELECT vec_id,
+               list_transform(ee, x -> x / sqrt(list_dot_product(ee, ee))) AS ne
+        FROM e),
+  cells AS (
+    SELECT vec_id, s, ne[s*4+1 : s*4+4] AS sub,
+           (CASE WHEN ne[s*4+1] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN ne[s*4+2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN ne[s*4+3] >= 0 THEN 1 ELSE 0 END) AS code
+    FROM n, UNNEST(generate_series(0, 15)) AS t(s)
+  ),
+  mv AS (
+    SELECT s, code, i AS pos,
+           ROUND(SUM(CAST(FLOOR(sub[i] * 1000000) AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 4) AS mv
+    FROM cells, UNNEST(generate_series(1, 4)) AS u(i)
+    GROUP BY s, code, i
+  ),
+  cb AS (SELECT s, code, list(mv ORDER BY pos) AS c_emb FROM mv GROUP BY s, code)
+"""
+
+
+@query(
+    "pipe_pq_codebook_stats",
+    oracle=f"""
+    WITH {_DUCK_PQ_BASE},
+    members AS (SELECT s, code, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_members
+                FROM cells GROUP BY 1, 2)
+    SELECT cb.s, cb.code, m.n_members,
+           ROUND(sqrt(list_dot_product(cb.c_emb, cb.c_emb)), 6) AS c_norm
+    FROM cb JOIN members m USING (s, code)
+    """,
+)
+def pq_codebook_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook over unit-normalized embeddings
+    (operators/similarity.pq_codebooks): PQ_M=16 subspaces x PQ_K=8
+    axis-sign cells, codeword = fixed-point member mean (the kmeans_refine
+    arithmetic, so the codebook is bit-identical across engines). Emits
+    per-cell membership and codeword norm - the index-health stats
+    (balanced cells, non-degenerate codewords) an ANN deployment monitors.
+    One (s, code, pos)-keyed aggregation of N x D cells; no corpus shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ne = similarity.normalize_embeddings(e.select("vec_id", "embedding"))
+    cb = similarity.pq_codebooks(ne, 4)
+    return cb.select(
+        "s",
+        "code",
+        "n_members",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "c_emb", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+            6,
+        ).alias("c_norm"),
+    )
+
+
+@query(
+    "pipe_ann_pq_recall",
+    oracle=f"""
+    WITH {_DUCK_PQ_BASE},
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 10),
+    lut AS (
+      SELECT q.query_id, cb.s, cb.code,
+             CAST(FLOOR(list_dot_product(q.qe[cb.s*4+1 : cb.s*4+4], cb.c_emb)
+                        * 1000000) AS BIGINT) AS p_int
+      FROM q CROSS JOIN cb
+    ),
+    scores AS (
+      SELECT l.query_id, c.vec_id, SUM(l.p_int) AS s_int
+      FROM cells c JOIN lut l USING (s, code)
+      WHERE l.query_id <> c.vec_id
+      GROUP BY 1, 2
+    ),
+    ptop AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY s_int DESC, vec_id) AS rn
+        FROM scores) x
+      WHERE rn <= 5
+    ),
+    bs AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {_duck_cos("qe", "ee")} DESC, vec_id) AS rn
+      FROM q, e WHERE query_id <> vec_id),
+    btop AS (SELECT query_id, vec_id FROM bs WHERE rn <= 5)
+    SELECT 'pq_adc' AS method, q.query_id,
+           COUNT(b.vec_id) / 5.0 AS recall_at_5
+    FROM q
+    LEFT JOIN ptop t ON t.query_id = q.query_id
+    LEFT JOIN btop b ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+    GROUP BY q.query_id
+    """,
+)
+def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PQ asymmetric-distance top-5 against the exact cosine
+    top-5 (operators/similarity.pq_adc_topk) - the measured
+    compression-recall tradeoff of a 2-bit-per-subspace product quantizer,
+    completing the method sweep next to pipe_ann_recall's lsh/ivf rows.
+    Query-time plan: broadcast PQ_M x PQ_K lookup table, ONE map-side fold
+    per corpus row over its code array - the scan reads 48-bit codes, not
+    float32 vectors (~42x less memory traffic). Parameters are the best of
+    the measured sweep (similarity.py module comment): recall@5 = 0.28 at
+    sf0.01 - well below lsh/ivf, which is the point of pinning it: the
+    compression-recall tradeoff is a measured dial, not a guess."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    corpus = e.select("vec_id", "embedding")
+    exact = similarity.cosine_topk_bruteforce(corpus, queries_df, k=5).select(
+        "query_id", "vec_id"
+    )
+    pq = similarity.pq_adc_topk(corpus, queries_df, k=5).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        pq.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        queries_df.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            F.lit("pq_adc").alias("method"),
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0).alias("recall_at_5"),
+        )
+    )

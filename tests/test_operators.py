@@ -765,3 +765,43 @@ def test_scd2_history_tiles_and_matches_keep_latest(spark):
         for a, b in zip(rows, rows[1:]):
             assert a.valid_to == b.valid_from  # gap-free history
             assert a.state != b.state          # consecutive states collapsed
+
+
+def test_pq_adc_exact_when_quantization_lossless(spark):
+    """Corpus built so every PQ cell holds identical subvectors (4 sign
+    prototypes differing only in subspace 0's leading dims): codewords
+    reconstruct members exactly, so ADC top-5 must equal the exact cosine
+    top-5 for every query — recall 1.0 when quantization is lossless."""
+    import itertools
+
+    protos = []
+    for signs in [(1, 1, 1), (1, -1, -1), (-1, 1, -1), (-1, -1, 1)]:
+        v = [1.0] * 64
+        v[0], v[1], v[2] = (float(s) for s in signs)
+        protos.append(v)
+    rows = [
+        (p * 10 + c, [x for x in proto])
+        for p, proto in enumerate(protos)
+        for c in range(5)
+    ]
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    e = spark.createDataFrame(rows, schema)
+    q = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact_rows = similarity.cosine_topk_bruteforce(e, q, k=5).collect()
+    pq_rows = similarity.pq_adc_topk(e, q, k=5).collect()
+    by_q = lambda rows: {
+        qid: {r.vec_id for r in rows if r.query_id == qid}
+        for qid in {r.query_id for r in rows}
+    }
+    assert by_q(pq_rows) == by_q(exact_rows)

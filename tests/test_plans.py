@@ -538,3 +538,13 @@ def test_scd2_single_shuffle_on_user(spark):
         re.findall(r"Exchange hashpartitioning\(user_id#", plan)
     )
     assert n_user_exchanges == 1, plan[:2000]
+
+
+def test_pq_adc_partitioned_windows_and_no_cartesian(spark):
+    """pipe_ann_pq_recall: the ADC scan is a broadcast-LUT pass over the
+    code table (BNLJ against a broadcast Q-row LUT is the intended ANN
+    scan shape), so the plan must have no CartesianProduct and every
+    window partitioned (per-query top-k, never global)."""
+    plan = _plan(spark, "pipe_ann_pq_recall")
+    assert "CartesianProduct" not in plan
+    assert not _unpartitioned_window_specs(plan), _unpartitioned_window_specs(plan)

@@ -46,6 +46,8 @@ HEADLINERS = [
     "pipe_decontamination",
     "pipe_ann_ivf_topk",
     "pipe_embedding_near_dup_banded",
+    "pipe_dup_span_coverage",
+    "pipe_containment_pairs",
 ]
 
 EXACT_DUP_RATE = 0.002
