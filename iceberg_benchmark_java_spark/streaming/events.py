@@ -452,7 +452,10 @@ def dedup_against_corpus_stream(
 
 
 def click_purchase_join_stream(
-    events: DataFrame, watermark: str = "2 hours", horizon_minutes: int = 60
+    events: DataFrame,
+    watermark: str = "2 hours",
+    horizon_minutes: int = 60,
+    join_type: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each click joined to the
     same user's purchases within [click_ts, click_ts + horizon] event time
@@ -464,24 +467,32 @@ def click_purchase_join_stream(
 
     Takes one events stream and filters the two sides from it (the test
     topology); in production the sides would be two readers.
+
+    ``join_type="left_outer"`` adds the attribution-funnel question inner
+    joins can't answer — WHICH clicks never converted: an unmatched click
+    is held in state until the watermark passes click_ts + horizon (only
+    then is "no purchase arrived" final) and is emitted once with null
+    purchase columns. Same bounded state; unmatched results are
+    watermark-delayed by construction.
     """
-    clicks = (
-        events.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", watermark)
+    if join_type not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join_type: {join_type}")
+    # Watermark ONCE, before splitting the sides: with per-side watermark
+    # nodes the global watermark is their MIN, so the moment one event type
+    # pauses (e.g. clicks overnight) that side's watermark stalls and outer
+    # results / state eviction freeze corpus-wide. A single pre-split
+    # watermark tracks ALL events; the column rename after withWatermark
+    # preserves the watermark tag (the documented self-join pattern).
+    wm_events = events.withWatermark("ts", watermark)
+    clicks = wm_events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
     )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", watermark)
+    purchases = wm_events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
     )
     cond = (
         (F.col("user_id") == F.col("p_user_id"))
@@ -491,7 +502,7 @@ def click_purchase_join_stream(
             <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
         )
     )
-    return clicks.join(purchases, cond, "inner").select(
+    return clicks.join(purchases, cond, join_type).select(
         "click_id", "user_id", "click_ts", "purchase_id", "purchase_ts"
     )
 

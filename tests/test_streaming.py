@@ -743,3 +743,63 @@ def test_sessionize_buffered_handles_cross_batch_disorder(spark, tmp_path):
     }
     assert all(r.closed == 1 for r in rows)  # kernel emits only finals
     assert got == {(1, 0): 2, (1, 1): 2, (2, 0): 2, (2, 1): 1}, got
+
+
+def test_click_purchase_left_outer_emits_unconverted(spark, tmp_path):
+    """Left-outer interval join: a click with no purchase in its horizon is
+    emitted exactly once with null purchase columns, but only after the
+    watermark passes click_ts + horizon (before that, 'never converted'
+    isn't final). Matched clicks behave as in the inner join.
+      b0: click c1 u1 @01:00 + purchase p1 u1 @01:30 (converts);
+          click c2 u2 @01:00 (never converts)
+      b1: purchase filler u9 @10:00  -> wm 08:00 passes c2's horizon
+      b2: purchase filler u8 @23:00  -> final wm 21:00 flushes state"""
+    import os
+
+    src = str(tmp_path / "lo_join")
+    os.makedirs(src)
+    d = "2024-01-01"
+
+    def wf(seq, rows):  # (event_id, ts, user_id, event_type)
+        import shutil
+        import tempfile
+
+        df = spark.createDataFrame(
+            [(i, ts, u, et, 1.0, None) for (i, ts, u, et) in rows],
+            "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        with tempfile.TemporaryDirectory() as tmp:
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(Path(tmp).glob("part-*.parquet"))
+            shutil.copy(part, Path(src) / f"batch-{seq:03d}.parquet")
+        os.utime(
+            Path(src) / f"batch-{seq:03d}.parquet",
+            (1_700_000_000 + seq, 1_700_000_000 + seq),
+        )
+
+    wf(0, [(1, f"{d} 01:00:00", 1, "click"),
+           (101, f"{d} 01:30:00", 1, "purchase"),
+           (2, f"{d} 01:00:00", 2, "click")])
+    wf(1, [(901, f"{d} 10:00:00", 9, "purchase")])
+    wf(2, [(902, f"{d} 23:00:00", 8, "purchase")])
+    # outer-join null emission happens during a LATER batch's state
+    # cleanup, so give the eviction one more data batch to run in
+    wf(3, [(903, f"{d} 23:30:00", 8, "purchase")])
+
+    stream = streaming.read_events_stream(spark, src)
+    joined = streaming.click_purchase_join_stream(
+        stream, watermark="2 hours", horizon_minutes=60, join_type="left_outer"
+    )
+    q = streaming.run_stream_to_memory(
+        joined, "lo_join_test", output_mode="append", available_now=True
+    )
+    try:
+        _await_done(q)
+        rows = spark.sql(
+            "SELECT click_id, purchase_id FROM lo_join_test"
+        ).collect()
+    finally:
+        q.stop()
+    got = sorted((r.click_id, r.purchase_id) for r in rows)
+    assert got == [(1, 101), (2, None)], got
