@@ -2714,3 +2714,108 @@ def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0).alias("recall_at_5"),
         )
     )
+
+
+# --- embedding cluster x label mixture matrix --------------------------------
+@query(
+    "pipe_embedding_cluster_mix",
+    oracle=_duck_ivf_oracle(
+        0,
+        final_select="""
+    SELECT x.cent_id, x.label, x.n_vecs,
+           ROUND(x.n_vecs * 1.0 / SUM(x.n_vecs) OVER (PARTITION BY x.cent_id),
+                 6) AS cluster_share
+    FROM (
+      SELECT a.cent_id, emb.label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM assign a JOIN embeddings emb ON emb.vec_id = a.vec_id
+      GROUP BY 1, 2) x
+    """,
+    ),
+)
+def embedding_cluster_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster x label mixture matrix over the IVF assignment (exact path
+    of pipe_ann_ivf_topk): per (cluster, label), member count and
+    within-cluster share - the topic-balance diagnostic a curation
+    pipeline reads before reweighting a training mix (over-represented
+    clusters get down-sampled; the share column is the dial). Plan:
+    map-side centroid assignment (no corpus shuffle), one (cent_id, label)
+    aggregation, one cent_id-partitioned window over <= C x |labels|
+    rows."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    _, assign = similarity.ivf_assignments(
+        e.select("vec_id", "embedding"), n_centroids=16
+    )
+    counts = (
+        assign.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("cent_id", "label")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+    w = W.partitionBy("cent_id")
+    return counts.select(
+        "cent_id",
+        "label",
+        "n_vecs",
+        F.round(F.col("n_vecs") / F.sum("n_vecs").over(w), 6).alias(
+            "cluster_share"
+        ),
+    )
+
+
+# --- hard-negative mining ----------------------------------------------------
+@query(
+    "pipe_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, ee AS qe, label AS q_label
+          FROM e WHERE vec_id < 10),
+    s AS (SELECT q.query_id, q.q_label, e.vec_id, e.label AS neg_label,
+                 {_duck_cos("qe", "ee")} AS sim
+          FROM q, e
+          WHERE q.query_id <> e.vec_id AND e.label <> q.q_label)
+    SELECT query_id, q_label, vec_id, neg_label, sim,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS rnk
+          FROM s) r
+    WHERE rnk <= 3
+    """,
+)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-3
+    most-similar vectors with a DIFFERENT label - the examples that teach
+    an encoder the most. Exact brute-force here (the golden/eval path,
+    same contract as pipe_ann_cosine_topk); at corpus scale candidates
+    come from the identical LSH/IVF bucketing with the label-mismatch
+    filter applied at re-rank, so the plan shape is already built."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("label").alias("q_label"),
+    )
+    corpus = e.select("vec_id", "embedding", F.col("label").alias("neg_label"))
+    scored = (
+        q.crossJoin(corpus)
+        .filter(
+            (F.col("query_id") != F.col("vec_id"))
+            & (F.col("neg_label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "q_label",
+            "vec_id",
+            "neg_label",
+            F.round(
+                similarity.cosine(F.col("q_embedding"), F.col("embedding")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "q_label", "vec_id", "neg_label", "sim", "rnk")
+    )

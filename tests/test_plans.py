@@ -548,3 +548,24 @@ def test_pq_adc_partitioned_windows_and_no_cartesian(spark):
     plan = _plan(spark, "pipe_ann_pq_recall")
     assert "CartesianProduct" not in plan
     assert not _unpartitioned_window_specs(plan), _unpartitioned_window_specs(plan)
+
+
+def test_cluster_mix_no_corpus_shuffle_before_assignment(spark):
+    """pipe_embedding_cluster_mix must keep the centroid assignment
+    map-side (no Exchange hashpartitioning on vec_id before the
+    (cent_id, label) aggregation) and its share window partitioned."""
+    plan = _plan(spark, "pipe_embedding_cluster_mix")
+    assert "windowspecdefinition(vec_id" not in plan
+    # the ONLY unpartitioned window allowed is seed_centroids' cent_id
+    # ranking over the orthant buckets — <= 2^4 rows by construction
+    bad = [
+        w for w in _unpartitioned_window_specs(plan) if "bucket#" not in w
+    ]
+    assert not bad, bad
+
+
+def test_hard_negatives_partitioned_topk(spark):
+    """pipe_hard_negatives (golden brute-force path): per-query window
+    only — no global sort, no unpartitioned window."""
+    plan = _plan(spark, "pipe_hard_negatives")
+    assert not _unpartitioned_window_specs(plan), _unpartitioned_window_specs(plan)
