@@ -2819,3 +2819,61 @@ def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", "q_label", "vec_id", "neg_label", "sim", "rnk")
     )
+
+
+# --- bigram conditional log-prob (KenLM-lite quality signal) -----------------
+@query(
+    "pipe_bigram_logprob",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+          FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+          WHERE len(toks) >= 2),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM b GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM b GROUP BY 1),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(FLOOR(ln(cb.c2 * 1.0 / c1.c1) * 1000000) AS BIGINT) AS lp
+      FROM b JOIN cb USING (w1, w2) JOIN c1 USING (w1))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(lp) / (COUNT(*) * 1000000.0), 4) AS avg_cond_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional language-model scoring: per doc, the mean
+    log P(w2|w1) under corpus MLE bigram statistics - one model order up
+    from pipe_unigram_logprob, the next rung toward KenLM-style perplexity
+    filtering. Same fixed-point discipline (ln floored to 1e-6, exact
+    BIGINT sums). Plan shape at scale: the bigram count table is
+    O(distinct bigrams) - too big to assume broadcastable, so the score
+    join keys on (w1, w2) and co-partitions with the count aggregation
+    under AQE; only the unigram context table is broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", words.alias("toks")).filter(F.size("toks") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("w1"),
+            F.element_at("toks", i + 1).alias("w2"),
+        ),
+    )
+    b = base.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cb = b.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = b.groupBy("w1").agg(F.count("*").alias("c1"))
+    lp = F.floor(F.log(F.col("c2") / F.col("c1")) * 1_000_000).cast("long")
+    return (
+        b.join(cb, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("lp") / (F.count("*") * F.lit(1_000_000.0)), 4).alias(
+                "avg_cond_logprob"
+            ),
+        )
+    )
