@@ -2877,3 +2877,56 @@ def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- export shard manifest ---------------------------------------------------
+_DUCK_DOC_HEX15 = (
+    "list_sum(list_transform(generate_series(1,15), i -> "
+    "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT"
+    " * (1::BIGINT << (4 * (15 - i)))))"
+)
+
+
+@query(
+    "pipe_shard_manifest",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, text, n_chars,
+             {_DUCK_DOC_HEX15} AS h60
+      FROM documents)
+    SELECT CAST(h60 % 16 AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(h60 % 1000000007) AS BIGINT) AS checksum
+    FROM h GROUP BY 1
+    """,
+)
+def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-shard manifest: per deterministic shard (text.shard_of,
+    md5-mod - the same sharding pipe_sequence_packing_sharded uses), doc
+    and token counts, byte volume, and an ORDER-INDEPENDENT content
+    checksum (sum of per-doc 60-bit md5 prefixes mod 1e9+7, exact BIGINT
+    arithmetic) - what a webdataset-style writer emits next to each shard
+    so a consumer can verify completeness without re-reading data. One
+    shuffle on the shard key; every column is a JVM expression."""
+    d = load_table(spark, sf_dir, "documents")
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        d.select(
+            text.shard_of(F.col("doc_id"), 16).alias("shard"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+            "n_chars",
+            (h60 % 1_000_000_007).alias("hmod"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("hmod").alias("checksum"),
+        )
+    )
