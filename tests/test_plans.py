@@ -569,3 +569,23 @@ def test_hard_negatives_partitioned_topk(spark):
     only — no global sort, no unpartitioned window."""
     plan = _plan(spark, "pipe_hard_negatives")
     assert not _unpartitioned_window_specs(plan), _unpartitioned_window_specs(plan)
+
+
+def test_bigram_logprob_keyed_joins_only(spark):
+    """pipe_bigram_logprob: the score join must be keyed (no cartesian/
+    BNLJ fanout of the bigram table) and no unpartitioned window."""
+    plan = _plan(spark, "pipe_bigram_logprob")
+    assert "CartesianProduct" not in plan
+    assert not _unpartitioned_window_specs(plan), _unpartitioned_window_specs(plan)
+
+
+def test_shard_manifest_single_shuffle(spark):
+    """pipe_shard_manifest is one narrow projection + one shard-keyed
+    aggregation: exactly one hashpartitioning exchange, no windows, no
+    Python eval."""
+    import re
+
+    plan = _plan(spark, "pipe_shard_manifest")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1500]
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
