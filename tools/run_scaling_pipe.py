@@ -212,6 +212,31 @@ def time_banded_scaled_bits(spark, sf_dir: str, n_bits: int) -> float:
     return round(best, 3)
 
 
+def time_pq_adc(spark, sf_dir: str) -> float:
+    """Time the PQ-ADC path end-to-end (codebook train + encode + score
+    top-5 for 10 queries). Training is a one-time corpus aggregation;
+    scoring is the broadcast-LUT map-side fold — the row proves the whole
+    chain stays sub-linear, not just the query-time half."""
+    from pyspark.sql import functions as F
+
+    from iceberg_benchmark_java_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        pq_adc_topk(emb, q, k=5).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    best = round(best, 3)
+    print(f"[scaling-pipe] {sf_dir}: pq_adc_topk = {best}s", file=sys.stderr)
+    return best
+
+
 def plan_asserts(spark, queries, sf_dir: str) -> dict[str, str]:
     """The test_plans.py scale contracts, re-evaluated on this warehouse:
     no cartesian/BNLJ anywhere; decontamination broadcasts the eval side;
@@ -278,6 +303,7 @@ def main() -> int:
             os.path.join(BASE_DIR, "documents.parquet")
         ).count()
         t1 = time_headliners(spark, queries, BASE_DIR)
+        t_pq_1x = time_pq_adc(spark, BASE_DIR)
         asserts1 = plan_asserts(spark, queries, BASE_DIR)
         per_scale: dict[str, dict] = {}
         for s in scales:
@@ -303,7 +329,13 @@ def main() -> int:
             asserts_s = plan_asserts(spark, queries, d)
             scaled_bits = 8 + max(1, (s - 1).bit_length())
             t_bits = time_banded_scaled_bits(spark, d, scaled_bits)
+            t_pq = time_pq_adc(spark, d)
             per_scale[str(s)] = {
+                "pq_adc_topk": {
+                    "t_1x_sec": t_pq_1x,
+                    "t_sec": t_pq,
+                    "ratio": round(t_pq / t_pq_1x, 2),
+                },
                 # the LSH-width dial doing its job: with FIXED 8-bit
                 # buckets, in-bucket candidate pairs grow quadratically in
                 # the data (a parameterization property, not a plan defect
