@@ -255,3 +255,127 @@ def metadata_only_stats(media: DataFrame) -> DataFrame:
         F.avg("meta_width").alias("avg_width"),
         F.avg("meta_height").alias("avg_height"),
     )
+
+
+# --- REAL audio: RIFF/WAVE PCM via the stdlib wave module --------------------
+WAV_SAMPLE_RATE = 8000
+WAV_FRAME_BASE = 50  # n_frames = n_chars % 500 + WAV_FRAME_BASE
+
+WAV_MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("meta_frames", IntegerType(), True),
+    ]
+)
+
+WAV_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms_q", LongType(), True),
+    ]
+)
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL RIFF/WAVE files (8-bit mono PCM,
+    written by the stdlib ``wave`` module): sample i of doc d is
+    ``(d*7 + i*13) % 256``, n_frames = n_chars % 500 + 50 — all
+    arithmetically derived from (doc_id, n_chars), so an oracle can
+    predict every decoded property (and even the exact RMS, via a
+    generate_series replay of the sample formula) while the Spark side
+    genuinely parses RIFF headers and PCM frames back."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            frames = []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(nc) % 500 + WAV_FRAME_BASE
+                samples = ((int(d) * 7 + 13 * np.arange(n)) % 256).astype(
+                    np.uint8
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(WAV_SAMPLE_RATE)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+                frames.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "mime": "audio/wav",
+                    "payload": payloads,
+                    "meta_frames": frames,
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(synth, WAV_MEDIA_SCHEMA)
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int] | None:
+    """REAL stdlib WAV decoder: parses the RIFF/fmt/data chunks via
+    ``wave``, reads the PCM frames, and computes the quantized RMS of the
+    centered 8-bit samples — floor(sqrt(mean((v-128)^2)) * 1000), which is
+    bit-deterministic because squared centered samples are exact integers
+    in float64. Returns (sample_rate, n_frames, rms_q), or None for
+    anything that is not well-formed 8-bit mono PCM."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sr = w.getframerate()
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            nf = w.getnframes()
+            frames = w.readframes(nf)
+    except (wave.Error, EOFError):
+        return None
+    if nch != 1 or sw != 1 or nf == 0 or len(frames) < nf:
+        return None
+    v = np.frombuffer(frames[:nf], dtype=np.uint8).astype(np.float64) - 128.0
+    rms_q = int(np.floor(np.sqrt(float((v * v).sum()) / nf) * 1000))
+    return (sr, nf, rms_q)
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """Audio decode/feature extraction via mapInPandas (the same
+    Arrow-batched shape as extract_features): per payload, the REAL parsed
+    sample rate, frame count, integer-exact duration, and quantized RMS.
+    Rows that fail the decoder are dropped (the quarantine path a real
+    ingest would route to a dead-letter table)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                got = _decode_wav(p) if p is not None else None
+                if got is None:
+                    continue
+                sr, nf, rms_q = got
+                rows.append((int(mid), sr, nf, nf * 1000 // sr, rms_q))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_frames",
+                    "duration_ms",
+                    "rms_q",
+                ],
+            )
+
+    return media.mapInPandas(decode, WAV_FEATURE_SCHEMA)

@@ -2930,3 +2930,36 @@ def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hmod").alias("checksum"),
         )
     )
+
+
+# --- REAL audio decode (stdlib wave, hash-checked) ---------------------------
+@query(
+    "pipe_multimodal_wav_decode",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, n_chars % 500 + 50 AS n_frames
+               FROM documents),
+    s AS (SELECT media_id, n_frames,
+                 CAST((media_id * 7 + i * 13) % 256 AS DOUBLE) - 128.0 AS cv
+          FROM m, UNNEST(generate_series(0, n_frames - 1)) AS t(i))
+    SELECT media_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(FLOOR(sqrt(SUM(cv * cv) / n_frames) * 1000) AS BIGINT) AS rms_q
+    FROM s GROUP BY media_id, n_frames
+    """,
+)
+def multimodal_wav_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio round-trip: payloads are genuine RIFF/WAVE 8-bit mono PCM
+    files (stdlib wave writer, samples arithmetically derived from
+    doc_id), and the Spark side PARSES them back with the stdlib wave
+    reader inside mapInPandas - sample rate, frame count, integer-exact
+    duration, quantized RMS. The oracle replays the sample formula via
+    generate_series, so even the RMS is hash-checked: squared centered
+    8-bit samples are exact integers in float64, making the sum
+    order-independent and the sqrt/floor bit-identical cross-engine. The
+    audio twin of pipe_multimodal_ppm_decode - no external codec, real
+    binary parsing."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.wav_features(multimodal.synthesize_wav_media(d))

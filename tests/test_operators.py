@@ -805,3 +805,50 @@ def test_pq_adc_exact_when_quantization_lossless(spark):
         for qid in {r.query_id for r in rows}
     }
     assert by_q(pq_rows) == by_q(exact_rows)
+
+
+def test_wav_decode_kernel_real_and_rejects_garbage():
+    """_decode_wav parses a genuine stdlib-written WAV back to its exact
+    parameters and returns None for truncated/corrupt/non-WAV bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    samples = ((5 * 7 + 13 * np.arange(120)) % 256).astype(np.uint8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    payload = buf.getvalue()
+    got = multimodal._decode_wav(payload)
+    assert got is not None
+    sr, nf, rms_q = got
+    assert (sr, nf) == (8000, 120)
+    v = samples.astype(np.float64) - 128.0
+    assert rms_q == int(np.floor(np.sqrt((v * v).sum() / 120) * 1000))
+    assert multimodal._decode_wav(b"not a wav at all") is None
+    assert multimodal._decode_wav(payload[:30]) is None  # truncated header
+    # flipped magic must be rejected, not misparsed
+    assert multimodal._decode_wav(b"XIFF" + payload[4:]) is None
+
+
+def test_wav_roundtrip_drops_corrupt_rows(spark, docs):
+    """wav_features keeps exactly the well-formed payloads: corrupting one
+    row's payload routes it to the (implicit) dead-letter path while every
+    other row decodes to its synthesis parameters."""
+    media = multimodal.synthesize_wav_media(docs.limit(20))
+    broken = media.withColumn(
+        "payload",
+        F.when(F.col("media_id") == 3, F.lit(b"RIFFgarbage")).otherwise(
+            F.col("payload")
+        ),
+    )
+    out = {r.media_id: r for r in multimodal.wav_features(broken).collect()}
+    assert 3 not in out and len(out) == 19
+    meta = {r.media_id: r.meta_frames for r in media.collect()}
+    for mid, r in out.items():
+        assert r.n_frames == meta[mid] and r.sample_rate == 8000
+        assert r.duration_ms == r.n_frames * 1000 // 8000
