@@ -379,3 +379,121 @@ def wav_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, WAV_FEATURE_SCHEMA)
+
+
+# --- REAL video: length-prefixed PPM frame container -------------------------
+VIDEO_MAGIC = b"VID1\n"
+
+VIDEO_MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("meta_frames", IntegerType(), True),
+    ]
+)
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def synthesize_video_media(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL (if minimal) video containers:
+    ``VID1\\n<n_frames>\\n`` followed by length-prefixed binary P6 PPM
+    frames — n_frames = n_chars % 12 + 2, every frame
+    (n_chars % 32 + 4) x (n_chars % 24 + 4). All parameters derive from
+    (doc_id, n_chars), so an oracle predicts the decoded frame table
+    arithmetically while the Spark side genuinely parses the container
+    and netpbm-decodes every frame."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for nc in pdf["n_chars"]:
+                n = int(nc) % 12 + 2
+                w = int(nc) % 32 + 4
+                h = int(nc) % 24 + 4
+                frame = (
+                    f"P6\n{w} {h}\n255\n".encode() + b"x" * (w * h * 3)
+                )
+                parts = [VIDEO_MAGIC, str(n).encode() + b"\n"]
+                for _ in range(n):
+                    parts.append(str(len(frame)).encode() + b"\n")
+                    parts.append(frame)
+                payloads.append(b"".join(parts))
+                metas.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "mime": "video/x-ppm-stream",
+                    "payload": payloads,
+                    "meta_frames": metas,
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        synth, VIDEO_MEDIA_SCHEMA
+    )
+
+
+def _decode_video(payload: bytes) -> list[tuple[int, int]] | None:
+    """REAL container parser: validates the magic, reads the declared
+    frame count, walks the length-prefixed frames, and netpbm-decodes
+    each one (:func:`_decode_ppm`). Returns the per-frame (width, height)
+    list, or None for malformed containers — wrong magic, frame count
+    mismatch, truncated or undecodable frames."""
+    if not payload or not payload.startswith(VIDEO_MAGIC):
+        return None
+    pos = len(VIDEO_MAGIC)
+    nl = payload.find(b"\n", pos)
+    if nl == -1 or not payload[pos:nl].isdigit():
+        return None
+    declared = int(payload[pos:nl])
+    pos = nl + 1
+    frames: list[tuple[int, int]] = []
+    while pos < len(payload):
+        nl = payload.find(b"\n", pos)
+        if nl == -1 or not payload[pos:nl].isdigit():
+            return None
+        flen = int(payload[pos:nl])
+        pos = nl + 1
+        if pos + flen > len(payload):
+            return None
+        dims = _decode_ppm(payload[pos : pos + flen])
+        if dims is None:
+            return None
+        frames.append(dims)
+        pos += flen
+    if len(frames) != declared:
+        return None
+    return frames
+
+
+def video_frame_features(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling with REAL decode: mapInPandas parses each container,
+    netpbm-decodes its frames, and emits every ``every_n``-th frame's
+    (frame_idx, width, height). Malformed containers are dropped (the
+    dead-letter path). The decode-after-explode shape of
+    frame_sample_plan, with the decode now real."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                frames = _decode_video(p) if p is not None else None
+                if frames is None:
+                    continue
+                for i in range(0, len(frames), every_n):
+                    w, h = frames[i]
+                    rows.append((int(mid), i, w, h))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "width", "height"]
+            )
+
+    return media.mapInPandas(decode, VIDEO_FRAME_SCHEMA)

@@ -2963,3 +2963,35 @@ def multimodal_wav_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return multimodal.wav_features(multimodal.synthesize_wav_media(d))
+
+
+# --- REAL video frame decode (container parse + per-frame netpbm) ------------
+@query(
+    "pipe_multimodal_video_frames",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      n_chars % 12 + 2 AS n_frames,
+                      CAST(n_chars % 32 + 4 AS INTEGER) AS w,
+                      CAST(n_chars % 24 + 4 AS INTEGER) AS h
+               FROM documents)
+    SELECT media_id, CAST(i AS INTEGER) AS frame_idx, w AS width, h AS height
+    FROM m, UNNEST(generate_series(0, n_frames - 1)) AS t(i)
+    WHERE i % 2 = 0
+    """,
+)
+def multimodal_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video round-trip: payloads are length-prefixed containers of
+    genuine binary P6 PPM frames; Spark parses the container, validates
+    the declared frame count, netpbm-decodes EVERY frame, and emits every
+    2nd frame's (idx, width, height) - the frame-sampling ingest of a
+    video corpus with the decode real instead of stubbed. Malformed
+    containers drop to the dead-letter path (tested). Oracle predicts the
+    frame table arithmetically from the synthesis parameters. Completes
+    the real-decode multimodal triad: netpbm images, RIFF/WAVE audio,
+    and framed video."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.video_frame_features(
+        multimodal.synthesize_video_media(d), every_n=2
+    )

@@ -852,3 +852,26 @@ def test_wav_roundtrip_drops_corrupt_rows(spark, docs):
     for mid, r in out.items():
         assert r.n_frames == meta[mid] and r.sample_rate == 8000
         assert r.duration_ms == r.n_frames * 1000 // 8000
+
+
+def test_video_container_roundtrip_and_rejects_malformed(spark, docs):
+    """video_frame_features decodes every well-formed container to its
+    synthesis parameters (every-2nd frame sampled) and drops containers
+    with a lying frame count, truncated frames, or a bad magic."""
+    media = multimodal.synthesize_video_media(docs.limit(10))
+    rows = multimodal.video_frame_features(media, every_n=2).collect()
+    meta = {r.media_id: r.meta_frames for r in media.collect()}
+    by_m: dict = {}
+    for r in rows:
+        by_m.setdefault(r.media_id, []).append(r.frame_idx)
+    assert set(by_m) == set(meta)
+    for mid, idxs in by_m.items():
+        assert sorted(idxs) == list(range(0, meta[mid], 2))
+    # malformed variants must all be rejected by the kernel
+    good = media.limit(1).collect()[0].payload
+    assert multimodal._decode_video(good) is not None
+    assert multimodal._decode_video(b"NOPE" + good[4:]) is None
+    assert multimodal._decode_video(good[:-5]) is None  # truncated last frame
+    lying = good.replace(b"VID1\n" + str(meta[0]).encode(),
+                         b"VID1\n" + str(meta[0] + 1).encode(), 1)
+    assert multimodal._decode_video(lying) is None
