@@ -2995,3 +2995,93 @@ def multimodal_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_frame_features(
         multimodal.synthesize_video_media(d), every_n=2
     )
+
+
+# --- PII redaction transform (the scrub pipe_pattern_scan fronts) ------------
+@query(
+    "pipe_pii_redact",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text, '\\bcustomer\\b', '[REF]', 'g'),
+                            '\\bkey\\b', '[KEY]', 'g') AS redacted,
+             len(regexp_extract_all(text, '\\bcustomer\\b'))
+               + len(regexp_extract_all(text, '\\bkey\\b')) AS n_redactions
+      FROM documents)
+    SELECT doc_id, CAST(n_redactions AS BIGINT) AS n_redactions,
+           md5(redacted) AS redacted_digest,
+           CAST(length(redacted) AS BIGINT) AS redacted_len
+    FROM r
+    """,
+)
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction TRANSFORM (the scrub step pipe_pattern_scan's report
+    fronts): chained JVM regexp_replace per named pattern, with per-doc
+    redaction counts and a digest of the redacted text so the oracle
+    verifies the actual output bytes, not just counts. Zero shuffles -
+    a narrow projection at any corpus size; swap the stand-in patterns
+    for email/phone/SSN regexes and nothing else changes."""
+    d = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"\bcustomer\b", "[REF]"),
+        r"\bkey\b",
+        "[KEY]",
+    )
+    n = F.regexp_count(F.col("text"), F.lit(r"\bcustomer\b")) + F.regexp_count(
+        F.col("text"), F.lit(r"\bkey\b")
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_redactions"),
+        F.md5(redacted).alias("redacted_digest"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+# --- deterministic train/val/test split --------------------------------------
+@query(
+    "pipe_train_val_test_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             list_sum(list_transform(generate_series(1,15), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+               * (1::BIGINT << (4 * (15 - i))))) % 100 AS slot
+      FROM documents),
+    s AS (SELECT doc_id, lang,
+                 CASE WHEN slot < 80 THEN 'train'
+                      WHEN slot < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM h)
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM s GROUP BY 1, 2
+    """,
+)
+def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-independent
+    hash (md5 of doc_id mod 100) - reproducible across runs, engines, and
+    partitionings, and stable under corpus growth (a doc never changes
+    split when new docs arrive, unlike randomSplit). Emits per-(lang,
+    split) counts for the mix report; the split column itself is a narrow
+    expression any writer can partition by. One shuffle on the report
+    key."""
+    d = load_table(spark, sf_dir, "documents")
+    slot = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(slot < 80, "train").when(slot < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
