@@ -3085,3 +3085,268 @@ def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# --- KMV distinct sketch (deterministic approx-count-distinct) ---------------
+
+# DuckDB mirror of the 60-bit user hash: md5(user_id) first-15-hex -> int.
+_DUCK_UHEX = (
+    "list_sum(list_transform(generate_series(1,15), i -> "
+    "(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)::BIGINT"
+    " * (1::BIGINT << (4 * (15 - i)))))"
+)
+_KMV_K = 12
+_KMV_SHARDS = 16
+_TWO60 = float(1 << 60)
+
+
+@query(
+    "pipe_kmv_distinct",
+    oracle=f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (SELECT event_type, {_DUCK_UHEX} AS h60 FROM du),
+    r AS (SELECT event_type, h60,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h60) AS rnk
+          FROM h),
+    kept AS (SELECT event_type, CAST(COUNT(*) AS INTEGER) AS k_used,
+                    MAX(h60) AS h_k
+             FROM r WHERE rnk <= {_KMV_K} GROUP BY event_type),
+    ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+           FROM du GROUP BY event_type)
+    SELECT kept.event_type, kept.k_used,
+           ROUND((kept.k_used - 1) * ({_TWO60!r} + 1.0) / (kept.h_k + 1.0), 4)
+             AS est_distinct,
+           ex.exact_distinct,
+           ROUND(ABS((kept.k_used - 1) * ({_TWO60!r} + 1.0) / (kept.h_k + 1.0)
+                     - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_err
+    FROM kept JOIN ex ON kept.event_type = ex.event_type
+    """,
+)
+def kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch: estimate COUNT(DISTINCT
+    user_id) per event_type from only the k=12 smallest md5 hashes —
+    est = (k-1)/u_k where u_k is the kth-smallest hash mapped to (0,1).
+    Unlike HLL (approx_count_distinct), the sketch is a deterministic
+    function of the value set, so the SAME estimate falls out of any
+    engine — made oracle-checkable here, with the exact count joined in
+    as the measured-quality baseline (the pipe_minhash_est_quality
+    pattern).
+
+    Scale shape: the k-smallest selection is TWO-PHASE — rank within
+    (event_type, hash-shard) so no partition ever holds more than
+    |distinct|/16 hashes, then re-rank the <= 16k survivors per group (a
+    bounded window). At 100 TB the same sketch runs over a threshold
+    prefilter (keep h < k*16/|expected|) so the shuffle carries only
+    near-minimum hashes; the fixture cardinality (150 users) is below any
+    useful threshold, so the dial is documented, not applied."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    h60 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = du.select("event_type", h60.alias("h60")).withColumn(
+        "shard", F.pmod(F.col("h60"), F.lit(_KMV_SHARDS)).cast("int")
+    )
+    win_shard = Window.partitionBy("event_type", "shard").orderBy("h60")
+    survivors = (
+        hashed.withColumn("rnk1", F.row_number().over(win_shard))
+        .filter(F.col("rnk1") <= _KMV_K)
+        .drop("rnk1", "shard")
+    )
+    win = Window.partitionBy("event_type").orderBy("h60")
+    kept = (
+        survivors.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("int").alias("k_used"),
+            F.max("h60").alias("h_k"),
+        )
+    )
+    est = (F.col("k_used") - 1) * F.lit(_TWO60 + 1.0) / (F.col("h_k") + 1.0)
+    exact = du.groupBy("event_type").agg(
+        F.count("*").alias("exact_distinct")
+    )
+    return (
+        kept.join(exact, "event_type")
+        .select(
+            "event_type",
+            "k_used",
+            F.round(est, 4).alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
+# --- normalization-aware exact dedup -----------------------------------------
+@query(
+    "pipe_normalized_dedup",
+    oracle="""
+    WITH n AS (
+      SELECT source,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS norm_digest
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT norm_digest) AS BIGINT) AS n_norm_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT norm_digest) AS BIGINT)
+             AS n_dup_docs,
+           MIN(norm_digest) AS min_norm_digest
+    FROM n GROUP BY source
+    """,
+)
+def normalized_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER text normalization (lowercase, collapse every
+    non-alphanumeric run to one space, trim) — the canonicalization pass
+    that catches whitespace/punctuation/case variants plain digest dedup
+    misses. Per-source accounting of docs vs normalized-unique docs; the
+    min digest cross-checks normalized bytes, not just counts. All JVM
+    regexp/string exprs, one shuffle on the report key — the digest
+    groupBy is the same single-shuffle shape as pipe_dedup_exact_digest
+    at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+    )
+    n = d.select("source", F.md5(norm).alias("norm_digest"))
+    return n.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("norm_digest").alias("n_norm_unique"),
+        (F.count("*") - F.countDistinct("norm_digest")).alias("n_dup_docs"),
+        F.min("norm_digest").alias("min_norm_digest"),
+    )
+
+
+# --- weighted priority sampling (A-ES) ---------------------------------------
+_PSAMPLE_K = 20
+_PSAMPLE_SHARDS = 64
+
+# DuckDB mirror of the doc-id 60-bit hash (same fold as _DUCK_SHARD).
+_DUCK_DHEX = (
+    "list_sum(list_transform(generate_series(1,15), i -> "
+    "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT"
+    " * (1::BIGINT << (4 * (15 - i)))))"
+)
+
+
+@query(
+    "pipe_priority_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang, doc_id, n_chars,
+             ROUND(ln(({_DUCK_DHEX} + 1.0) / ({_TWO60!r} + 1.0))
+                   / n_chars, 9) AS score
+      FROM documents),
+    r AS (SELECT lang, doc_id, n_chars, score,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY score DESC, doc_id) AS rnk
+          FROM h)
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, score,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= {_PSAMPLE_K}
+    """,
+)
+def priority_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Efraimidis-Spirakis A-ES): each doc draws u deterministically from
+    md5(doc_id), and the k docs per language with the largest u^(1/w)
+    (w = n_chars) are the weighted sample — rank on the monotone
+    equivalent ln(u)/w (rounded to 9dp so cross-engine libm agrees,
+    doc_id tie-break). Deterministic across runs/engines/partitionings,
+    unlike rand()-based sampling; length-weighted so the sample matches
+    token-budget, not doc-count, proportions.
+
+    Scale shape: the same two-phase top-k as pipe_tfidf_top_terms — rank
+    within (lang, doc-shard-of-64) first (each window bounded by
+    |lang|/64), then re-rank the <= 64k survivors per language. Every
+    global top-k row wins its own shard, so the result equals the
+    single-window answer with no near-global window anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h60 + F.lit(1.0)) / F.lit(_TWO60 + 1.0)
+    scored = d.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("score"),
+        F.pmod(h60, F.lit(_PSAMPLE_SHARDS)).cast("int").alias("shard"),
+    )
+    win_shard = Window.partitionBy("lang", "shard").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    survivors = (
+        scored.withColumn("rnk1", F.row_number().over(win_shard))
+        .filter(F.col("rnk1") <= _PSAMPLE_K)
+        .drop("rnk1", "shard")
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _PSAMPLE_K)
+        .select("lang", "doc_id", "n_chars", "score", "rnk")
+    )
+
+
+# --- per-document token entropy (quality signal) -----------------------------
+@query(
+    "pipe_doc_entropy",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, UNNEST({_DUCK_TOKENS}) AS term FROM documents),
+    c AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+          FROM w GROUP BY doc_id, term),
+    s AS (SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 SUM(CAST(FLOOR(c * ln(c) * 1000000) AS BIGINT)) AS s_fixed
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+           ROUND(ln(n_tokens) - (s_fixed / 1000000.0) / n_tokens, 6)
+             AS entropy,
+           CASE WHEN n_distinct <= 1 THEN 0.0
+                ELSE ROUND((ln(n_tokens) - (s_fixed / 1000000.0) / n_tokens)
+                           / ln(n_distinct), 6) END AS norm_entropy
+    FROM s
+    """,
+)
+def doc_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon token entropy H = ln(n) - sum(c*ln c)/n and
+    its normalized form H/ln(n_distinct) in [0,1] — the
+    template-vs-natural-text quality signal (boilerplate scores near 0,
+    diverse prose near 1) that complements pipe_repetition_score's
+    max-frequency view. The c*ln(c) partials are folded through the
+    floor(x*1e6) BIGINT fixed-point so the cross-partition sum is
+    order-independent and engine-identical. Two natural-key aggregations
+    ((doc_id, term) then doc_id) — shuffles scale with token volume, no
+    global state."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    c = w.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    s = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(
+            F.floor(F.col("c") * F.log("c") * F.lit(1000000)).cast("long")
+        ).alias("s_fixed"),
+    )
+    ent_raw = (
+        F.log("n_tokens") - (F.col("s_fixed") / 1000000.0) / F.col("n_tokens")
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(ent_raw, 6).alias("entropy"),
+        F.when(F.col("n_distinct") <= 1, F.lit(0.0))
+        .otherwise(F.round(ent_raw / F.log("n_distinct"), 6))
+        .alias("norm_entropy"),
+    )

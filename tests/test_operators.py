@@ -875,3 +875,77 @@ def test_video_container_roundtrip_and_rejects_malformed(spark, docs):
     lying = good.replace(b"VID1\n" + str(meta[0]).encode(),
                          b"VID1\n" + str(meta[0] + 1).encode(), 1)
     assert multimodal._decode_video(lying) is None
+
+
+# --- round-6 additions: KMV sketch, priority sample, entropy -----------------
+
+
+def test_kmv_estimate_sane(spark):
+    """KMV with k=12 over 15 distinct users per type: k_used saturates at
+    12 and the estimate lands within a small constant factor of truth
+    (KMV relative error ~ 1/sqrt(k-2) ~ 30%; factor-3 bound is loose
+    enough to be seed-stable, tight enough to catch a broken estimator)."""
+    from iceberg_benchmark_java_spark.queries.registry import all_queries
+
+    out = all_queries()["pipe_kmv_distinct"](spark, SF_SMOKE).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.k_used == 12
+        assert r.exact_distinct / 3 <= r.est_distinct <= r.exact_distinct * 3
+        assert r.rel_err >= 0.0
+
+
+def test_priority_sample_equals_single_window(spark):
+    """The two-phase sharded top-k must return exactly the naive
+    single-window answer (every global top-k row wins its own shard)."""
+    from pyspark.sql.window import Window
+
+    from iceberg_benchmark_java_spark.queries.registry import all_queries
+
+    two_phase = all_queries()["pipe_priority_sample"](spark, SF_SMOKE)
+    got = {(r.lang, r.doc_id, r.rnk) for r in two_phase.collect()}
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h60 + F.lit(1.0)) / F.lit(float(1 << 60) + 1.0)
+    naive = (
+        d.select(
+            "lang",
+            "doc_id",
+            F.round(F.log(u) / F.col("n_chars"), 9).alias("score"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 20)
+    )
+    want = {(r.lang, r.doc_id, r.rnk) for r in naive.collect()}
+    assert got == want
+    # exactly k rows per language
+    langs = {}
+    for lang, _, _ in got:
+        langs[lang] = langs.get(lang, 0) + 1
+    assert all(v == 20 for v in langs.values()), langs
+
+
+def test_doc_entropy_bounds(spark):
+    """Entropy lies in [0, ln(n_distinct)] (up to fixed-point slack) and
+    the normalized form in [0, 1]; a single-token doc scores exactly 0."""
+    import math
+
+    from iceberg_benchmark_java_spark.queries.registry import all_queries
+
+    rows = all_queries()["pipe_doc_entropy"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r.entropy <= math.log(max(r.n_distinct, 1)) + 1e-4
+        assert -1e-6 <= r.norm_entropy <= 1.0 + 1e-4
+        if r.n_distinct == 1:
+            assert abs(r.entropy) < 1e-4

@@ -589,3 +589,42 @@ def test_shard_manifest_single_shuffle(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1500]
     assert "Window" not in plan
     assert "EvalPython" not in plan
+
+
+def test_kmv_distinct_two_phase_windows(spark):
+    """pipe_kmv_distinct selects the k smallest hashes in two phases: an
+    (event_type, hash-shard) window (per-partition bound |distinct|/16)
+    feeding a per-group window over <= 16k survivors — no unpartitioned
+    window, no Python eval."""
+    plan = _plan(spark, "pipe_kmv_distinct")
+    assert "shard#" in plan
+    assert not _unpartitioned_window_specs(plan), _unpartitioned_window_specs(plan)
+    assert "EvalPython" not in plan
+
+
+def test_priority_sample_two_phase_windows(spark):
+    """pipe_priority_sample ranks in two phases: a (lang, doc-shard-of-64)
+    window feeding a lang window over <= 64k survivors — no unpartitioned
+    window (the naive form would hold a whole language per partition)."""
+    plan = _plan(spark, "pipe_priority_sample")
+    assert "shard#" in plan
+    assert not _unpartitioned_window_specs(plan), _unpartitioned_window_specs(plan)
+
+
+def test_normalized_dedup_keyed_aggs_only(spark):
+    """pipe_normalized_dedup is digest projection + source-keyed aggregation
+    (count-distinct expands to two keyed exchanges): no windows, no Python
+    eval, no cartesian."""
+    plan = _plan(spark, "pipe_normalized_dedup")
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_doc_entropy_keyed_aggs_only(spark):
+    """pipe_doc_entropy is two natural-key aggregations ((doc_id, term)
+    then doc_id): no windows, no Python eval, no joins at all."""
+    plan = _plan(spark, "pipe_doc_entropy")
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
