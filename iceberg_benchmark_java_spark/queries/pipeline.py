@@ -3350,3 +3350,144 @@ def doc_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(ent_raw / F.log("n_distinct"), 6))
         .alias("norm_entropy"),
     )
+
+
+# --- CDC merge / upsert (batch MERGE INTO semantics) -------------------------
+
+def _duck_hex15_of(expr: str) -> str:
+    """60-bit hex->int fold of an arbitrary DuckDB hex-digest expression
+    (the md5(w) fold of _DUCK_HEX15, parameterized)."""
+    return (
+        "list_sum(list_transform(generate_series(1,15), i -> "
+        f"(strpos('0123456789abcdef', substr({expr}, i, 1)) - 1)::BIGINT"
+        " * (1::BIGINT << (4 * (15 - i)))))"
+    )
+
+
+@query(
+    "pipe_merge_upsert",
+    oracle=f"""
+    WITH chg AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN 'delete' ELSE 'update' END AS op,
+             text || ' [rev2]' AS new_text
+      FROM documents WHERE doc_id % 13 = 0 OR doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'insert', 'new: ' || text
+      FROM documents WHERE doc_id % 11 = 0),
+    m AS (
+      SELECT COALESCE(t.doc_id, c.doc_id) AS doc_id,
+             CASE WHEN c.doc_id IS NULL THEN 'keep' ELSE c.op END AS op,
+             CASE WHEN c.doc_id IS NULL THEN t.text
+                  WHEN c.op = 'delete' THEN NULL
+                  ELSE c.new_text END AS final_text
+      FROM documents t FULL OUTER JOIN chg c ON t.doc_id = c.doc_id),
+    h AS (
+      SELECT op,
+             CASE WHEN op = 'delete' THEN md5(CAST(doc_id AS VARCHAR))
+                  ELSE md5(CAST(doc_id AS VARCHAR) || ':' || final_text)
+             END AS dg
+      FROM m)
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({_duck_hex15_of('dg')} % 1000000007) AS BIGINT)
+             AS checksum
+    FROM h GROUP BY op
+    """,
+)
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (CDC upsert): apply a change batch — updates
+    (doc_id%7), deletes (doc_id%13, winning on overlap), inserts (fresh
+    ids) — to the corpus via ONE full-outer equi-join on the natural key,
+    then classify every row keep/update/delete/insert. The summary
+    carries an order-independent corpus checksum (sum of 60-bit md5
+    folds mod 1e9+7 over the post-merge rows; deleted rows checksum
+    their tombstoned id) so the oracle verifies the merged CONTENT, not
+    just the counts — the keep-latest/SCD2 family's missing write-side
+    twin. Scale shape: one doc_id-keyed shuffle; with a small change
+    batch the same plan serves incremental daily merges at any corpus
+    size."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    chg = (
+        d.filter((did % 13 == 0) | (did % 7 == 0))
+        .select(
+            "doc_id",
+            F.when(did % 13 == 0, "delete").otherwise("update").alias("op"),
+            F.concat(F.col("text"), F.lit(" [rev2]")).alias("new_text"),
+        )
+        .unionByName(
+            d.filter(did % 11 == 0).select(
+                (did + 1000000).alias("doc_id"),
+                F.lit("insert").alias("op"),
+                F.concat(F.lit("new: "), F.col("text")).alias("new_text"),
+            )
+        )
+    )
+    m = d.select("doc_id", "text").join(chg, "doc_id", "full_outer")
+    op = F.when(F.col("op").isNull(), "keep").otherwise(F.col("op"))
+    final_text = (
+        F.when(F.col("op").isNull(), F.col("text"))
+        .when(F.col("op") == "delete", F.lit(None))
+        .otherwise(F.col("new_text"))
+    )
+    dg = F.when(
+        op == "delete", F.md5(F.col("doc_id").cast("string"))
+    ).otherwise(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), final_text))
+    )
+    h60 = F.conv(F.substring(dg, 1, 15), 16, 10).cast("long")
+    return (
+        m.select(op.alias("op"), F.pmod(h60, F.lit(1000000007)).alias("hm"))
+        .groupBy("op")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("hm").alias("checksum"),
+        )
+    )
+
+
+# --- hopping-window event counts (sliding windows) ---------------------------
+@query(
+    "pipe_events_sliding",
+    oracle="""
+    WITH k AS (SELECT UNNEST(generate_series(0, 3)) AS k),
+    w AS (
+      SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               - k.k * INTERVAL '15 minutes' AS window_start,
+             event_type, value
+      FROM events CROSS JOIN k)
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def events_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregate (1 h window sliding every 15 min) per
+    event_type — the trending-metrics shape; each event lands in exactly
+    window/slide = 4 windows. Uses Spark's native F.window(slide) expansion
+    (epoch-aligned, mirrored in the oracle by time_bucket minus k slides);
+    decimal partials keep the sum order-independent. One shuffle on the
+    (window, type) key, 4x row expansion map-side — same scale shape as
+    the tumbling twin, and the exact batch equivalent of a sliding-window
+    writeStream."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -88,6 +88,36 @@ def hourly_aggregate_stream(events: DataFrame, watermark: str = "2 hours") -> Da
     )
 
 
+def sliding_aggregate_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked hopping-window aggregate (1 h window, 15 min slide) per
+    event_type — the trending-metrics stream. Each event feeds exactly 4
+    overlapping windows (window/slide), expanded map-side by the native
+    window expression. Batch-equivalent: queries/pipeline.py::
+    pipe_events_sliding. State bound: open windows within the watermark
+    horizon x 4 overlap — still O(horizon/slide) rows per key at any
+    event volume."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 SESSION_GAP_SECONDS = 30 * 60
 
 SESSION_STATE_SCHEMA = StructType(

@@ -628,3 +628,25 @@ def test_doc_entropy_keyed_aggs_only(spark):
     assert "Window" not in plan
     assert "EvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_merge_upsert_single_keyed_join(spark):
+    """pipe_merge_upsert applies the change batch through ONE doc_id-keyed
+    full-outer join: no cartesian, no windows, no Python eval."""
+    plan = _plan(spark, "pipe_merge_upsert")
+    assert "FullOuter" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_events_sliding_single_shuffle(spark):
+    """pipe_events_sliding expands each event to its 4 hopping windows
+    map-side and aggregates with a single (window, type)-keyed exchange —
+    no windows-the-analytic-kind, no Python eval."""
+    import re
+
+    plan = _plan(spark, "pipe_events_sliding")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1500]
+    assert "windowspecdefinition" not in plan
+    assert "EvalPython" not in plan

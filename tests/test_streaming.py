@@ -803,3 +803,91 @@ def test_click_purchase_left_outer_emits_unconverted(spark, tmp_path):
         q.stop()
     got = sorted((r.click_id, r.purchase_id) for r in rows)
     assert got == [(1, 101), (2, None)], got
+
+
+def test_sliding_aggregate_stream_matches_batch(spark, stream_source_dir):
+    """sliding_aggregate_stream (1h/15min hopping windows) in complete mode
+    must equal the registered batch twin pipe_events_sliding exactly."""
+    src = streaming.read_events_stream(spark, stream_source_dir)
+    agg = streaming.sliding_aggregate_stream(src)
+    q = streaming.run_stream_to_memory(
+        agg, "sliding_test", output_mode="complete", available_now=True
+    )
+    try:
+        _await_done(q)
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in spark.sql(
+                "SELECT window_start, event_type, n_events, total_value"
+                " FROM sliding_test"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    from iceberg_benchmark_java_spark.queries import all_queries
+
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in all_queries()["pipe_events_sliding"](spark, SF_SMOKE).collect()
+    }
+    missing = {k: v for k, v in batch.items() if got.get(k) != v}
+    assert not missing, f"{len(missing)} windows disagree, e.g. {list(missing.items())[:2]}"
+
+
+def test_sliding_aggregate_stream_late_data_watermark(spark, tmp_path):
+    """Late-data contract of the hopping-window stream (2h watermark), same
+    one-batch filter-watermark-lag timeline as the hourly test: the 00:30
+    straggler below the watermark is dropped from ALL 4 of its overlapping
+    windows; the 09:30 straggler above it is kept in all 4. Every emitted
+    window must equal the batch hopping-window expansion over the accepted
+    events, and no window of the unfinalized 13:00 tail may appear."""
+    src = str(tmp_path / "late_sliding_events")
+    import os
+
+    os.makedirs(src)
+    d = "2024-01-01"
+    _write_event_file(
+        spark, src, 0,
+        [(1, f"{d} 00:10:00", "x"), (2, f"{d} 00:20:00", "x"),
+         (3, f"{d} 10:00:00", "x")],
+    )
+    _write_event_file(spark, src, 1, [(9, f"{d} 11:00:00", "x")])
+    _write_event_file(
+        spark, src, 2,
+        [(4, f"{d} 09:30:00", "x"), (5, f"{d} 00:30:00", "x")],
+    )
+    _write_event_file(spark, src, 3, [(6, f"{d} 13:00:00", "x")])
+
+    stream = streaming.read_events_stream(spark, src)
+    agg = streaming.sliding_aggregate_stream(stream, watermark="2 hours")
+    q = streaming.run_stream_to_memory(
+        agg, "late_sliding_test", output_mode="append", available_now=True
+    )
+    try:
+        _await_done(q)
+        got = {
+            str(r.window_start): r.n_events
+            for r in spark.sql(
+                "SELECT window_start, n_events FROM late_sliding_test"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert got, "no windows finalized"
+    # batch truth: hopping-window expansion over the ACCEPTED events
+    batch = {
+        str(r.win.start): r.n
+        for r in spark.read.parquet(src)
+        .filter(F.col("event_id") != 5)  # minus the dropped straggler
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for w, n in got.items():
+        assert batch[w] == n, (w, n, batch.get(w))
+    # the 00:30 drop is visible: its containing hour window holds only 00:10+00:20
+    assert got[f"{d} 00:00:00"] == 2
+    # the kept 09:30 straggler overlaps 10:00 in the [09:30, 10:30) window
+    assert got[f"{d} 09:30:00"] == 2
+    # 13:00's windows never finalized (watermark stopped at 11:00)
+    assert all(w < f"{d} 12:00:00" for w in got)
