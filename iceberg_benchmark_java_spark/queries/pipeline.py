@@ -3491,3 +3491,70 @@ def events_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --- bigram PMI collocations -------------------------------------------------
+@query(
+    "pipe_token_pmi",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    b AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+          FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+          WHERE len(toks) >= 2),
+    cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+    cl AS (SELECT w1, COUNT(*) AS cl FROM b GROUP BY 1),
+    cr AS (SELECT w2, COUNT(*) AS cr FROM b GROUP BY 1),
+    n AS (SELECT COUNT(*) AS nb FROM b)
+    SELECT cb.w1, cb.w2, CAST(cb.c2 AS BIGINT) AS n_pair,
+           ROUND(ln(cb.c2 * 1.0 * n.nb / (cl.cl * cr.cr)), 6) AS pmi
+    FROM cb JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN n
+    WHERE cb.c2 >= 5
+    ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT 20
+    """,
+)
+def token_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-token pairs by pointwise mutual
+    information, PMI = ln(c(a,b)*N / (c(a,.)*c(.,b))) over bigram
+    marginals, min support 5 — the phrase-detection signal (word2vec-style
+    phrase merging, stopword-collocation screens). Three keyed counts off
+    one bigram pass + a broadcast 1-row total; the global top-20 plans as
+    TakeOrderedAndProject (per-partition top-k, no global sort, no
+    analytic window), so the only data-sized shuffles are the natural
+    (w1, w2) / w1 / w2 aggregations at any corpus size. PMI rounded to
+    6dp before ranking; (w1, w2) tie-break keeps the cut engine-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select(words.alias("toks")).filter(F.size("toks") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("w1"),
+            F.element_at("toks", i + 1).alias("w2"),
+        ),
+    )
+    b = base.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cb = b.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cl = b.groupBy("w1").agg(F.count("*").alias("cl"))
+    cr = b.groupBy("w2").agg(F.count("*").alias("cr"))
+    n = b.agg(F.count("*").alias("nb"))
+    return (
+        cb.filter(F.col("c2") >= 5)
+        .join(cl, "w1")
+        .join(cr, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    F.col("c2") * F.col("nb") / (F.col("cl") * F.col("cr"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )

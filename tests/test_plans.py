@@ -650,3 +650,13 @@ def test_events_sliding_single_shuffle(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1500]
     assert "windowspecdefinition" not in plan
     assert "EvalPython" not in plan
+
+
+def test_token_pmi_topk_no_global_sort(spark):
+    """pipe_token_pmi's global top-20 must plan as TakeOrderedAndProject
+    (per-partition top-k) with no analytic window; the only BNLJ allowed
+    is the broadcast 1-row total."""
+    plan = _plan(spark, "pipe_token_pmi")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
