@@ -568,3 +568,161 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- corpus-level boilerplate (frequent-chunk) removal -----------------------
+
+
+def boilerplate_removal(
+    docs: DataFrame, chunk_len: int = 2, min_docs: int = 10
+) -> DataFrame:
+    """C4-style boilerplate removal: split each document into fixed-size
+    non-overlapping token chunks (the stand-in for "lines" in this corpus,
+    which has no newlines), count how many *distinct* documents each chunk
+    appears in corpus-wide, and strip every chunk that occurs in at least
+    ``min_docs`` documents — the nav-bar / cookie-banner / footer scrubber
+    every web-scale LLM pipeline runs (C4 dropped lines seen >= 3 times).
+
+    Shape at 100 TB: one shuffle keyed on chunk text for the frequency
+    count; the surviving boilerplate set is by construction the heavy
+    hitters (bounded by corpus_size / min_docs), so it broadcasts back as
+    a left-anti join — no second data-sized shuffle on content. Document
+    reassembly is one groupBy on doc_id with an order-preserving
+    array_sort over (pos, chunk).
+
+    Out: doc_id, n_chunks, n_removed, clean_text (chunks that survive,
+    original order, space-joined; empty string when everything was
+    boilerplate).
+    """
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_len))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * chunk_len + 1, chunk_len)
+        ),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "chunk")
+    )
+    boiler = (
+        exploded.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chunk")
+    )
+    kept = exploded.join(F.broadcast(boiler), "chunk", "left_anti")
+    totals = exploded.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+# --- Bloom-prefiltered decontamination ---------------------------------------
+
+
+def _bloom_bit(pos_col: str) -> F.Column:
+    """1L << (pos % 64) as a column expression (shiftleft by a column)."""
+    return F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({pos_col}, 64) AS INT))"
+    )
+
+
+def bloom_prefilter_contamination(
+    train: DataFrame, eval_docs: DataFrame, n: int = 3, m_bits: int = 1 << 16
+) -> DataFrame:
+    """Decontamination with a Bloom-filter prefilter: identical RESULT to
+    :func:`cross_corpus_contamination` (the Bloom pass only prunes — false
+    positives fall out in the exact semi-join that follows), but the
+    data-sized train scan is first filtered against an ``m_bits``-bit
+    two-hash Bloom bitmap of the eval shingle set.
+
+    Why this shape at 100 TB: the eval *shingle strings* can be tens of
+    GB too large to broadcast comfortably, but the Bloom bitmap is a fixed
+    ``m_bits/8`` bytes regardless of eval size (here 8 KB at the default;
+    production: a few hundred MB for billions of shingles at 1% FP). The
+    bitmap is built with one tiny aggregation (bit_or over word masks) and
+    broadcast-joined on word index; only the sliver of train shingles that
+    pass both bit probes reaches the exact join. This is the same
+    two-phase design Spark's AQE runtime bloom filters apply to join
+    pruning, expressed explicitly so the prefilter is plan-visible.
+
+    Out (identical schema/values to cross_corpus_contamination):
+    doc_id, n_shingles, n_contaminated, contamination_ratio.
+    """
+    ev = with_word_shingles(eval_docs, n).select("shingle").distinct()
+    h1 = F.pmod(F.xxhash64("shingle"), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64("shingle", F.lit(7)), F.lit(m_bits))
+    positions = ev.select(F.explode(F.array(h1, h2)).alias("__pos"))
+    bitmap = (
+        positions.select(
+            (F.col("__pos") / 64).cast("long").alias("word_idx"),
+            _bloom_bit("__pos").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+
+    tr = with_word_shingles(train, n)
+    sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    probes = tr.select(
+        "doc_id",
+        "shingle",
+        h1.alias("__pos"),
+    ).select(
+        "doc_id",
+        "shingle",
+        (F.col("__pos") / 64).cast("long").alias("w1"),
+        _bloom_bit("__pos").alias("b1"),
+        F.pmod(F.xxhash64("shingle", F.lit(7)), F.lit(m_bits)).alias("__pos2"),
+    ).select(
+        "doc_id",
+        "shingle",
+        "w1",
+        "b1",
+        (F.col("__pos2") / 64).cast("long").alias("w2"),
+        _bloom_bit("__pos2").alias("b2"),
+    )
+    m1 = bitmap.select(
+        F.col("word_idx").alias("w1"), F.col("mask").alias("mask1")
+    )
+    m2 = bitmap.select(
+        F.col("word_idx").alias("w2"), F.col("mask").alias("mask2")
+    )
+    bloom_pass = (
+        probes.join(F.broadcast(m1), "w1")
+        .filter(F.col("b1").bitwiseAND(F.col("mask1")) != 0)
+        .join(F.broadcast(m2), "w2")
+        .filter(F.col("b2").bitwiseAND(F.col("mask2")) != 0)
+        .select("doc_id", "shingle")
+    )
+    hits = (
+        bloom_pass.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return sizes.join(hits, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated") / F.col("n_shingles"), 6
+        ).alias("contamination_ratio"),
+    )

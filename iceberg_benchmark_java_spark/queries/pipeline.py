@@ -3558,3 +3558,147 @@ def token_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(20)
     )
+
+
+# --- C4-style boilerplate chunk removal --------------------------------------
+@query(
+    "pipe_boilerplate_removal",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    ch AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[(i*2+1):(i*2+2)], ' ') AS chunk
+      FROM w, UNNEST(generate_series(
+                0, CAST(ceil(len(w) / 2.0) AS BIGINT) - 1)) AS t(i)),
+    boiler AS (
+      SELECT chunk FROM (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY 1)
+      WHERE n_docs >= 10),
+    kept AS (
+      SELECT * FROM ch WHERE chunk NOT IN (SELECT chunk FROM boiler)),
+    totals AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+      FROM ch GROUP BY doc_id),
+    rebuilt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, t.n_chunks,
+           t.n_chunks - COALESCE(r.n_kept, 0) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def boilerplate_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate scrub: strip every 2-token chunk that appears
+    in >= 10 distinct documents corpus-wide, then reassemble each doc in
+    original chunk order (operators/dedup.boilerplate_removal). One
+    content-keyed shuffle for the frequency count; the boilerplate set is
+    the heavy hitters (bounded by corpus/min_docs) so it comes back as a
+    broadcast left-anti join, and reassembly is one doc_id groupBy with an
+    order-preserving array_sort — no data-sized second shuffle at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.boilerplate_removal(d, chunk_len=2, min_docs=10)
+
+
+# --- Bloom-prefiltered decontamination ---------------------------------------
+@query(
+    "pipe_bloom_decontamination",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 89 = 0),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 89 <> 0),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+              FROM tr GROUP BY doc_id),
+    hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+             FROM tr JOIN ev USING (shingle) GROUP BY doc_id)
+    SELECT s.doc_id, s.n_shingles, h.n_contaminated,
+           ROUND(h.n_contaminated * 1.0 / s.n_shingles, 6)
+             AS contamination_ratio
+    FROM sizes s JOIN hits h USING (doc_id)
+    """,
+)
+def bloom_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through an explicit two-hash Bloom-bitmap prefilter
+    (operators/dedup.bloom_prefilter_contamination): the train shingle
+    stream probes a broadcast 64 Kbit bitmap of the eval shingles before
+    the exact semi-join, so at 100 TB only the Bloom-pass sliver reaches
+    the join while the bitmap stays a fixed m/8 bytes no matter how large
+    the eval suite grows. The Bloom stage only prunes — false positives
+    fall out in the exact join — so the result is bit-identical to plain
+    decontamination, which is exactly what the oracle checks (eval split
+    here: doc_id % 89 = 0)."""
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 89 == 0)
+    tr = d.filter(F.col("doc_id") % 89 != 0)
+    return dedup.bloom_prefilter_contamination(tr, ev, n=3)
+
+
+# --- unigram-distribution KL drift per source --------------------------------
+@query(
+    "pipe_token_kl_drift",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_DUCK_TOKENS}) AS term FROM documents),
+    sc AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    st AS (SELECT source, SUM(c) AS n_tokens, COUNT(*) AS n_terms
+           FROM sc GROUP BY 1),
+    cc AS (SELECT term, SUM(c) AS ct FROM sc GROUP BY 1),
+    tot AS (SELECT SUM(ct) AS nn FROM cc),
+    contrib AS (
+      SELECT sc.source,
+             CAST(ROUND(
+               (sc.c * 1.0 / st.n_tokens)
+               * ln((sc.c * 1.0 / st.n_tokens) / (cc.ct * 1.0 / tot.nn)),
+               12) AS DECIMAL(28,12)) AS kl_term
+      FROM sc JOIN st USING (source) JOIN cc USING (term) CROSS JOIN tot)
+    SELECT st.source, CAST(st.n_tokens AS BIGINT) AS n_tokens,
+           CAST(st.n_terms AS BIGINT) AS n_terms,
+           CAST(ROUND(SUM(c.kl_term), 6) AS DOUBLE) AS kl_to_corpus
+    FROM contrib c JOIN st USING (source)
+    GROUP BY st.source, st.n_tokens, st.n_terms
+    """,
+)
+def token_kl_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift: KL(source || corpus) over unigram frequencies,
+    per source — the mixture-health check a data pipeline runs to catch a
+    crawler or dump whose token distribution has shifted from the corpus
+    baseline. KL needs no smoothing here because every source term is by
+    construction in the corpus distribution (q > 0 wherever p > 0).
+    Per-term contributions are rounded to 12 dp and summed as
+    DECIMAL(28,12) so the sum is associative — order-independent across
+    partitions and engines. Two term-keyed shuffles (per-source counts,
+    corpus counts) + a broadcast 1-row total; per-source totals re-derive
+    from the counts, so the raw token stream is scanned once."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    sc = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    st = sc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"), F.count("*").alias("n_terms")
+    )
+    cc = sc.groupBy("term").agg(F.sum("c").alias("ct"))
+    tot = cc.agg(F.sum("ct").alias("nn"))
+    p = F.col("c") / F.col("n_tokens")
+    q = F.col("ct") / F.col("nn")
+    contrib = (
+        sc.join(F.broadcast(st), "source")
+        .join(cc, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(p * F.log(p / q), 12).cast("decimal(28,12)").alias("kl_term"),
+        )
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(F.round(F.sum("kl_term"), 6).cast("double").alias("kl_to_corpus"))
+        .join(F.broadcast(st), "source")
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            "kl_to_corpus",
+        )
+    )

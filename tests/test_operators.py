@@ -949,3 +949,79 @@ def test_doc_entropy_bounds(spark):
         assert -1e-6 <= r.norm_entropy <= 1.0 + 1e-4
         if r.n_distinct == 1:
             assert abs(r.entropy) < 1e-4
+
+
+def test_boilerplate_removal_planted(spark):
+    # 4 docs; chunk "x y" appears in 3 of them -> boilerplate at min_docs=3;
+    # every other chunk is unique and survives in original order.
+    rows = [
+        (0, "x y a b c d"),
+        (1, "e f x y g h"),
+        (2, "i j k l x y"),
+        (3, "m n o p"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in dedup.boilerplate_removal(d, chunk_len=2, min_docs=3).collect()
+    }
+    assert out[0].n_chunks == 3 and out[0].n_removed == 1
+    assert out[0].clean_text == "a b c d"
+    assert out[1].clean_text == "e f g h"
+    assert out[2].clean_text == "i j k l"
+    assert out[3].n_removed == 0 and out[3].clean_text == "m n o p"
+
+
+def test_boilerplate_removal_all_removed_and_odd_tail(spark):
+    # doc 1 is pure boilerplate -> empty clean_text; doc 2 has an odd tail
+    # chunk of one token which must survive intact.
+    rows = [(0, "x y"), (1, "x y x y"), (2, "x y z")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in dedup.boilerplate_removal(d, chunk_len=2, min_docs=3).collect()
+    }
+    assert out[1].clean_text == "" and out[1].n_removed == 2
+    assert out[2].n_chunks == 2 and out[2].clean_text == "z"
+
+
+def test_bloom_contamination_equals_exact(spark):
+    d = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    ev = d.filter(F.col("doc_id") % 11 == 0)
+    tr = d.filter(F.col("doc_id") % 11 != 0)
+    exact = {
+        r.doc_id: (r.n_shingles, r.n_contaminated)
+        for r in dedup.cross_corpus_contamination(tr, ev, n=3).collect()
+    }
+    bloom = {
+        r.doc_id: (r.n_shingles, r.n_contaminated)
+        for r in dedup.bloom_prefilter_contamination(tr, ev, n=3).collect()
+    }
+    assert bloom == exact  # the Bloom stage only prunes, never changes results
+
+
+def test_bloom_prefilter_tiny_bitmap_still_exact(spark):
+    # With a deliberately tiny bitmap (64 bits) almost everything collides:
+    # the prefilter passes nearly all shingles, yet the exact join keeps the
+    # result identical — false positives cost work, never correctness.
+    d = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    tr = d.filter(F.col("doc_id") % 7 != 0)
+    exact = {
+        r.doc_id: r.n_contaminated
+        for r in dedup.cross_corpus_contamination(tr, ev, n=3).collect()
+    }
+    tiny = {
+        r.doc_id: r.n_contaminated
+        for r in dedup.bloom_prefilter_contamination(
+            tr, ev, n=3, m_bits=64
+        ).collect()
+    }
+    assert tiny == exact

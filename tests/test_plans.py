@@ -660,3 +660,32 @@ def test_token_pmi_topk_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert "windowspecdefinition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontamination_broadcasts_bitmap_and_eval(spark):
+    """The Bloom path must broadcast both bitmap probes AND the exact eval
+    semi-join side — a shuffled join on any of them would move the whole
+    train shingle stream at 100 TB. Three broadcast joins minimum: mask1,
+    mask2, and the exact shingle join."""
+    plan = _plan(spark, "pipe_bloom_decontamination")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+    assert "CartesianProduct" not in plan
+    # the bit probes must be plain column filters, not a UDF
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_boilerplate_removal_broadcasts_boiler_set(spark):
+    """Frequent-chunk removal: the boilerplate set (heavy hitters only) is
+    broadcast back as a left-anti join; the only data-sized shuffles are
+    the chunk-frequency count and the doc_id reassembly."""
+    plan = _plan(spark, "pipe_boilerplate_removal")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_token_kl_drift_broadcasts_totals(spark):
+    """KL drift: per-source totals and the 1-row corpus total broadcast;
+    the only data-sized shuffles are the two term-keyed counts."""
+    plan = _plan(spark, "pipe_token_kl_drift")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
