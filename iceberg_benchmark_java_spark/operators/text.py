@@ -287,3 +287,94 @@ def pack_sequences(
         return pdf
 
     return slim.groupBy(*gcols).applyInPandas(pack, out_schema)
+
+
+def textrank_keywords(
+    docs: DataFrame, iterations: int = 3, damping: float = 0.85, k: int = 20
+) -> DataFrame:
+    """TextRank keyword extraction: weighted PageRank over the token
+    co-occurrence graph (nodes = tokens, symmetric edges = adjacent-token
+    pairs weighted by corpus bigram count), ``iterations`` fixed power
+    iterations at the given damping, top-``k`` tokens by final rank.
+
+    rank_{t+1}(v) = (1-d)/N + d * sum_{u->v} (c_uv / W_out(u)) * rank_t(u)
+
+    Engine-stable determinism: every per-edge contribution and every rank
+    is rounded to 12 dp and carried as DECIMAL(28,12), so the
+    cross-partition sums are associative (order-independent) and the same
+    numbers fall out of any engine; double subexpressions ((1-d)/N, the
+    edge transition probabilities, the d*s products) are IEEE ops identical
+    across JVM and C engines. Ties in the final top-k break on token.
+
+    Shape at 100 TB: the graph is vocabulary-sized, not corpus-sized — one
+    bigram-keyed count collapses the data-sized pass, after which each
+    iteration is one src-keyed broadcast-sized join + one dst-keyed
+    aggregation over |V| rows. The rank frontier is localCheckpoint'd per
+    iteration so lineage stays flat (same discipline as
+    dedup.connected_components).
+
+    Out: token, rank (double), ordered rank desc / token asc, k rows.
+    """
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(words.alias("toks")).filter(F.size("toks") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("w1"),
+            F.element_at("toks", i + 1).alias("w2"),
+        ),
+    )
+    b = base.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    und = b.union(b.select(F.col("w2").alias("w1"), F.col("w1").alias("w2")))
+    counts = und.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    outw = counts.groupBy("w1").agg(F.sum("c").alias("wout"))
+    edges = (
+        counts.join(outw, "w1")
+        .select(
+            F.col("w1").alias("src"),
+            F.col("w2").alias("dst"),
+            (F.col("c") / F.col("wout")).alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = edges.select(F.col("src").alias("token")).distinct()
+    n = nodes.count()
+    teleport = (F.lit(1.0) - F.lit(damping)) / F.lit(n)
+    ranks = nodes.select(
+        "token",
+        F.round(F.lit(1.0) / F.lit(n), 12).cast("decimal(28,12)").alias("rank"),
+    )
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("token", "src"), "src")
+            .select(
+                F.col("dst").alias("token"),
+                F.round(F.col("p") * F.col("rank").cast("double"), 12)
+                .cast("decimal(28,12)")
+                .alias("contrib"),
+            )
+            .groupBy("token")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "token", "left")
+            .select(
+                "token",
+                F.round(
+                    teleport
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                    12,
+                )
+                .cast("decimal(28,12)")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.select("token", F.col("rank").cast("double").alias("rank"))
+        .orderBy(F.desc("rank"), "token")
+        .limit(k)
+    )

@@ -3702,3 +3702,61 @@ def token_kl_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_to_corpus",
         )
     )
+
+
+# --- TextRank keyword extraction ---------------------------------------------
+
+def _textrank_oracle(iterations: int = 3, k: int = 20) -> str:
+    """DuckDB oracle for textrank_keywords: the power iteration unrolled
+    into chained CTEs with the identical fixed-point arithmetic."""
+    its = []
+    prev = "r0"
+    for t in range(1, iterations + 1):
+        its.append(f"""
+    it{t} AS (
+      SELECT nodes.token,
+             CAST(ROUND((1 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * COALESCE(CAST(c.s AS DOUBLE), 0.0), 12)
+                  AS DECIMAL(28,12)) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS token,
+               SUM(CAST(ROUND(e.p * CAST(r.rank AS DOUBLE), 12)
+                        AS DECIMAL(28,12))) AS s
+        FROM e JOIN {prev} r ON e.src = r.token GROUP BY 1) c
+      USING (token))""")
+        prev = f"it{t}"
+    return f"""
+    WITH w AS (SELECT {_DUCK_TOKENS} AS toks FROM documents),
+    b AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+          FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+          WHERE len(toks) >= 2),
+    und AS (SELECT w1, w2 FROM b UNION ALL SELECT w2, w1 FROM b),
+    cnt AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM und GROUP BY 1, 2),
+    ow AS (SELECT w1, SUM(c) AS wout FROM cnt GROUP BY 1),
+    e AS (SELECT cnt.w1 AS src, cnt.w2 AS dst, cnt.c / ow.wout AS p
+          FROM cnt JOIN ow USING (w1)),
+    nodes AS (SELECT DISTINCT src AS token FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT token,
+                  CAST(ROUND(1.0 / (SELECT n FROM nn), 12)
+                       AS DECIMAL(28,12)) AS rank
+           FROM nodes),{",".join(its)}
+    SELECT token, CAST(rank AS DOUBLE) AS rank FROM {prev}
+    ORDER BY rank DESC, token LIMIT {k}
+    """
+
+
+@query("pipe_textrank_keywords", oracle=_textrank_oracle())
+def textrank_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords: 3 damped power iterations of weighted PageRank
+    over the token co-occurrence graph (operators/text.textrank_keywords)
+    — the classic unsupervised keyword extractor, and the registry's
+    iterative-graph showcase beyond connected components. The corpus-sized
+    pass collapses to one bigram count; each iteration then runs over the
+    vocabulary-sized graph only (src-keyed join + dst-keyed aggregation),
+    with every rank carried as 12dp DECIMAL so the result is bit-identical
+    across engines and partitionings (oracle: the same iteration unrolled
+    into chained DuckDB CTEs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.textrank_keywords(d, iterations=3, damping=0.85, k=20)

@@ -1025,3 +1025,54 @@ def test_bloom_prefilter_tiny_bitmap_still_exact(spark):
         ).collect()
     }
     assert tiny == exact
+
+
+def test_textrank_hub_outranks_leaves(spark):
+    # 'a' is adjacent to every other token -> highest rank; b/c/d are
+    # symmetric leaves -> identical ranks; ranks stay a distribution.
+    d = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "a d")], ["doc_id", "text"]
+    )
+    out = {r.token: r.rank for r in text.textrank_keywords(d, k=10).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    assert out["a"] > out["b"]
+    assert out["b"] == out["c"] == out["d"]
+    assert abs(sum(out.values()) - 1.0) < 1e-6  # rank mass preserved
+
+
+def test_textrank_matches_pure_python_power_iteration(spark):
+    # Bit-for-bit equality with a Decimal-rounded reference implementation
+    # of the same damped power iteration (HALF_UP at 12 dp, the contract
+    # the DuckDB oracle relies on).
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = [(0, "x y z x y"), (1, "y z q"), (2, "q x")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.token: r.rank for r in text.textrank_keywords(d, k=10).collect()}
+
+    cnt: dict[tuple[str, str], int] = defaultdict(int)
+    for _, t in rows:
+        toks = t.split()
+        for a, b in zip(toks, toks[1:]):
+            cnt[(a, b)] += 1
+            cnt[(b, a)] += 1
+    wout: dict[str, float] = defaultdict(float)
+    for (a, _), c in cnt.items():
+        wout[a] += float(c)
+    nodes = sorted(wout)
+    n = len(nodes)
+    q12 = Decimal("1e-12")
+
+    def r12(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(q12, rounding=ROUND_HALF_UP)
+
+    rank = {v: r12(1.0 / n) for v in nodes}
+    for _ in range(3):
+        s: dict[str, Decimal] = defaultdict(Decimal)
+        for (a, b), c in cnt.items():
+            s[b] += r12((c / wout[a]) * float(rank[a]))
+        rank = {
+            v: r12((1.0 - 0.85) / n + 0.85 * float(s[v])) for v in nodes
+        }
+    assert got == {v: float(rank[v]) for v in nodes}
