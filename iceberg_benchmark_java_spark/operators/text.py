@@ -378,3 +378,82 @@ def textrank_keywords(
         .orderBy(F.desc("rank"), "token")
         .limit(k)
     )
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = 5):
+    """Distributed BPE tokenizer training: learn the first ``n_merges``
+    byte-pair-encoding merge rules from corpus word frequencies. Per step:
+    count adjacent symbol pairs weighted by word frequency, adopt the most
+    frequent pair (ties: count desc, then (lhs, rhs) lexicographic), and
+    apply it greedily left-to-right inside every word — the exact
+    Sennrich et al. 2016 training loop.
+
+    Shape at 100 TB: the corpus-sized pass is ONE groupBy collapsing the
+    token stream to the (word, freq) vocabulary; every iteration after
+    that runs on vocabulary-sized data (pair count = one aggregation,
+    merge application = a per-row JVM ``aggregate`` fold over the symbol
+    array — no Python, no shuffle). Per step a single 1-row top-1 reaches
+    the driver (same discipline as the k-means iteration), and the symbol
+    frontier is localCheckpoint'd so lineage stays flat.
+
+    Returns a 1-partition DataFrame of the learned merge table:
+    (step int, lhs string, rhs string, pair_count long).
+    """
+    spark = docs.sparkSession
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select("freq", F.split("word", "").alias("syms"))
+        .localCheckpoint(eager=False)
+    )
+    learned: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("lhs"),
+                            F.element_at("syms", i + 1).alias("rhs"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), "lhs", "rhs").limit(1).collect()
+        if not top:
+            break
+        a, b, c = top[0].lhs, top[0].rhs, int(top[0].c)
+        learned.append((step, a, b, c))
+        merged = F.lit(a + b)
+        vocab = vocab.select(
+            "freq",
+            F.when(
+                F.size("syms") >= 2,
+                F.aggregate(
+                    "syms",
+                    F.expr("CAST(array() AS ARRAY<STRING>)"),
+                    lambda acc, x: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, F.lit(-1)) == F.lit(a))
+                        & (x == F.lit(b)),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x))),
+                ),
+            )
+            .otherwise(F.col("syms"))
+            .alias("syms"),
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        learned, schema="step int, lhs string, rhs string, pair_count long"
+    )

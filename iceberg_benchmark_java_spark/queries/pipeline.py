@@ -3760,3 +3760,59 @@ def textrank_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     into chained DuckDB CTEs)."""
     d = load_table(spark, sf_dir, "documents")
     return text.textrank_keywords(d, iterations=3, damping=0.85, k=20)
+
+
+# --- BPE tokenizer training (merge-rule induction) ---------------------------
+
+def _bpe_oracle(n_merges: int = 5) -> str:
+    """DuckDB oracle for bpe_merges: each step = one pair-count aggregate,
+    a top-1 pick, and a recursive-CTE greedy left-to-right merge fold —
+    the same semantics as the Spark-side JVM ``aggregate`` fold."""
+    parts = [f"""
+    tok AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),
+    v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+                  string_split(word, '') AS syms
+           FROM tok GROUP BY word)"""]
+    for s in range(1, n_merges + 1):
+        parts.append(f"""
+    p{s} AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+                    CAST(SUM(freq) AS BIGINT) AS c
+             FROM v{s}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+             WHERE len(syms) >= 2 GROUP BY 1, 2),
+    t{s} AS (SELECT lhs, rhs, c FROM p{s}
+             ORDER BY c DESC, lhs, rhs LIMIT 1)""")
+        if s < n_merges:
+            parts.append(f"""
+    m{s} AS (
+      SELECT freq, syms, 1 AS i, [syms[1]] AS acc FROM v{s}
+      UNION ALL
+      SELECT freq, syms, i + 1,
+        CASE WHEN acc[-1] = (SELECT lhs FROM t{s})
+                  AND syms[i+1] = (SELECT rhs FROM t{s})
+             THEN acc[1:len(acc)-1] || [(SELECT lhs || rhs FROM t{s})]
+             ELSE acc || [syms[i+1]] END
+      FROM m{s} WHERE i < len(syms)),
+    v{s + 1} AS (SELECT freq, acc AS syms FROM m{s} WHERE i = len(syms))""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT {s} AS step, lhs, rhs, c AS pair_count FROM t{s}"
+        for s in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH RECURSIVE {",".join(parts)}
+    {union}
+    """
+
+
+@query("pipe_bpe_merges", oracle=_bpe_oracle())
+def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/text.bpe_merges): the
+    first 5 merge rules learned from corpus word frequencies — the
+    Sennrich et al. 2016 loop as a Spark program. One corpus-sized groupBy
+    collapses the token stream to the vocabulary; each merge step is then
+    a vocabulary-sized pair aggregation + a per-row JVM fold applying the
+    merge greedily left-to-right (bit-identical to the oracle's
+    recursive-CTE fold, tested element-wise). The iterative showcase for
+    tokenizer induction next to TextRank (ranking) and connected
+    components (clustering)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bpe_merges(d, n_merges=5)

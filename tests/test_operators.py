@@ -1076,3 +1076,58 @@ def test_textrank_matches_pure_python_power_iteration(spark):
             v: r12((1.0 - 0.85) / n + 0.85 * float(s[v])) for v in nodes
         }
     assert got == {v: float(rank[v]) for v in nodes}
+
+
+def test_bpe_merges_classic_low_corpus(spark):
+    # The canonical BPE teaching corpus: 'low'-family words learn
+    # (l,o) -> (lo,w) -> ('low' extensions) in frequency order.
+    d = spark.createDataFrame(
+        [(0, "low low low lower"), (1, "lowest low newest")],
+        ["doc_id", "text"],
+    )
+    rules = [
+        (r.step, r.lhs, r.rhs, r.pair_count)
+        for r in text.bpe_merges(d, n_merges=3).collect()
+    ]
+    assert rules[0] == (1, "l", "o", 6)
+    assert rules[1] == (2, "lo", "w", 6)
+    # step 3: ties at count 2 — (low,e), (e,s), (s,t) — break lexicographic
+    assert rules[2] == (3, "e", "s", 2)
+
+
+def test_bpe_merges_matches_pure_python(spark):
+    # Full merge-table equality with a reference Sennrich-style trainer
+    # (greedy left-to-right application, count-desc/(lhs,rhs)-asc ties).
+    from collections import Counter, defaultdict
+
+    rows = [(0, "spark scan span plan plan"), (1, "scan plan spans par")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        (r.step, r.lhs, r.rhs, r.pair_count)
+        for r in text.bpe_merges(d, n_merges=4).collect()
+    ]
+
+    vocab = Counter(w for _, t in rows for w in t.split())
+    syms = {w: list(w) for w in vocab}
+    want = []
+    for step in range(1, 5):
+        counts: dict[tuple[str, str], int] = defaultdict(int)
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((step, a, b, c))
+        for w in syms:
+            s, out = syms[w], []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    assert got == want

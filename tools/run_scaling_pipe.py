@@ -48,6 +48,9 @@ HEADLINERS = [
     "pipe_embedding_near_dup_banded",
     "pipe_dup_span_coverage",
     "pipe_containment_pairs",
+    "pipe_bloom_decontamination",
+    "pipe_boilerplate_removal",
+    "pipe_textrank_keywords",
 ]
 
 EXACT_DUP_RATE = 0.002
@@ -259,6 +262,16 @@ def plan_asserts(spark, queries, sf_dir: str) -> dict[str, str]:
             errs.append("CartesianProduct")
         if name == "pipe_decontamination" and "BroadcastHashJoin" not in plan:
             errs.append("eval side not broadcast")
+        if (
+            name == "pipe_bloom_decontamination"
+            and plan.count("BroadcastHashJoin") < 3
+        ):
+            errs.append("bitmap/eval joins not all broadcast")
+        if (
+            name == "pipe_boilerplate_removal"
+            and "BroadcastHashJoin" not in plan
+        ):
+            errs.append("boilerplate set not broadcast")
         if name == "pipe_embedding_near_dup_banded":
             if "BroadcastNestedLoopJoin" in plan:
                 errs.append("BroadcastNestedLoopJoin")
