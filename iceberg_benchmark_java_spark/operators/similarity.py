@@ -605,3 +605,69 @@ def pq_adc_topk(
             "rnk",
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame, n_centroids: int = 16, threshold: float = 0.2
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus with the deterministic IVF path, then WITHIN each cluster
+    mark cosine-near-duplicate groups and keep only the member least
+    similar to its centroid (the diversity-preserving keep rule; ties to
+    the lowest vec_id). No transitive closure — the paper's greedy
+    pairwise form: a vector is dropped iff some same-cluster ε-neighbor
+    beats it under (cent_sim asc, vec_id asc).
+
+    Shape at 100 TB: assignment is the map-side broadcast-centroid fold
+    (no corpus shuffle); the only pairwise stage is the within-cluster
+    self-join on cent_id, quadratic ONLY in cluster size — n_centroids is
+    the dial that scales with the corpus (k ~ N/target_cluster_size) to
+    keep in-cluster occupancy flat, exactly like the LSH n_bits dial.
+
+    Out: vec_id, cent_id, cent_sim, n_dup_partners, keep.
+    """
+    centroids, assign = ivf_assignments(embeddings, n_centroids)
+    cs = assign.join(F.broadcast(centroids), "cent_id").select(
+        "vec_id",
+        "cent_id",
+        "embedding",
+        F.round(cosine(F.col("embedding"), F.col("c_emb")), 6).alias(
+            "cent_sim"
+        ),
+    )
+    x = cs.select(
+        "cent_id",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("cent_sim").alias("sa"),
+    )
+    y = cs.select(
+        "cent_id",
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("cent_sim").alias("sb"),
+    )
+    pr = (
+        x.join(y, "cent_id")
+        .filter(F.col("va") != F.col("vb"))
+        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= threshold)
+    )
+    d = pr.groupBy(F.col("va").alias("vec_id")).agg(
+        F.count("*").alias("n_dup_partners"),
+        F.sum(
+            F.when(
+                (F.col("sb") < F.col("sa"))
+                | ((F.col("sb") == F.col("sa")) & (F.col("vb") < F.col("va"))),
+                1,
+            ).otherwise(0)
+        ).alias("n_better"),
+    )
+    return cs.join(d, "vec_id", "left").select(
+        "vec_id",
+        "cent_id",
+        "cent_sim",
+        F.coalesce(F.col("n_dup_partners"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_partners"),
+        (F.coalesce(F.col("n_better"), F.lit(0)) == 0).alias("keep"),
+    )

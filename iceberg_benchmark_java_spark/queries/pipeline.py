@@ -3816,3 +3816,115 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (clustering)."""
     d = load_table(spark, sf_dir, "documents")
     return text.bpe_merges(d, n_merges=5)
+
+
+# --- inter-source shingle overlap matrix -------------------------------------
+@query(
+    "pipe_source_overlap",
+    oracle=f"""
+    WITH words AS (SELECT source, {_DUCK_TOKENS} AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, UNNEST(generate_series(1, GREATEST(len(w) - 2, 1))) AS t(i)),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.source < b.source
+      GROUP BY 1, 2)
+    SELECT i.source_a, i.source_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           ROUND(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source overlap matrix: pairwise Jaccard similarity of the
+    distinct 3-word-shingle sets of every source pair — the
+    mixture-curation diagnostic that catches two crawls/dumps feeding the
+    same underlying content before both get full weight in the training
+    mix. One shuffle on the shingle key; the per-shingle self-join fanout
+    is bounded by (#sources choose 2) — sources are a registry-sized axis
+    (dozens), never corpus-sized, so the pair space stays trivially flat
+    at 100 TB. Per-source set sizes broadcast back onto the pair rows."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.with_word_shingles(
+        d.select(F.col("source").alias("doc_id"), "text"), n=3
+    ).select(F.col("doc_id").alias("source"), "shingle").distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- SemDeDup-style semantic dedup -------------------------------------------
+_SEMDEDUP_FINAL = f"""
+    , cs AS (
+      SELECT a.vec_id, a.cent_id, e.ee,
+             {_duck_cos("e.ee", "c.ce")} AS cent_sim
+      FROM assign a
+      JOIN e ON a.vec_id = e.vec_id
+      JOIN cent0 c ON a.cent_id = c.cent_id),
+    pr AS (
+      SELECT x.vec_id AS va, x.cent_sim AS sa,
+             y.vec_id AS vb, y.cent_sim AS sb
+      FROM cs x JOIN cs y
+        ON x.cent_id = y.cent_id AND x.vec_id <> y.vec_id
+      WHERE {_duck_cos("x.ee", "y.ee")} >= 0.2),
+    d AS (
+      SELECT va AS vec_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_partners,
+             SUM(CASE WHEN sb < sa OR (sb = sa AND vb < va)
+                      THEN 1 ELSE 0 END) AS n_better
+      FROM pr GROUP BY va)
+    SELECT cs.vec_id, cs.cent_id, cs.cent_sim,
+           COALESCE(d.n_dup_partners, 0) AS n_dup_partners,
+           COALESCE(d.n_better, 0) = 0 AS keep
+    FROM cs LEFT JOIN d USING (vec_id)
+"""
+
+
+@query("pipe_semantic_dedup", oracle=_duck_ivf_oracle(0, _SEMDEDUP_FINAL))
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup over the embedding
+    corpus (operators/similarity.semantic_dedup): deterministic IVF
+    clustering, within-cluster cosine ε-neighbors (τ=0.2), keep the
+    member LEAST similar to its centroid per duplicate group (diversity-
+    preserving keep rule, vec_id ties). The pairwise stage is bounded by
+    cluster occupancy — n_centroids is the corpus-scaling dial, like the
+    LSH bit width. Oracle: the shared IVF CTE template extended with the
+    within-cluster pair/keep logic, so the clustering can never drift
+    from pipe_ann_ivf_topk's."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        e.select("vec_id", "embedding"), n_centroids=16, threshold=0.2
+    )

@@ -1131,3 +1131,59 @@ def test_bpe_merges_matches_pure_python(spark):
                     out.append(x)
             syms[w] = out
     assert got == want
+
+
+def test_semantic_dedup_keep_rule(spark):
+    # One positive-orthant cluster {v0, v1, v2} and one negative-orthant
+    # cluster {v3}. v0/v1 are near-identical (cos ~ 0.9999): the keep rule
+    # drops the member MORE similar to the centroid (v0, which IS the
+    # seed) and keeps the diversity-preserving extreme v1. v2 is in the
+    # cluster but below threshold -> no partners, kept. v3 alone, kept.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, [0.2, 1.0, 0.0, 0.0]),
+        (3, [-1.0, -1.0, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(
+            e, n_centroids=4, threshold=0.9
+        ).collect()
+    }
+    assert out[0].n_dup_partners == 1 and not out[0].keep
+    assert out[1].n_dup_partners == 1 and out[1].keep
+    assert out[2].n_dup_partners == 0 and out[2].keep
+    assert out[3].n_dup_partners == 0 and out[3].keep
+    assert out[0].cent_sim >= out[1].cent_sim  # the rule's justification
+
+
+def test_source_overlap_known_jaccard(spark):
+    # A: {a b c, b c d}; B: {a b c, b c x} -> jaccard 1/3.
+    # C shares nothing -> its pairs are absent (overlap-only output).
+    d = spark.createDataFrame(
+        [
+            (0, "a b c d", "A"),
+            (1, "a b c x", "B"),
+            (2, "z z z z", "C"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    from iceberg_benchmark_java_spark.queries.pipeline import source_overlap_q
+
+    sh = dedup.with_word_shingles(
+        d.select(F.col("source").alias("doc_id"), "text"), n=3
+    ).select(F.col("doc_id").alias("source"), "shingle").distinct()
+    sizes = {r.source: r.n for r in sh.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"A": 2, "B": 2, "C": 1}
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+        .collect()
+    )
+    assert {(r.source_a, r.source_b): r.n_common for r in inter} == {("A", "B"): 1}
