@@ -3928,3 +3928,115 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(
         e.select("vec_id", "embedding"), n_centroids=16, threshold=0.2
     )
+
+
+# --- HyperLogLog distinct sketch (mergeable registers) -----------------------
+_HLL_M = 64  # p=6
+_HLL_ALPHA = 0.709  # alpha_64
+
+
+@query(
+    "pipe_hll_distinct",
+    oracle=f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (SELECT event_type, {_DUCK_UHEX} AS h60 FROM du),
+    reg AS (
+      SELECT event_type, (h60 & 63) AS idx,
+             MAX(CASE WHEN (h60 >> 6) = 0 THEN 55
+                      ELSE 55 - length(bin(h60 >> 6)) END) AS m_j
+      FROM h GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_regs,
+             SUM(power(2.0, -m_j)) AS sum_pow
+      FROM reg GROUP BY 1),
+    est AS (
+      SELECT event_type, n_regs,
+             {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+               / (sum_pow + ({_HLL_M} - n_regs)) AS raw,
+             {_HLL_M} - n_regs AS v
+      FROM s),
+    fin AS (
+      SELECT event_type, n_regs,
+             CASE WHEN raw <= 2.5 * {_HLL_M} AND v > 0
+                  THEN {_HLL_M} * ln({_HLL_M} * 1.0 / v)
+                  ELSE raw END AS e
+      FROM est),
+    ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+           FROM du GROUP BY 1)
+    SELECT fin.event_type, fin.n_regs,
+           ROUND(fin.e, 4) AS est_distinct,
+           ex.exact_distinct,
+           ROUND(ABS(fin.e - ex.exact_distinct) / ex.exact_distinct, 4)
+             AS rel_err
+    FROM fin JOIN ex ON fin.event_type = ex.event_type
+    """,
+)
+def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct sketch (Flajolet et al. 2007), p=6 / m=64
+    registers, estimating COUNT(DISTINCT user_id) per event_type — the
+    MERGEABLE-sketch counterpoint to pipe_kmv_distinct: register index =
+    low 6 bits of the 60-bit md5 hash, rho = leading-zero count of the
+    remaining 54-bit word + 1 (exact integer arithmetic via length(bin(w)),
+    never float log2), registers = max(rho) per (group, idx). Linear-
+    counting small-range correction applied when raw <= 2.5m and empty
+    registers exist, exactly as published. Exact distinct joined in as the
+    measured-quality baseline; estimates deterministic cross-engine
+    because md5 + bit ops + powers of two are all exact.
+
+    Scale shape: max-per-register is fully map-side combinable — every
+    executor collapses its slice to <= m rows per group BEFORE the
+    shuffle, so the shuffle carries <= m * n_groups rows no matter the
+    corpus size, and sketches for different partitions/days union by
+    register-wise max (the re-aggregation property KMV's rank-based
+    selection lacks). This is the 100 TB cardinality shape: no window, no
+    rank, one combinable aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    h60 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(F.col("h60"), 6)
+    rho = F.when(w == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(w))
+    )
+    reg = (
+        du.select("event_type", h60.alias("h60"))
+        .select(
+            "event_type",
+            F.col("h60").bitwiseAND(F.lit(63)).alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    s = reg.groupBy("event_type").agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("sum_pow"),
+    )
+    raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+        / (F.col("sum_pow") + (F.lit(_HLL_M) - F.col("n_regs")))
+    )
+    v = F.lit(_HLL_M) - F.col("n_regs")
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
+    ).otherwise(raw)
+    exact = du.groupBy("event_type").agg(
+        F.count("*").alias("exact_distinct")
+    )
+    return (
+        s.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_regs",
+            F.round(est, 4).alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    )

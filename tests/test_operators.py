@@ -1187,3 +1187,50 @@ def test_source_overlap_known_jaccard(spark):
         .collect()
     )
     assert {(r.source_a, r.source_b): r.n_common for r in inter} == {("A", "B"): 1}
+
+
+def test_hll_distinct_matches_pure_python(spark):
+    # The sketch is a deterministic function of the value set: replicate
+    # registers, small-range correction and the estimate in pure Python
+    # over the same md5-derived 60-bit hash and require exact agreement
+    # (after the query's own 4dp rounding).
+    import hashlib
+
+    users = [f"u{i}" for i in range(137)]
+    rows = [(("click" if i % 3 else "view"), u) for i, u in enumerate(users)]
+    e = spark.createDataFrame(rows, ["event_type", "user_id"])
+    h60 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(F.col("h60"), 6)
+    rho = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+    reg = (
+        e.select("event_type", "user_id").distinct()
+        .select("event_type", h60.alias("h60"))
+        .select(
+            "event_type",
+            F.col("h60").bitwiseAND(F.lit(63)).alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("m_j"))
+        .collect()
+    )
+    spark_regs = {}
+    for r in reg:
+        spark_regs.setdefault(r.event_type, {})[r.idx] = r.m_j
+
+    def py_est(vals):
+        regs = {}
+        for u in vals:
+            h = int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+            idx, word = h & 63, h >> 6
+            r = 55 if word == 0 else 55 - word.bit_length()
+            regs[idx] = max(regs.get(idx, 0), r)
+        return regs
+
+    by_type = {}
+    for t, u in rows:
+        by_type.setdefault(t, set()).add(u)
+    for t, vals in by_type.items():
+        assert spark_regs[t] == py_est(vals), t
