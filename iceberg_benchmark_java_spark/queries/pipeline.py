@@ -4040,3 +4040,111 @@ def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# --- BM25 ranked retrieval over the corpus -----------------------------------
+_BM25_TERMS = ("hash", "join", "vector")
+
+
+@query(
+    "pipe_bm25_topk",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(len(w)) * 1.0 / COUNT(*) AS avgdl
+          FROM words),
+    wx AS (SELECT doc_id, len(w) AS dl, UNNEST(w) AS term FROM words),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+           FROM wx WHERE term IN ('hash', 'join', 'vector')
+           GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    idf AS (SELECT term,
+                   CAST(FLOOR(ln((g.n - df + 0.5) / (df + 0.5) + 1.0)
+                              * 1000000) AS BIGINT) AS idf6
+            FROM df, g),
+    c AS (SELECT tf.doc_id,
+                 CAST(FLOOR((idf.idf6 / 1000000.0)
+                            * (tf.tf * 2.2
+                               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / g.avgdl)))
+                            * 1000000) AS BIGINT) AS c6
+          FROM tf JOIN idf USING (term), g)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           ROUND(SUM(c6) / 1000000.0, 6) AS bm25
+    FROM c GROUP BY doc_id
+    ORDER BY SUM(c6) DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones, k1=1.2 b=0.75): the
+    top-20 documents for a fixed 3-term query, Lucene-style idf
+    ln((N-df+0.5)/(df+0.5)+1). The quality-scoring sibling of
+    pipe_tfidf_top_terms aimed at retrieval/curation ("find the docs most
+    about X"). Fixed point: idf and each per-(doc,term) contribution are
+    floored to 1e-6 BIGINTs before the per-doc sum, so scores and the
+    top-k boundary are exact and engine-independent; final ordering is on
+    the exact integer sum with doc_id tiebreak.
+
+    Scale shape: ONE explode pass carries doc length alongside the terms
+    (no corpus-sized doc_id join); the IN-list filter collapses the
+    stream to docs hitting the query terms before any shuffle; df/idf
+    and the global (N, avgdl) row are broadcast; final top-k is
+    orderBy+limit = TakeOrderedAndProject (per-partition heaps, no global
+    sort). Corpus-sized work: exactly one scan + one narrow aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    words = d.select("doc_id", toks.alias("w"))
+    g = words.agg(
+        F.count("*").alias("n"), F.sum(F.size("w")).alias("sdl")
+    ).select("n", (F.col("sdl") * 1.0 / F.col("n")).alias("avgdl"))
+    wx = words.select(
+        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
+    )
+    tf = (
+        wx.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = df_.crossJoin(F.broadcast(g)).select(
+        "term",
+        F.floor(
+            F.log(
+                (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("idf6"),
+    )
+    c6 = (
+        F.floor(
+            (F.col("idf6") / 1000000.0)
+            * (
+                F.col("tf")
+                * 2.2
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("c6")
+    )
+    c = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(g))
+        .select("doc_id", c6)
+    )
+    return (
+        c.groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms_hit"), F.sum("c6").alias("s6"))
+        .orderBy(F.desc("s6"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            F.round(F.col("s6") / 1000000.0, 6).alias("bm25"),
+        )
+    )

@@ -689,3 +689,23 @@ def test_token_kl_drift_broadcasts_totals(spark):
     plan = _plan(spark, "pipe_token_kl_drift")
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_plan(spark):
+    """BM25 top-k: per-partition heaps (TakeOrderedAndProject), idf and
+    the 1-row (N, avgdl) broadcast, no unpartitioned window, no
+    cartesian beyond the broadcast-1-row global-stats join."""
+    plan = _plan(spark, "pipe_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert not _unpartitioned_window_specs(plan)
+
+
+def test_hll_distinct_plan_no_window(spark):
+    """HLL registers must be a plain combinable aggregation — no window,
+    no rank (the KMV sibling uses windows; HLL's whole point is the
+    mergeable max-per-register shape)."""
+    plan = _plan(spark, "pipe_hll_distinct")
+    assert "Window" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
