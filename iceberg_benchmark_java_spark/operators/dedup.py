@@ -726,3 +726,101 @@ def bloom_prefilter_contamination(
             F.col("n_contaminated") / F.col("n_shingles"), 6
         ).alias("contamination_ratio"),
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame, n: int = 3, tau_num: int = 1, tau_den: int = 2
+) -> DataFrame:
+    """Set-similarity join with prefix filtering (PPJoin family, Xiao et
+    al. 2008): all document pairs whose n-shingle-set Jaccard >= tau
+    (tau = tau_num/tau_den, default 1/2), found WITHOUT comparing every
+    pair. Shingles are globally ordered by (corpus df asc, shingle asc) —
+    rarest first; each doc keeps only its first
+    p = |s| - ceil(tau*|s|) + 1 shingles as its prefix. Losslessness: two
+    sets with Jaccard >= tau must overlap in >= 1 token within each
+    other's prefix under any shared total order, so the prefix equi-join
+    generates a candidate superset; exact intersection counting on
+    candidates then applies the exact integer test
+    (tau_den + tau_num)*|a&b| >= tau_num*(|a|+|b|) — no float boundary.
+
+    Scale shape: candidate generation joins only PREFIX rows (the rarest
+    ~(1-tau) fraction of each doc, and rare-by-construction shingles have
+    small df, so per-shingle fanout stays flat where the naive
+    shingle-join explodes on common shingles); intersection counting is
+    candidate-bounded, never corpus-quadratic. Shuffles: one df count,
+    one per-doc window (bounded by doc length), the prefix equi-join,
+    and the candidate-keyed intersection joins.
+
+    Out: doc_a, doc_b, n_a, n_b, n_common, jaccard (6dp).
+    """
+    from pyspark.sql.window import Window
+
+    sh = with_word_shingles(docs, n=n)
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(df, "shingle")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+    )
+    p = (
+        F.col("n")
+        - F.floor(
+            (F.lit(tau_num) * F.col("n") + F.lit(tau_den - 1)) / F.lit(tau_den)
+        )
+        + 1
+    )
+    prefix = ranked.filter(F.col("rnk") <= p).select("doc_id", "shingle", "n")
+    cand = (
+        prefix.select(
+            F.col("doc_id").alias("doc_a"),
+            "shingle",
+            F.col("n").alias("n_a"),
+        )
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("doc_b"),
+                "shingle",
+                F.col("n").alias("n_b"),
+            ),
+            "shingle",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    common = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.filter(
+            F.lit(tau_den + tau_num) * F.col("n_common")
+            >= F.lit(tau_num) * (F.col("n_a") + F.col("n_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -4148,3 +4148,39 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s6") / 1000000.0, 6).alias("bm25"),
         )
     )
+
+
+# --- prefix-filter set-similarity join (PPJoin-lite) -------------------------
+@query(
+    "pipe_prefix_filter_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b, sa.n AS n_a, sb.n AS n_b,
+           c AS n_common,
+           ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = da
+    JOIN sizes sb ON sb.doc_id = db
+    WHERE 3 * c >= sa.n + sb.n
+    """,
+)
+def prefix_filter_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered set-similarity join at Jaccard >= 1/2
+    over 3-shingle sets (dedup.prefix_filter_pairs). The THIRD candidate-
+    generation mechanism next to MinHash-LSH (probabilistic) and the
+    df-guarded shingle join (pipe_ngram_jaccard_pairs): prefix filtering
+    is EXACT — the rarest (1-tau) fraction of each doc's shingles, under
+    the global (df, shingle) order, provably covers every qualifying
+    pair, so the oracle is the plain brute-force Jaccard join and
+    equality is the losslessness theorem, not an approximation check.
+    Exact integer threshold test (3*common >= n_a+n_b), no float
+    boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_pairs(
+        d.select("doc_id", "text"), n=3, tau_num=1, tau_den=2
+    )

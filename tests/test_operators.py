@@ -1234,3 +1234,37 @@ def test_hll_distinct_matches_pure_python(spark):
         by_type.setdefault(t, set()).add(u)
     for t, vals in by_type.items():
         assert spark_regs[t] == py_est(vals), t
+
+
+def test_prefix_filter_pairs_lossless_vs_brute_force(spark):
+    # Corpus with a near-dup pair (0,1), an exact dup pair (2,3), and
+    # unrelated docs; prefix filtering must return EXACTLY the pairs the
+    # brute-force Jaccard join returns (the losslessness theorem).
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy cat today"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon zeta"),
+            (4, "one two three four five six seven eight nine ten"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.n_common
+        for r in dedup.prefix_filter_pairs(docs, n=3).collect()
+    }
+    # Brute force on the same shingle sets.
+    sh = dedup.with_word_shingles(docs, n=3)
+    sets = {}
+    for r in sh.collect():
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = len(sets[a] & sets[b])
+            if 3 * c >= len(sets[a]) + len(sets[b]):
+                want[(a, b)] = c
+    assert got == want
+    assert (2, 3) in got and (0, 1) in got and (0, 4) not in got

@@ -709,3 +709,13 @@ def test_hll_distinct_plan_no_window(spark):
     plan = _plan(spark, "pipe_hll_distinct")
     assert "Window" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_pairs_plan(spark):
+    """Prefix-filter join: candidate generation must be an equi-join (no
+    cartesian), and both windows are doc_id-partitioned (bounded by doc
+    length, never global)."""
+    plan = _plan(spark, "pipe_prefix_filter_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _unpartitioned_window_specs(plan), plan[:1500]
