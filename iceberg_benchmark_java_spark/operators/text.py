@@ -457,3 +457,84 @@ def bpe_merges(docs: DataFrame, n_merges: int = 5):
     return spark.createDataFrame(
         learned, schema="step int, lhs string, rhs string, pair_count long"
     )
+
+
+def _bpe_fold(a: str, b: str):
+    """The greedy left-to-right BPE merge of adjacent (a, b) -> a+b as a
+    pure JVM ``aggregate`` fold over a symbol array — the identical
+    expression bpe_merges trains with, shared so encode can never drift
+    from training semantics."""
+    merged = F.lit(a + b)
+
+    def apply(syms_col):
+        return F.when(
+            F.size(syms_col) >= 2,
+            F.aggregate(
+                syms_col,
+                F.expr("CAST(array() AS ARRAY<STRING>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, F.lit(-1)) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).otherwise(syms_col)
+
+    return apply
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = 5) -> DataFrame:
+    """Tokenize the corpus with a just-trained BPE table: learn the first
+    ``n_merges`` merge rules (bpe_merges), apply them IN TRAINING ORDER to
+    the vocabulary via the same greedy JVM fold, and report per-document
+    token accounting — the train→encode round trip every tokenizer
+    pipeline runs before sequence packing.
+
+    Shape at 100 TB: training's corpus pass is one groupBy (see
+    bpe_merges); encoding never touches documents symbol-by-symbol —
+    the merge folds run over the VOCABULARY only, and the per-doc pass is
+    one explode + a broadcast join of the (word -> n_bpe) table + one
+    doc_id aggregate. The merge table itself (n_merges rows) is the only
+    thing driver-side.
+
+    Out: doc_id, n_words, n_chars, n_bpe_tokens, compression (6dp
+    chars-per-token).
+    """
+    rules = [
+        (r.lhs, r.rhs)
+        for r in sorted(bpe_merges(docs, n_merges).collect(), key=lambda r: r.step)
+    ]
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    vocab = (
+        tok.select("word")
+        .distinct()
+        .select("word", F.split("word", "").alias("syms"))
+    )
+    for a, b in rules:
+        vocab = vocab.select(
+            "word", _bpe_fold(a, b)(F.col("syms")).alias("syms")
+        )
+    enc = vocab.select("word", F.size("syms").cast("long").alias("n_bpe"))
+    return (
+        tok.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 6).alias(
+                "compression"
+            ),
+        )
+    )

@@ -3767,19 +3767,25 @@ def textrank_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_oracle(n_merges: int = 5) -> str:
     """DuckDB oracle for bpe_merges: each step = one pair-count aggregate,
     a top-1 pick, and a recursive-CTE greedy left-to-right merge fold —
-    the same semantics as the Spark-side JVM ``aggregate`` fold."""
+    the same semantics as the Spark-side JVM ``aggregate`` fold.
+
+    Every non-recursive CTE is MATERIALIZED: v{s}/t{s} are referenced
+    multiple times (t{s} three times inside m{s}'s recursion), and
+    DuckDB's default inlining re-executes the whole upstream chain at
+    every recursive step — exponential in the merge chain (minutes for a
+    31-word vocabulary). Materialization makes each step run once."""
     parts = [f"""
-    tok AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),
-    v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+    tok AS MATERIALIZED (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),
+    v1 AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS freq,
                   string_split(word, '') AS syms
            FROM tok GROUP BY word)"""]
     for s in range(1, n_merges + 1):
         parts.append(f"""
-    p{s} AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+    p{s} AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
                     CAST(SUM(freq) AS BIGINT) AS c
              FROM v{s}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
              WHERE len(syms) >= 2 GROUP BY 1, 2),
-    t{s} AS (SELECT lhs, rhs, c FROM p{s}
+    t{s} AS MATERIALIZED (SELECT lhs, rhs, c FROM p{s}
              ORDER BY c DESC, lhs, rhs LIMIT 1)""")
         if s < n_merges:
             parts.append(f"""
@@ -3792,7 +3798,8 @@ def _bpe_oracle(n_merges: int = 5) -> str:
              THEN acc[1:len(acc)-1] || [(SELECT lhs || rhs FROM t{s})]
              ELSE acc || [syms[i+1]] END
       FROM m{s} WHERE i < len(syms)),
-    v{s + 1} AS (SELECT freq, acc AS syms FROM m{s} WHERE i = len(syms))""")
+    v{s + 1} AS MATERIALIZED (SELECT freq, acc AS syms FROM m{s}
+                 WHERE i = len(syms))""")
     union = "\n    UNION ALL ".join(
         f"SELECT {s} AS step, lhs, rhs, c AS pair_count FROM t{s}"
         for s in range(1, n_merges + 1)
@@ -4184,3 +4191,61 @@ def prefix_filter_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_filter_pairs(
         d.select("doc_id", "text"), n=3, tau_num=1, tau_den=2
     )
+
+
+# --- BPE encode (train -> tokenize round trip) -------------------------------
+def _bpe_encode_oracle(n_merges: int = 5) -> str:
+    """DuckDB oracle for bpe_encode: the training recursion of
+    _bpe_oracle with ``word`` carried through every step so the final
+    vocabulary can be joined back onto the document token stream."""
+    parts = [f"""
+    tok AS MATERIALIZED (SELECT doc_id, unnest({_DUCK_TOKENS}) AS word
+                         FROM documents),
+    v1 AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+                  string_split(word, '') AS syms
+           FROM tok GROUP BY word)"""]
+    for s in range(1, n_merges + 1):
+        parts.append(f"""
+    p{s} AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+                    CAST(SUM(freq) AS BIGINT) AS c
+             FROM v{s}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+             WHERE len(syms) >= 2 GROUP BY 1, 2),
+    t{s} AS MATERIALIZED (SELECT lhs, rhs, c FROM p{s}
+             ORDER BY c DESC, lhs, rhs LIMIT 1),
+    m{s} AS (
+      SELECT word, freq, syms, 1 AS i, [syms[1]] AS acc FROM v{s}
+      UNION ALL
+      SELECT word, freq, syms, i + 1,
+        CASE WHEN acc[-1] = (SELECT lhs FROM t{s})
+                  AND syms[i+1] = (SELECT rhs FROM t{s})
+             THEN acc[1:len(acc)-1] || [(SELECT lhs || rhs FROM t{s})]
+             ELSE acc || [syms[i+1]] END
+      FROM m{s} WHERE i < len(syms)),
+    v{s + 1} AS MATERIALIZED (SELECT word, freq, acc AS syms FROM m{s}
+                 WHERE i = len(syms))""")
+    return f"""
+    WITH RECURSIVE {",".join(parts)},
+    enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe
+            FROM v{n_merges + 1})
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(t.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(e.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           ROUND(SUM(length(t.word)) * 1.0 / SUM(e.n_bpe), 6) AS compression
+    FROM tok t JOIN enc e USING (word)
+    GROUP BY t.doc_id
+    """
+
+
+@query("pipe_bpe_encode", oracle=_bpe_encode_oracle())
+def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train->encode round trip (operators/text.bpe_encode): learn 5
+    merge rules, tokenize the corpus with them, report per-doc word /
+    char / BPE-token counts and chars-per-token compression — the number
+    sequence-packing budgets against. Encoding applies the merges over
+    the VOCABULARY (never per-occurrence) through the same JVM fold
+    training uses, then one explode + broadcast word->n_bpe join + one
+    doc aggregate; the oracle re-runs training's recursive-CTE folds with
+    the word key carried through, so any drift between training and
+    encoding semantics breaks the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bpe_encode(d, n_merges=5)

@@ -1268,3 +1268,49 @@ def test_prefix_filter_pairs_lossless_vs_brute_force(spark):
                 want[(a, b)] = c
     assert got == want
     assert (2, 3) in got and (0, 1) in got and (0, 4) not in got
+
+
+def test_bpe_encode_matches_pure_python(spark):
+    # Train-then-encode round trip: per-doc BPE token counts must equal a
+    # pure-Python trainer+encoder (same greedy fold, same tie rules).
+    from collections import Counter, defaultdict
+
+    rows = [(0, "spark scan span plan plan"), (1, "scan plan spans par")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens)
+        for r in text.bpe_encode(d, n_merges=4).collect()
+    }
+
+    vocab = Counter(w for _, t in rows for w in t.split())
+    syms = {w: list(w) for w in vocab}
+    for _ in range(4):
+        counts: dict[tuple[str, str], int] = defaultdict(int)
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (a, b), _c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w in syms:
+            s, out = syms[w], []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    want = {}
+    for doc_id, t in rows:
+        ws = t.split()
+        want[doc_id] = (
+            len(ws),
+            sum(len(w) for w in ws),
+            sum(len(syms[w]) for w in ws),
+        )
+    assert got == want
+    # merging must actually compress: fewer tokens than chars
+    assert all(nb < nc for _, nc, nb in got.values())
