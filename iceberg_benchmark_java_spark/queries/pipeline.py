@@ -4249,3 +4249,105 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding semantics breaks the hash."""
     d = load_table(spark, sf_dir, "documents")
     return text.bpe_encode(d, n_merges=5)
+
+
+# --- count-min sketch heavy hitters ------------------------------------------
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # counters per row
+
+# DuckDB mirror of the row-salted 60-bit hash: md5(r || term) first-15-hex.
+_DUCK_CMS_H = (
+    "list_sum(list_transform(generate_series(1,15), i -> "
+    "(strpos('0123456789abcdef', substr(md5(CAST(r AS VARCHAR) || term), i, 1)) - 1)::BIGINT"
+    " * (1::BIGINT << (4 * (15 - i)))))"
+)
+
+
+@query(
+    "pipe_cms_heavy_hitters",
+    oracle=f"""
+    WITH w AS (SELECT unnest({_DUCK_TOKENS}) AS term FROM documents),
+    exact AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+              FROM w GROUP BY term),
+    rows_ AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r),
+    cells AS (
+      SELECT r, ({_DUCK_CMS_H}) % {_CMS_W} AS col,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w, rows_ GROUP BY 1, 2),
+    probes AS (SELECT term, exact_cnt FROM exact
+               ORDER BY exact_cnt DESC, term LIMIT 10),
+    pc AS (
+      SELECT term, exact_cnt, r, ({_DUCK_CMS_H}) % {_CMS_W} AS col
+      FROM (SELECT p.term, p.exact_cnt, rows_.r
+            FROM probes p CROSS JOIN rows_)),
+    est AS (
+      SELECT pc.term, pc.exact_cnt, MIN(c.cnt) AS est_cnt
+      FROM pc JOIN cells c ON c.r = pc.r AND c.col = pc.col
+      GROUP BY 1, 2)
+    SELECT term, exact_cnt, est_cnt, est_cnt - exact_cnt AS overestimate
+    FROM est
+    """,
+)
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005), d=4 rows x w=256
+    counters, estimating term frequencies for the 10 heaviest tokens —
+    the frequency sketch completing the cardinality triad (KMV rank-based,
+    HLL register-based, CMS counter-based). est(t) = min over rows of
+    counter[r][hash_r(t)]; the one-sided error guarantee (est >= exact,
+    overestimate <= eN/w w.h.p.) is emitted per probe as an auditable
+    column. md5 row-salted hashes keep every cell value an exact integer
+    identical across engines — full hash equality, no float anywhere.
+
+    Scale shape: the sketch build is ONE explode (x d=4 row replicas)
+    into a (r, col)-keyed count — map-side combinable, at most d*w = 1024
+    rows ever cross the shuffle regardless of corpus size, and sketches
+    union by cell-wise add (mergeable, like HLL's max). Probing joins the
+    10-row probe table against the 1024-row counter table — both
+    broadcast-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+
+    def cms_col(term_col, r_col):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(r_col.cast("string"), term_col)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(_CMS_W),
+        )
+
+    rows_ = F.explode(
+        F.array(*[F.lit(i) for i in range(_CMS_D)])
+    ).alias("r")
+    cells = (
+        w.select("term", rows_)
+        .select("r", cms_col(F.col("term"), F.col("r")).alias("col"))
+        .groupBy("r", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = w.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), "term").limit(10)
+    probe_cells = probes.select(
+        "term", "exact_cnt", rows_
+    ).select(
+        "term",
+        "exact_cnt",
+        "r",
+        cms_col(F.col("term"), F.col("r")).alias("col"),
+    )
+    return (
+        probe_cells.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select(
+            "term",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )

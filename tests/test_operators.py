@@ -1314,3 +1314,16 @@ def test_bpe_encode_matches_pure_python(spark):
     assert got == want
     # merging must actually compress: fewer tokens than chars
     assert all(nb < nc for _, nc, nb in got.values())
+
+
+def test_cms_overestimate_invariant(spark):
+    # Count-min's one-sided guarantee: est >= exact for every probe, with
+    # equality when no collision hits any of the d cells.
+    from iceberg_benchmark_java_spark.queries.pipeline import (
+        cms_heavy_hitters_q,
+    )
+
+    out = cms_heavy_hitters_q(spark, SF_SMOKE).collect()
+    assert len(out) == 10
+    assert all(r.overestimate >= 0 for r in out)
+    assert all(r.est_cnt >= r.exact_cnt for r in out)

@@ -719,3 +719,13 @@ def test_prefix_filter_pairs_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not _unpartitioned_window_specs(plan), plan[:1500]
+
+
+def test_cms_sketch_plan(spark):
+    """CMS build must be a combinable (r, col) count — no window, no
+    cartesian beyond the 4-row replica explode; probe join broadcasts
+    the ≤1024-row counter table."""
+    plan = _plan(spark, "pipe_cms_heavy_hitters")
+    assert "Window" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
