@@ -891,3 +891,82 @@ def test_sliding_aggregate_stream_late_data_watermark(spark, tmp_path):
     assert got[f"{d} 09:30:00"] == 2
     # 13:00's windows never finalized (watermark stopped at 11:00)
     assert all(w < f"{d} 12:00:00" for w in got)
+
+
+def test_interval_join_late_data_watermark(spark, tmp_path):
+    """Late-data contract of click_purchase_join_stream (2h watermark,
+    60min horizon): out-of-order click/purchase pairs still above the
+    filter watermark are joined exactly like batch; a purchase whose
+    event time fell below the watermark is dropped — its would-be pair
+    never appears. Same one-batch filter-watermark lag layout as the
+    hourly/dedup late tests:
+      b0: click 101 @00:10, purchase 201 @00:30 (pair), click 102 @10:00
+          -> wm 08:00
+      b1: filler 301 @11:00 (event_type x: invisible to the join, only
+          advances the watermark) -> wm 09:00; b2's filter wm = 08:00
+      b2: click 103 @09:00 + purchase 202 @09:30 (late, above wm: pair
+          KEPT), purchase 203 @00:45 (late, below wm: DROPPED — would
+          have matched click 101)
+      b3: filler 302 @13:00 -> finalize
+    Expected pairs: exactly {(101, 201), (103, 202)}; and the stream
+    equals the batch join over the events minus the dropped straggler."""
+    import os
+
+    src = str(tmp_path / "late_ssjoin")
+    os.makedirs(src)
+    d = "2024-01-01"
+    _write_event_file(
+        spark, src, 0,
+        [(101, f"{d} 00:10:00", "click"), (201, f"{d} 00:30:00", "purchase"),
+         (102, f"{d} 10:00:00", "click")],
+    )
+    _write_event_file(spark, src, 1, [(301, f"{d} 11:00:00", "x")])
+    _write_event_file(
+        spark, src, 2,
+        [(103, f"{d} 09:00:00", "click"), (202, f"{d} 09:30:00", "purchase"),
+         (203, f"{d} 00:45:00", "purchase")],
+    )
+    _write_event_file(spark, src, 3, [(302, f"{d} 13:00:00", "x")])
+
+    stream = streaming.read_events_stream(spark, src)
+    joined = streaming.click_purchase_join_stream(
+        stream, watermark="2 hours", horizon_minutes=60
+    )
+    q = streaming.run_stream_to_memory(
+        joined, "late_ssjoin_test", output_mode="append", available_now=True
+    )
+    try:
+        _await_done(q)
+        got = {
+            (r.click_id, r.purchase_id)
+            for r in spark.sql(
+                "SELECT click_id, purchase_id FROM late_ssjoin_test"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert got == {(101, 201), (103, 202)}
+    # within-watermark stream result equals batch over accepted events
+    e = spark.read.parquet(src).filter(F.col("event_id") != 203)
+    c = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")
+            ),
+        ).collect()
+    }
+    assert got == batch
