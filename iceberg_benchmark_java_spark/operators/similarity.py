@@ -671,3 +671,87 @@ def semantic_dedup(
         .alias("n_dup_partners"),
         (F.coalesce(F.col("n_better"), F.lit(0)) == 0).alias("keep"),
     )
+
+
+def pca_top_component(embeddings: DataFrame, iterations: int = 3) -> DataFrame:
+    """Top principal direction of the corpus second-moment matrix by
+    fixed-point power iteration — the whitening/decorrelation primitive
+    embedding pipelines run before clustering or semantic dedup.
+
+    G = sum_v v v^T is built relationally: one per-row d^2 product
+    expansion (JVM transform/flatten, no Python) into a map-side-
+    combinable (i, j) sum — the shuffle carries exactly d^2 rows no
+    matter the corpus size (d=dim, the 100 TB dial: cost is linear in
+    corpus, d^2-bounded in state, the relational treeAggregate). Each
+    iteration then multiplies the d^2-row G against the d-row vector —
+    broadcast-sized joins only. Max-|component| normalization (divide by
+    the signed entry of largest magnitude, ties to lowest index) avoids
+    sqrt and canonicalizes the sign: the dominant component is exactly
+    1.0.
+
+    Determinism: products and per-iteration contributions are rounded to
+    fixed point (9dp / 12dp DECIMAL) before every cross-row sum, so
+    results are bit-identical across engines and partitionings (the
+    textrank discipline).
+
+    Out: i (component index), loading (double, 12dp-rounded, in [-1, 1]).
+    """
+    emb = F.col("embedding")
+    prods = F.flatten(
+        F.transform(
+            emb,
+            lambda vi, i: F.transform(
+                emb,
+                lambda vj, j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.round(vi.cast("double") * vj.cast("double"), 9)
+                    .cast("decimal(28,9)")
+                    .alias("p"),
+                ),
+            ),
+        )
+    )
+    g = (
+        embeddings.select(F.explode(prods).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("g"))
+        .select("i", "j", F.col("g").cast("double").alias("gd"))
+        .localCheckpoint(eager=False)
+    )
+    x = g.select(F.col("i").alias("j")).distinct().select(
+        "j", F.lit(1).cast("decimal(28,12)").alias("x")
+    )
+    for _ in range(iterations):
+        y = (
+            g.join(x, "j")
+            .select(
+                "i",
+                F.round(F.col("gd") * F.col("x").cast("double"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+            .groupBy("i")
+            .agg(F.sum("c").alias("y"))
+        )
+        m = (
+            y.orderBy(
+                F.abs(F.col("y").cast("double")).desc(), F.asc("i")
+            )
+            .limit(1)
+            .select(F.col("y").cast("double").alias("m"))
+        )
+        x = (
+            y.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("j"),
+                F.round(F.col("y").cast("double") / F.col("m"), 12)
+                .cast("decimal(28,12)")
+                .alias("x"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return x.select(
+        F.col("j").alias("i"), F.col("x").cast("double").alias("loading")
+    )

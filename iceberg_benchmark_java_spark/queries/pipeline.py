@@ -4351,3 +4351,61 @@ def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_cnt") - F.col("exact_cnt")).alias("overestimate"),
         )
     )
+
+
+# --- PCA top principal direction (power iteration) ---------------------------
+def _pca_oracle(iterations: int = 3) -> str:
+    """DuckDB oracle for pca_top_component: the power iteration unrolled
+    into chained MATERIALIZED CTEs with identical fixed-point arithmetic
+    (9dp products, 12dp contributions, signed max-normalization)."""
+    its = []
+    prev = "x0"
+    for t in range(1, iterations + 1):
+        its.append(f""",
+    y{t} AS MATERIALIZED (
+      SELECT g.i,
+             SUM(CAST(ROUND(g.gd * CAST(x.x AS DOUBLE), 12)
+                      AS DECIMAL(28,12))) AS y
+      FROM g JOIN {prev} x ON g.j = x.j GROUP BY 1),
+    m{t} AS MATERIALIZED (
+      SELECT CAST(y AS DOUBLE) AS m FROM y{t}
+      ORDER BY ABS(CAST(y AS DOUBLE)) DESC, i LIMIT 1),
+    x{t} AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(ROUND(CAST(y AS DOUBLE) / (SELECT m FROM m{t}), 12)
+                  AS DECIMAL(28,12)) AS x
+      FROM y{t})""")
+        prev = f"x{t}"
+    return f"""
+    WITH g AS MATERIALIZED (
+      SELECT i, j, CAST(SUM(p) AS DOUBLE) AS gd FROM (
+        SELECT ii.i AS i, jj.j AS j,
+               CAST(ROUND(CAST(embedding[ii.i + 1] AS DOUBLE)
+                          * CAST(embedding[jj.j + 1] AS DOUBLE), 9)
+                    AS DECIMAL(28,9)) AS p
+        FROM embeddings,
+             UNNEST(generate_series(0, len(embedding) - 1)) AS ii(i),
+             UNNEST(generate_series(0, len(embedding) - 1)) AS jj(j))
+      GROUP BY 1, 2),
+    x0 AS (SELECT DISTINCT i AS j, CAST(1 AS DECIMAL(28,12)) AS x FROM g)
+    {"".join(its)}
+    SELECT j AS i, CAST(x AS DOUBLE) AS loading FROM {prev}
+    """
+
+
+@query("pipe_embedding_pca", oracle=_pca_oracle())
+def embedding_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus
+    (operators/similarity.pca_top_component): 3 fixed-point power
+    iterations on the relationally-built second-moment matrix — the
+    numerical-linear-algebra showcase next to TextRank (graph) and BPE
+    (induction). The corpus pass is one d^2-fanout map-side-combinable
+    sum (shuffle carries exactly d^2=4096 rows at ANY corpus size);
+    iterations are broadcast-sized. Signed max-normalization makes the
+    sign canonical and the dominant loading exactly 1.0. Oracle: the
+    same iteration unrolled into MATERIALIZED DuckDB CTEs, bit-identical
+    by the shared fixed-point discipline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca_top_component(
+        e.select("vec_id", "embedding"), iterations=3
+    )

@@ -1327,3 +1327,23 @@ def test_cms_overestimate_invariant(spark):
     assert len(out) == 10
     assert all(r.overestimate >= 0 for r in out)
     assert all(r.est_cnt >= r.exact_cnt for r in out)
+
+
+def test_pca_top_component_rank_one(spark):
+    # Rank-1 corpus: every vector is a multiple of w, so the top principal
+    # direction IS w, max-normalized to the signed largest component
+    # (w[1] = -4 -> loadings = w / -4, dominant exactly 1.0).
+    w = [2.0, -4.0, 1.0, 0.5]
+    rows = [(i, [c * x for x in w]) for i, c in enumerate([1.0, -2.0, 3.0])]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    got = {
+        r.i: r.loading
+        for r in similarity.pca_top_component(e, iterations=3).collect()
+    }
+    want = {i: x / -4.0 for i, x in enumerate(w)}
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+    assert got[1] == 1.0  # canonical sign: dominant component exactly 1
