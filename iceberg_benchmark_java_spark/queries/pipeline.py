@@ -4409,3 +4409,120 @@ def embedding_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pca_top_component(
         e.select("vec_id", "embedding"), iterations=3
     )
+
+
+# --- temperature-scaled mixture weights --------------------------------------
+@query(
+    "pipe_mixture_temperature",
+    oracle="""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    t AS (SELECT SUM(n_docs) AS total FROM c),
+    p AS (SELECT c.lang, c.n_docs,
+                 CAST(FLOOR(power(c.n_docs * 1.0 / t.total, 0.7)
+                            * 1000000000000) AS BIGINT) AS w12
+          FROM c, t),
+    z AS (SELECT SUM(w12) AS zsum FROM p)
+    SELECT p.lang, p.n_docs,
+           ROUND(p.n_docs * 1.0 / t.total, 6) AS p_raw,
+           ROUND(p.w12 * 1.0 / z.zsum, 6) AS q_temp,
+           ROUND((p.w12 * 1.0 / z.zsum) / (p.n_docs * 1.0 / t.total), 6)
+             AS boost
+    FROM p, t, z
+    """,
+)
+def mixture_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling weights (the multilingual-
+    sampling rule of Conneau & Lample 2019): q_s ∝ p_s^T with T=0.7 —
+    boosts low-resource strata without the hard uniform target of
+    pipe_mixture_weights. Each p_s^T is floored to a 1e-12 fixed-point
+    BIGINT before the normalizer sum, so weights are exact and engine-
+    independent. Two tiny broadcast aggregates over the stratum axis;
+    corpus-sized work is the one stratum count."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    t = c.agg(F.sum("n_docs").alias("total"))
+    p = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        "total",
+        F.floor(
+            F.pow(F.col("n_docs") / F.col("total"), F.lit(0.7))
+            * 1000000000000
+        )
+        .cast("long")
+        .alias("w12"),
+    )
+    z = p.agg(F.sum("w12").alias("zsum"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("p_raw"),
+        F.round(F.col("w12") / F.col("zsum"), 6).alias("q_temp"),
+        F.round(
+            (F.col("w12") / F.col("zsum"))
+            / (F.col("n_docs") / F.col("total")),
+            6,
+        ).alias("boost"),
+    )
+
+
+# --- join-key skew profiler --------------------------------------------------
+@query(
+    "pipe_key_skew_profile",
+    oracle="""
+    WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM events GROUP BY user_id),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+                 CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq
+          FROM c),
+    topk AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top10_sum
+             FROM (SELECT cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10))
+    SELECT s.n_keys, s.total, s.max_cnt,
+           ROUND(s.max_cnt * 1.0 / s.total, 6) AS max_share,
+           ROUND(topk.top10_sum * 1.0 / s.total, 6) AS top10_share,
+           ROUND(s.sumsq * 1.0 / (s.total * s.total), 6) AS hhi,
+           ROUND(s.max_cnt * 1.0 / (s.total * 1.0 / s.n_keys), 6)
+             AS skew_factor
+    FROM s, topk
+    """,
+)
+def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler over events.user_id — the diagnostic that
+    decides when the salted twins (pipe_salted_hot_key_agg /
+    pipe_salted_count_distinct) are worth their extra shuffle: emits key
+    cardinality, the hottest key's share, top-10 coverage, the
+    Herfindahl concentration index (sum of squared shares — an
+    order-independent exact-integer sum), and skew_factor = hottest /
+    uniform-expectation. One combinable per-key count; the profile row
+    derives from exact BIGINTs, so the only rounding is presentational.
+    At 100 TB this runs as a cheap pre-pass on the join key sample and
+    its skew_factor thresholds the salting decision."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    s = c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+    )
+    topk = (
+        c.orderBy(F.desc("cnt"), "user_id")
+        .limit(10)
+        .agg(F.sum("cnt").alias("top10_sum"))
+    )
+    return s.crossJoin(F.broadcast(topk)).select(
+        "n_keys",
+        "total",
+        "max_cnt",
+        F.round(F.col("max_cnt") / F.col("total"), 6).alias("max_share"),
+        F.round(F.col("top10_sum") / F.col("total"), 6).alias("top10_share"),
+        F.round(
+            F.col("sumsq") / (F.col("total") * F.col("total")), 6
+        ).alias("hhi"),
+        F.round(
+            F.col("max_cnt") / (F.col("total") / F.col("n_keys")), 6
+        ).alias("skew_factor"),
+    )
