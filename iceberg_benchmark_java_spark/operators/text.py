@@ -538,3 +538,81 @@ def bpe_encode(docs: DataFrame, n_merges: int = 5) -> DataFrame:
             ),
         )
     )
+
+
+def typo_pairs(docs: DataFrame, max_dist: int = 2) -> DataFrame:
+    """Vocabulary typo/variant mining via FastSS deletion neighborhoods
+    (Bocek et al. 2007): all distinct word pairs within Levenshtein
+    distance <= 2, found WITHOUT the quadratic vocab self-join. Each word
+    emits its <= 2-deletion neighborhood (the word, every 1-char
+    deletion, every 2-char deletion); two words at edit distance <= 2
+    provably share a neighborhood member, so an equi-join on the variant
+    key generates a lossless candidate superset and the exact
+    ``levenshtein`` verify keeps true pairs only.
+
+    Scale shape: the corpus pass is one groupBy collapsing tokens to the
+    (word, freq) vocabulary; the neighborhood fanout is ~len^2/2 per
+    VOCAB entry (not per occurrence); candidates are bounded by words
+    sharing a variant — at web vocabulary the dial is a min-length /
+    max-neighborhood-df guard on the variant key, same role as
+    ngram_jaccard's max_df. Frequencies ride along so downstream can
+    flag low-freq-near-high-freq words as typo candidates.
+
+    Out: word_a, word_b, dist, freq_a, freq_b.
+    """
+    if max_dist != 2:
+        raise ValueError("FastSS neighborhood generated for max_dist=2 only")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("freq"))
+    variants = F.array_distinct(
+        F.concat(
+            F.array(F.col("w")),
+            F.expr(
+                "transform(sequence(1, length(w)), i ->"
+                " concat(substring(w, 1, i-1), substring(w, i+1)))"
+            ),
+            F.flatten(
+                F.expr(
+                    "transform(sequence(1, length(w)), j ->"
+                    " transform(sequence(1, greatest(j-1, 1)), i ->"
+                    "  CASE WHEN i < j THEN"
+                    "   concat(substring(w, 1, i-1),"
+                    "          substring(w, i+1, j-i-1), substring(w, j+1))"
+                    "  ELSE concat(substring(w, 1, j-1), substring(w, j+1))"
+                    "  END))"
+                )
+            ),
+        )
+    )
+    nv = vocab.select(
+        "w", "freq", F.explode(variants).alias("variant")
+    )
+    cand = (
+        nv.select(
+            F.col("w").alias("word_a"),
+            F.col("freq").alias("freq_a"),
+            "variant",
+        )
+        .join(
+            nv.select(
+                F.col("w").alias("word_b"),
+                F.col("freq").alias("freq_b"),
+                "variant",
+            ),
+            "variant",
+        )
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b", "freq_a", "freq_b")
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein("word_a", "word_b") <= max_dist
+    ).select(
+        "word_a",
+        "word_b",
+        F.levenshtein("word_a", "word_b").cast("long").alias("dist"),
+        "freq_a",
+        "freq_b",
+    )

@@ -4526,3 +4526,28 @@ def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_cnt") / (F.col("total") / F.col("n_keys")), 6
         ).alias("skew_factor"),
     )
+
+
+# --- vocabulary typo pairs (FastSS deletion neighborhoods) -------------------
+@query(
+    "pipe_typo_pairs",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_DUCK_TOKENS}) AS w FROM documents),
+    v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY w)
+    SELECT a.w AS word_a, b.w AS word_b,
+           CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist,
+           a.freq AS freq_a, b.freq AS freq_b
+    FROM v a JOIN v b ON a.w < b.w
+    WHERE levenshtein(a.w, b.w) <= 2
+    """,
+)
+def typo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastSS typo mining (operators/text.typo_pairs): vocabulary pairs
+    within edit distance 2 via 2-deletion-neighborhood blocking — the
+    string-edit sibling of prefix filtering (pipe_prefix_filter_pairs):
+    both replace a quadratic all-pairs comparison with a lossless
+    equi-join candidate stage plus exact verification, so the oracle is
+    the brute-force levenshtein join and equality IS the neighborhood
+    coverage theorem."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.typo_pairs(d.select("text"), max_dist=2)

@@ -1347,3 +1347,38 @@ def test_pca_top_component_rank_one(spark):
     for i in want:
         assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
     assert got[1] == 1.0  # canonical sign: dominant component exactly 1
+
+
+def test_typo_pairs_lossless_vs_brute_force(spark):
+    # Planted typos: substitution (hash/bash), deletion (spark/spak),
+    # double-substitution at distance 2 (scan/skin), and an unrelated
+    # word. FastSS blocking + verify must equal brute force exactly.
+    docs = spark.createDataFrame(
+        [(0, "hash bash spark spak scan skin unrelatedword hash")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.word_a, r.word_b): (r.dist, r.freq_a, r.freq_b)
+        for r in text.typo_pairs(docs).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    words = "hash bash spark spak scan skin unrelatedword hash".split()
+    freq = {w: words.count(w) for w in set(words)}
+    want = {}
+    for a, b in itertools.combinations(sorted(set(words)), 2):
+        d = lev(a, b)
+        if d <= 2:
+            want[(a, b)] = (d, freq[a], freq[b])
+    assert got == want
+    assert ("bash", "hash") in got and got[("bash", "hash")][0] == 1
