@@ -4551,3 +4551,147 @@ def typo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage theorem."""
     d = load_table(spark, sf_dir, "documents")
     return text.typo_pairs(d.select("text"), max_dist=2)
+
+
+# --- Johnson-Lindenstrauss random projection ---------------------------------
+_RP_D = 64  # source dims
+_RP_K = 16  # target dims
+
+
+def _rp_matrix() -> list[list[int]]:
+    """Deterministic Rademacher (+-1) projection matrix, derived from md5
+    of the (j, i) cell label — a fixed model parameter, identical in the
+    Spark literal and the DuckDB literal because both come from THIS
+    function (no cross-engine hash dependency)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp{j}_{i}".encode()).hexdigest()[:15], 16) % 2
+            == 0
+            else -1
+            for i in range(_RP_D)
+        ]
+        for j in range(_RP_K)
+    ]
+
+
+def _rp_sql_literal() -> str:
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(x) for x in row) + "]"
+            for row in _rp_matrix()
+        )
+        + "]"
+    )
+
+
+@query(
+    "pipe_random_projection",
+    oracle=f"""
+    WITH rm AS (SELECT {_rp_sql_literal()} AS m),
+    y AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, {_RP_K}), j ->
+               list_sum(list_transform(generate_series(1, {_RP_D}), i ->
+                 CAST(ROUND(rm.m[j][i] * CAST(embedding[i] AS DOUBLE)
+                            * 1000000000) AS BIGINT)))) AS y9,
+             list_sum(list_transform(generate_series(1, {_RP_D}), i ->
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                          * CAST(embedding[i] AS DOUBLE)
+                          * 1000000000) AS BIGINT))) AS vsq9
+      FROM embeddings, rm),
+    s AS (
+      SELECT vec_id, CAST(vsq9 AS BIGINT) AS vsq9,
+             CAST(list_sum(list_transform(y9, v ->
+               CAST(ROUND((v / 1000000000.0) * (v / 1000000000.0)
+                          / {_RP_K} * 1000000000) AS BIGINT)))
+                  AS BIGINT) AS ysq9
+      FROM y)
+    SELECT vec_id,
+           FLOOR((vsq9 + 500) / 1000.0) / 1000000.0 AS orig_sq,
+           FLOOR((ysq9 + 500) / 1000.0) / 1000000.0 AS proj_sq,
+           ROUND(ysq9 * 1.0 / vsq9, 6) AS distortion
+    FROM s
+    """,
+)
+def random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    per-vector distortion audit: y = (1/sqrt(k)) R v with a fixed
+    Rademacher +-1 matrix, reporting ||v||^2, ||y||^2 and their ratio
+    (the JL lemma says the ratio concentrates near 1 — the measured
+    quality column, like pipe_minhash_est_quality). The projection is
+    how 100 TB embedding corpora shrink before LSH/IVF indexing.
+
+    Scale shape: ZERO shuffle — the whole operator is one narrow per-row
+    JVM expression (nested transform/aggregate folds over the fixed
+    k x d literal matrix); nothing is corpus-sized but the scan itself.
+    Determinism: every product is rounded to a 1e-9 BIGINT before
+    summation (integer sums are order-free), so both engines produce
+    identical rows from the shared Python-generated matrix literal."""
+    e = load_table(spark, sf_dir, "embeddings")
+    rm = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(str(x) for x in row) + ")"
+            for row in _rp_matrix()
+        )
+        + ")"
+    )
+    emb = F.col("embedding")
+    contrib = lambda j, i: F.round(  # noqa: E731
+        F.element_at(F.element_at(rm, j + 1), i + 1)
+        * F.element_at(emb, i + 1).cast("double")
+        * 1000000000
+    ).cast("long")
+    y9 = F.transform(
+        F.sequence(F.lit(0), F.lit(_RP_K - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.lit(_RP_D - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + contrib(j, i),
+        ),
+    )
+    vsq9 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_RP_D - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.round(
+            F.element_at(emb, i + 1).cast("double")
+            * F.element_at(emb, i + 1).cast("double")
+            * 1000000000
+        ).cast("long"),
+    )
+    s = e.select(
+        "vec_id", y9.alias("y9"), vsq9.alias("vsq9")
+    ).select(
+        "vec_id",
+        "vsq9",
+        F.aggregate(
+            "y9",
+            F.lit(0).cast("long"),
+            lambda acc, v: acc
+            + F.round(
+                (v / 1000000000.0)
+                * (v / 1000000000.0)
+                / _RP_K
+                * 1000000000
+            ).cast("long"),
+        ).alias("ysq9"),
+    )
+    # Integer rounding for the fixed-point shifts: a plain double ROUND
+    # at 6dp sits exactly on a .5 whenever the 1e-9 integer ends in 500,
+    # where Spark (shortest-repr HALF_UP) and DuckDB (exact-binary)
+    # disagree; FLOOR((n + 500) / 1000) is exact in both.
+    return s.select(
+        "vec_id",
+        (F.floor((F.col("vsq9") + 500) / 1000.0) / 1000000.0).alias(
+            "orig_sq"
+        ),
+        (F.floor((F.col("ysq9") + 500) / 1000.0) / 1000000.0).alias(
+            "proj_sq"
+        ),
+        F.round(F.col("ysq9") / F.col("vsq9"), 6).alias("distortion"),
+    )

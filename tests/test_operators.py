@@ -1382,3 +1382,24 @@ def test_typo_pairs_lossless_vs_brute_force(spark):
             want[(a, b)] = (d, freq[a], freq[b])
     assert got == want
     assert ("bash", "hash") in got and got[("bash", "hash")][0] == 1
+
+
+def test_random_projection_zero_shuffle_and_concentration(spark):
+    # JL distortion must concentrate near 1 (k=16 gives ~1/sqrt(16)
+    # relative spread: all fixture ratios should sit well inside [0.3, 1.9])
+    # and the plan must be shuffle-free (one narrow projection).
+    from iceberg_benchmark_java_spark.queries.pipeline import (
+        random_projection_q,
+    )
+
+    df = random_projection_q(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    rows = df.collect()
+    assert len(rows) == 500
+    # k=16 -> per-vector std ~ sqrt(2/k) ~ 0.35; individual ratios spread
+    # but stay positive and bounded, and the MEAN concentrates near 1.
+    assert all(0.0 < r.distortion < 4.0 for r in rows)
+    import statistics
+
+    assert abs(statistics.mean(r.distortion for r in rows) - 1.0) < 0.1
