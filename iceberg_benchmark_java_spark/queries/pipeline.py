@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..operators import dedup, similarity, text
+from ..streaming import events as streaming_events
 from .registry import query
 
 # DuckDB-side shared fragments ------------------------------------------------
@@ -4694,4 +4695,47 @@ def random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "proj_sq"
         ),
         F.round(F.col("ysq9") / F.col("vsq9"), 6).alias("distortion"),
+    )
+
+
+# --- native session-window sessionization ------------------------------------
+@query(
+    "pipe_session_window_agg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP))
+               OVER (PARTITION BY user_id ORDER BY ts) AS pts
+      FROM events),
+    f AS (
+      SELECT user_id, ts,
+             CASE WHEN pts IS NULL OR ts >= pts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM o),
+    g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def session_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window
+    (streaming/events.session_window_aggregate): 30-minute gap sessions
+    per user, fully JVM-side — the codegen'd twin of
+    win_sessionize_events (lag+cumsum) and of the stateful-kernel
+    streaming sessionizers, and the SAME function runs unchanged as a
+    watermarked writeStream (equivalence pytest-pinned). One shuffle on
+    user_id with Spark's session-merge aggregation; the oracle is the
+    classic gaps-and-islands rewrite, so the merge semantics (exactly-gap
+    starts a new session, end = last + gap) are pinned cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    return streaming_events.session_window_aggregate(
+        e.select("user_id", F.col("ts").cast("timestamp").alias("ts")),
+        gap="30 minutes",
     )

@@ -575,3 +575,38 @@ def run_stream_to_memory(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def session_window_aggregate(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Gap-based sessionization with Spark's NATIVE session_window — the
+    JVM-side twin of the applyInPandasWithState sessionizers: no Python
+    in the loop, whole-stage codegen, and the identical function serves
+    batch AND streaming input (streaming callers pass a watermark; state
+    is then bounded to open sessions inside the watermark horizon, and
+    append mode emits each session once when the watermark closes it).
+
+    Session semantics: windows merge while events are < gap apart; an
+    event at exactly prev + gap starts a new session (window end is
+    exclusive), and session_end = last event + gap.
+
+    Out: user_id, session_start, session_end, n_events.
+    """
+    src = (
+        events
+        if watermark is None
+        else events.withWatermark("ts", watermark)
+    )
+    return (
+        src.groupBy(
+            F.session_window("ts", gap).alias("win"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -970,3 +970,60 @@ def test_interval_join_late_data_watermark(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """The NATIVE session_window function is one code path for batch and
+    stream: streamed in append mode with a 2h watermark plus a far-future
+    sentinel event (whose watermark advance finalizes every real
+    session), the emitted sessions must equal the batch sessionization of
+    the same events exactly — including an out-of-order within-watermark
+    event landing in its correct earlier session."""
+    import os
+
+    src = str(tmp_path / "session_src")
+    os.makedirs(src)
+    d = "2024-01-01"
+    # user 1: sessions {00:00,00:10,00:25}, {01:20,01:30}, {05:00}
+    _write_event_file(
+        spark, src, 0,
+        [(1, f"{d} 00:00:00", "click"), (2, f"{d} 00:10:00", "click"),
+         (3, f"{d} 01:20:00", "click")],
+    )
+    _write_event_file(
+        spark, src, 1,
+        [(4, f"{d} 01:30:00", "click"), (5, f"{d} 00:25:00", "click")],
+    )
+    _write_event_file(spark, src, 2, [(6, f"{d} 05:00:00", "click")])
+    _write_event_file(spark, src, 3, [(9, "2024-01-11 00:00:00", "x")])
+
+    stream = streaming.read_events_stream(spark, src)
+    sess = streaming.session_window_aggregate(
+        stream, gap="30 minutes", watermark="2 hours"
+    )
+    q = streaming.run_stream_to_memory(
+        sess, "native_session_test", output_mode="append", available_now=True
+    )
+    try:
+        _await_done(q)
+        got = {
+            (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events)
+            for r in spark.sql(
+                "SELECT * FROM native_session_test"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events)
+        for r in streaming.session_window_aggregate(
+            spark.read.parquet(src).filter("event_id != 9"),
+            gap="30 minutes",
+        ).collect()
+    }
+    assert got == batch
+    assert len(batch) == 3
+    n_by_start = {k[1]: v[1] for k, v in batch.items()}
+    assert n_by_start[f"{d} 00:00:00"] == 3  # 00:25 straggler joined it
+    assert n_by_start[f"{d} 01:20:00"] == 2
+    assert n_by_start[f"{d} 05:00:00"] == 1
