@@ -53,6 +53,9 @@ HEADLINE = [
     # round-6 additions (new computation, disclosed in BENCH_DELTA_r06):
     "pipe_dup_span_coverage",
     "pipe_scd2_history",
+    "pipe_prefix_filter_pairs",
+    "pipe_semantic_dedup",
+    "pipe_session_window_agg",
     # Verbatim reference corpus headliners (fixtures/ warehouse, fixed
     # scale): the marquee TPC-DS shapes named in the round-1 review plus
     # two verbatim TPC-H texts. These time the reference's own SQL files

@@ -51,6 +51,13 @@ HEADLINERS = [
     "pipe_bloom_decontamination",
     "pipe_boilerplate_removal",
     "pipe_textrank_keywords",
+    # round-6 second-half additions
+    "pipe_prefix_filter_pairs",
+    "pipe_bm25_topk",
+    "pipe_bpe_encode",
+    "pipe_typo_pairs",
+    "pipe_random_projection",
+    "pipe_embedding_pca",
 ]
 
 EXACT_DUP_RATE = 0.002
@@ -240,6 +247,34 @@ def time_pq_adc(spark, sf_dir: str) -> float:
     return best
 
 
+def time_semantic_dedup(spark, sf_dir: str, n_centroids: int) -> float:
+    """Time SemDeDup with an explicit centroid count. The registered query
+    fixes n_centroids=16; at scale the within-cluster pair stage is
+    quadratic in cluster OCCUPANCY, so the production setting grows k with
+    the corpus (k ~ N / target_cluster_size) to hold occupancy flat —
+    this row measures exactly that dial, mirroring banded_scaled_bits."""
+    from iceberg_benchmark_java_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        semantic_dedup(
+            emb, n_centroids=n_centroids, threshold=0.2
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    best = round(best, 3)
+    print(
+        f"[scaling-pipe] {sf_dir}: semantic_dedup(k={n_centroids}) = {best}s",
+        file=sys.stderr,
+    )
+    return best
+
+
 def plan_asserts(spark, queries, sf_dir: str) -> dict[str, str]:
     """The test_plans.py scale contracts, re-evaluated on this warehouse:
     no cartesian/BNLJ anywhere; decontamination broadcasts the eval side;
@@ -317,6 +352,7 @@ def main() -> int:
         ).count()
         t1 = time_headliners(spark, queries, BASE_DIR)
         t_pq_1x = time_pq_adc(spark, BASE_DIR)
+        t_sem_1x = time_semantic_dedup(spark, BASE_DIR, 16)
         asserts1 = plan_asserts(spark, queries, BASE_DIR)
         per_scale: dict[str, dict] = {}
         for s in scales:
@@ -343,7 +379,15 @@ def main() -> int:
             scaled_bits = 8 + max(1, (s - 1).bit_length())
             t_bits = time_banded_scaled_bits(spark, d, scaled_bits)
             t_pq = time_pq_adc(spark, d)
+            scaled_k = 16 * s
+            t_sem = time_semantic_dedup(spark, d, scaled_k)
             per_scale[str(s)] = {
+                "semantic_dedup_scaled_k": {
+                    "n_centroids": scaled_k,
+                    "t_1x_sec_k16": t_sem_1x,
+                    "t_sec": t_sem,
+                    "ratio": round(t_sem / t_sem_1x, 2),
+                },
                 "pq_adc_topk": {
                     "t_1x_sec": t_pq_1x,
                     "t_sec": t_pq,
@@ -394,7 +438,8 @@ def main() -> int:
                     + [
                         round(
                             t_bits / t1["pipe_embedding_near_dup_banded"], 2
-                        )
+                        ),
+                        round(t_sem / t_sem_1x, 2),
                     ]
                 ),
             }
