@@ -729,3 +729,35 @@ def test_cms_sketch_plan(spark):
     assert "Window" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_parquet_aggregate_pushdown(spark):
+    """COUNT/MIN/MAX over a parquet scan can be answered from footer
+    metadata without reading data: with the v2 reader and
+    aggregatePushdown on, the plan's BatchScan must carry
+    PushedAggregation — the scan-level shortcut that makes 100 TB
+    row-count/metadata audits O(files), not O(rows)."""
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = (
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .groupBy()
+            .count()
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*)]" in plan, plan[:1500]
+        mm = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").selectExpr(
+            "min(o_custkey)", "max(o_custkey)"
+        )
+        plan2 = mm._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [MIN(o_custkey), MAX(o_custkey)]" in plan2, (
+            plan2[:1500]
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        if old_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
