@@ -117,10 +117,10 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash + LSH candidates ------------------------------------------------
-@query(
-    "pipe_minhash_lsh_candidates",
-    oracle=f"""
-    WITH {_DUCK_SHINGLES},
+# Shared CTE chain (shingles -> signatures -> band keys), reused verbatim by
+# the candidates oracle and the dedup-graph-stats oracle so the two can
+# never drift.
+_DUCK_MINHASH_BANDS = f"""{_DUCK_SHINGLES},
     sig AS (
       SELECT doc_id,
              {", ".join(f"MIN(substr(md5(concat('{'a' if k < dedup.N_HASHES // 2 else 'b'}|', shingle)), {(k % (dedup.N_HASHES // 2)) * 8 + 1}, 8)) AS h{k}" for k in range(dedup.N_HASHES))}
@@ -128,7 +128,13 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, concat(h{2 * b}, h{2 * b + 1}) AS band_key FROM sig" for b in range(dedup.N_HASHES // dedup.BAND_SIZE))}
-    )
+    )"""
+
+
+@query(
+    "pipe_minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_DUCK_MINHASH_BANDS}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared_bands
     FROM bands a JOIN bands b
@@ -4739,3 +4745,56 @@ def session_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("user_id", F.col("ts").cast("timestamp").alias("ts")),
         gap="30 minutes",
     )
+
+
+# --- dedup candidate-graph degree stats --------------------------------------
+@query(
+    "pipe_dedup_graph_stats",
+    oracle=f"""
+    WITH {_DUCK_MINHASH_BANDS},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    deg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs)
+      GROUP BY 1),
+    hist AS (
+      SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM deg GROUP BY 1),
+    iso AS (
+      SELECT CAST(0 AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM deg))
+    SELECT degree, n_docs FROM hist
+    UNION ALL SELECT degree, n_docs FROM iso WHERE n_docs > 0
+    """,
+)
+def dedup_graph_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the MinHash-LSH candidate graph (including the
+    degree-0 mass) — the pre-clustering health check run BEFORE
+    connected-components: a heavy hub (one doc paired with thousands)
+    means a band key collapsed (boilerplate, empty docs) and the
+    pointer-jumping rounds will chain through it; the histogram is how
+    that's caught at 100 TB before burning the iteration budget. Builds
+    on the identical candidate stage (shared oracle CTE chain — zero
+    drift possible); degrees are one union + one combinable count, the
+    isolated mass one anti-join."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d, n=3).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+    iso = (
+        d.join(deg, "doc_id", "left_anti")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.lit(0).cast("long").alias("degree"), "n_docs")
+        .filter(F.col("n_docs") > 0)
+    )
+    return hist.union(iso)
