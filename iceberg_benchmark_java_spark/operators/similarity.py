@@ -673,6 +673,38 @@ def semantic_dedup(
     )
 
 
+def gram_matrix(embeddings: DataFrame) -> DataFrame:
+    """Second-moment matrix G = sum_v v v^T as a relational aggregation:
+    one per-row d^2 product expansion (JVM transform/flatten) into a
+    map-side-combinable (i, j) sum — the shuffle carries exactly d^2 rows
+    regardless of corpus size. Fixed point: products rounded to 9dp
+    DECIMAL before the cross-row sum (order-independent). Out: i, j, gd
+    (double)."""
+    emb = F.col("embedding")
+    prods = F.flatten(
+        F.transform(
+            emb,
+            lambda vi, i: F.transform(
+                emb,
+                lambda vj, j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.round(vi.cast("double") * vj.cast("double"), 9)
+                    .cast("decimal(28,9)")
+                    .alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        embeddings.select(F.explode(prods).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("g"))
+        .select("i", "j", F.col("g").cast("double").alias("gd"))
+    )
+
+
 def pca_top_component(embeddings: DataFrame, iterations: int = 3) -> DataFrame:
     """Top principal direction of the corpus second-moment matrix by
     fixed-point power iteration — the whitening/decorrelation primitive
@@ -696,30 +728,7 @@ def pca_top_component(embeddings: DataFrame, iterations: int = 3) -> DataFrame:
 
     Out: i (component index), loading (double, 12dp-rounded, in [-1, 1]).
     """
-    emb = F.col("embedding")
-    prods = F.flatten(
-        F.transform(
-            emb,
-            lambda vi, i: F.transform(
-                emb,
-                lambda vj, j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    F.round(vi.cast("double") * vj.cast("double"), 9)
-                    .cast("decimal(28,9)")
-                    .alias("p"),
-                ),
-            ),
-        )
-    )
-    g = (
-        embeddings.select(F.explode(prods).alias("e"))
-        .select("e.i", "e.j", "e.p")
-        .groupBy("i", "j")
-        .agg(F.sum("p").alias("g"))
-        .select("i", "j", F.col("g").cast("double").alias("gd"))
-        .localCheckpoint(eager=False)
-    )
+    g = gram_matrix(embeddings).localCheckpoint(eager=False)
     x = g.select(F.col("i").alias("j")).distinct().select(
         "j", F.lit(1).cast("decimal(28,12)").alias("x")
     )

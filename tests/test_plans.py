@@ -761,3 +761,51 @@ def test_parquet_aggregate_pushdown(spark):
             spark.conf.unset("spark.sql.sources.useV1SourceList")
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+
+
+def test_typo_pairs_plan(spark):
+    """FastSS: candidate generation is a variant-keyed equi-join over the
+    VOCABULARY (no cartesian, no BNLJ), verification a plain filter."""
+    plan = _plan(spark, "pipe_typo_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_plan(spark):
+    """SemDeDup: centroid assignment broadcasts (no corpus shuffle for
+    assignment); the pairwise stage is an equi-join on cent_id — never a
+    cartesian over the corpus."""
+    plan = _plan(spark, "pipe_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_source_overlap_broadcasts_sizes(spark):
+    """Inter-source overlap: per-source set sizes must broadcast onto the
+    pair rows; the only data-sized shuffle is the shingle-keyed join."""
+    plan = _plan(spark, "pipe_source_overlap")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_session_window_plan_native(spark):
+    """Native sessionization must plan Spark's session-window aggregate
+    (updating session keys JVM-side) with no Python eval anywhere."""
+    plan = _plan(spark, "pipe_session_window_agg")
+    assert "session_window" in plan, plan[:1500]
+    assert "EvalPython" not in plan
+
+
+def test_embedding_pca_gram_is_combinable(spark):
+    """PCA: the d^2 Gram build must be a partial (map-side) aggregation
+    before its exchange — the shuffle carries d^2 rows, not the corpus.
+    (Asserted on the Gram stage itself: the registered query's final plan
+    is a scan of the checkpointed iteration frontier.)"""
+    from iceberg_benchmark_java_spark.catalog import load_table
+    from iceberg_benchmark_java_spark.operators.similarity import gram_matrix
+
+    e = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    plan = gram_matrix(e)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan, plan[:1500]
+    assert plan.count("Exchange") == 1  # exactly the d^2-row aggregation
+    assert "CartesianProduct" not in plan
