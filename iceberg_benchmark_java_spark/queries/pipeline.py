@@ -4798,3 +4798,52 @@ def dedup_graph_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 0)
     )
     return hist.union(iso)
+
+
+# --- referential-integrity audit ----------------------------------------------
+@query(
+    "pipe_referential_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (c.c_custkey IS NULL) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (n.n_nationkey IS NULL) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'nation->region', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (r.r_regionkey IS NULL) AS BIGINT)
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def referential_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse's FK chain
+    (lineitem->orders->customer->nation->region): per edge, total rows and
+    orphan count via left-join null probes — the ingest health check that
+    gates a 100 TB load before queries run against it. Dimension sides
+    broadcast; the two fact edges are one shuffle each on their FK, and
+    each edge's count is a combinable aggregate. Zero orphans on the
+    generated fixtures — the audit's pass state is itself the assertion."""
+    def edge(fk, left, lk, right, rk):
+        l_ = load_table(spark, sf_dir, left)
+        r_ = load_table(spark, sf_dir, right).select(F.col(rk))
+        j = l_.join(r_, l_[lk] == r_[rk], "left")
+        return j.agg(
+            F.lit(fk).alias("fk"),
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col(rk).isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_orphans"),
+        ).select("fk", "n_rows", "n_orphans")
+
+    return (
+        edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey")
+        .union(edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .union(edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+        .union(edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+    )
