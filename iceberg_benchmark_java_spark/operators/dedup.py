@@ -751,6 +751,13 @@ def prefix_filter_pairs(
     one per-doc window (bounded by doc length), the prefix equi-join,
     and the candidate-keyed intersection joins.
 
+    The dial: prefix filtering presumes rare shingles EXIST — when the
+    corpus outgrows the shingle space (|vocab|^n distinct shingles), even
+    the rarest prefix shingle's df grows linearly in the corpus and the
+    candidate join quadratically. Widen ``n`` with log_vocab(corpus) to
+    keep prefix df flat (measured: tools/run_scaling_pipe.py's
+    prefix_filter_scaled_n row), exactly as LSH widens its bit width.
+
     Out: doc_a, doc_b, n_a, n_b, n_common, jaccard (6dp).
     """
     from pyspark.sql.window import Window

