@@ -4847,3 +4847,123 @@ def referential_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
         .union(edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
     )
+
+
+# --- shard-balance report ----------------------------------------------------
+@query(
+    "pipe_shard_balance",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, text, {_DUCK_DOC_HEX15} AS h60 FROM documents),
+    s AS (
+      SELECT CAST(h60 % 16 AS INTEGER) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM h GROUP BY 1),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+             CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+             CAST(SUM(n_docs) AS BIGINT) AS total_docs
+      FROM s)
+    SELECT n_shards, total_docs, total_tokens, max_tokens, min_tokens,
+           ROUND(max_tokens * 1.0 / (total_tokens * 1.0 / n_shards), 6)
+             AS max_over_mean,
+           ROUND(max_tokens * 1.0 / min_tokens, 6) AS max_over_min
+    FROM g
+    """,
+)
+def shard_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance report over the deterministic 16-way export sharding
+    (same md5-mod key as pipe_shard_manifest / sharded packing): token
+    volume per shard collapsed to one row of balance ratios
+    (max/mean, max/min). THE pre-write check for training exports — a
+    ratio far above 1 means stragglers at read time; with a content-
+    independent hash key it concentrates near 1, and re-sharding dials
+    (key salt, shard count) are validated by re-running this. One
+    combinable shard aggregate + a 16-row global fold; exact integer
+    arithmetic until the final presentational ratios."""
+    d = load_table(spark, sf_dir, "documents")
+    s = (
+        d.select(
+            text.shard_of(F.col("doc_id"), 16).alias("shard"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    g = s.agg(
+        F.count("*").alias("n_shards"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.sum("n_docs").alias("total_docs"),
+    )
+    return g.select(
+        "n_shards",
+        "total_docs",
+        "total_tokens",
+        "max_tokens",
+        "min_tokens",
+        F.round(
+            F.col("max_tokens")
+            / (F.col("total_tokens") / F.col("n_shards")),
+            6,
+        ).alias("max_over_mean"),
+        F.round(F.col("max_tokens") / F.col("min_tokens"), 6).alias(
+            "max_over_min"
+        ),
+    )
+
+
+# --- events dataset profile ---------------------------------------------------
+@query(
+    "pipe_events_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (props IS NULL) AS BIGINT) AS null_props,
+           CAST(COUNT(*) FILTER (value IS NULL) AS BIGINT) AS null_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(MIN(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS min_value,
+           CAST(ROUND(MAX(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS max_value,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profile per event_type: row count, per-column null rates,
+    user cardinality, and decimal-exact value min/max/sum — the
+    column-statistics pass a 100 TB ingest runs before anything else
+    (null-rate regressions and range drift are the cheapest early alarm
+    for upstream schema breaks). One combinable aggregate; together with
+    pipe_referential_audit (FK orphans) and pipe_key_skew_profile (join
+    skew) it forms the load-time audit suite."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_props"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.min(F.col("value").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("min_value"),
+        F.round(F.max(F.col("value").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("max_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("sum_value"),
+    )
