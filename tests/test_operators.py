@@ -1403,3 +1403,28 @@ def test_random_projection_zero_shuffle_and_concentration(spark):
     import statistics
 
     assert abs(statistics.mean(r.distortion for r in rows) - 1.0) < 0.1
+
+
+def test_shard_balance_invariants(spark):
+    from iceberg_benchmark_java_spark.queries.pipeline import shard_balance_q
+
+    r = shard_balance_q(spark, SF_SMOKE).collect()[0]
+    assert r.n_shards == 16
+    assert r.max_over_min >= r.max_over_mean >= 1.0
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert r.total_docs == d.count()
+    # content-independent hash sharding concentrates near balance
+    assert r.max_over_mean < 2.0
+
+
+def test_events_profile_null_accounting(spark):
+    from iceberg_benchmark_java_spark.queries.pipeline import events_profile_q
+
+    rows = {r.event_type: r for r in events_profile_q(spark, SF_SMOKE).collect()}
+    e = load_table(spark, SF_SMOKE, "events")
+    total = e.count()
+    assert sum(r.n for r in rows.values()) == total
+    for r in rows.values():
+        assert 0 <= r.null_props <= r.n and 0 <= r.null_value <= r.n
+        assert r.n_users <= r.n
+        assert r.min_value <= r.max_value
