@@ -96,13 +96,14 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_ppm(payload: bytes) -> tuple[int, int] | None:
-    """REAL stdlib decoder for binary netpbm images (P5 pgm / P6 ppm).
+def _parse_ppm(payload: bytes) -> tuple[int, int, int, int] | None:
+    """REAL stdlib parser for binary netpbm images (P5 pgm / P6 ppm).
 
     Parses the header (magic, whitespace/comment-tolerant width, height,
     maxval) and validates the raster length against the declared
-    dimensions. Returns (width, height), or None if the payload is not a
-    well-formed binary netpbm — no external codec needed.
+    dimensions. Returns (width, height, channels, raster_offset), or None
+    if the payload is not a well-formed binary netpbm — no external codec
+    needed.
     """
     if len(payload) < 2 or payload[:2] not in (b"P5", b"P6"):
         return None
@@ -138,7 +139,13 @@ def _decode_ppm(payload: bytes) -> tuple[int, int] | None:
         return None
     if len(payload) - (pos + 1) < raster:
         return None
-    return (width, height)
+    return (width, height, channels, pos + 1)
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int] | None:
+    """Header-only netpbm decode: (width, height), or None if malformed."""
+    parsed = _parse_ppm(payload)
+    return None if parsed is None else (parsed[0], parsed[1])
 
 
 def _decode_image_kernel(payload: bytes) -> tuple[int, int]:
@@ -473,6 +480,171 @@ def _decode_video(payload: bytes) -> list[tuple[int, int]] | None:
     if len(frames) != declared:
         return None
     return frames
+
+
+# --- REAL pixels: textured PPM + block-mean perceptual hash ------------------
+PHASH_GRID = 8  # 8x8 block grid -> 64-bit hash
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("phash", StringType(), True),
+    ]
+)
+
+
+def synthesize_textured_ppm(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL binary P6 images with VARYING
+    pixel content (unlike :func:`synthesize_ppm_media`'s constant raster):
+    gray value of pixel i in doc d is
+    ``(d%16)*7 + i*13) % 26 + 97``, +1 where ``i % 37 == d % 5`` —
+    all three channels equal. Dims: (n_chars%32+8) x (n_chars%24+8).
+
+    The texture class ``d % 16`` gives the corpus genuine exact- and
+    near-duplicate image structure (same class + dims + perturbation phase
+    → identical pixels; same class + dims, different phase → tiny pixel
+    deltas), and every parameter derives from (doc_id, n_chars) so an
+    oracle can replay the raster arithmetically while the Spark side
+    genuinely parses and hashes the bytes."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(nc) % 32 + 8
+                h = int(nc) % 24 + 8
+                i = np.arange(w * h, dtype=np.int64)
+                v = ((int(d) % 16) * 7 + i * 13) % 26 + 97
+                v = v + (i % 37 == int(d) % 5)
+                raster = np.repeat(v.astype(np.uint8), 3)  # rgb = gray
+                payloads.append(
+                    f"P6\n{w} {h}\n255\n".encode() + raster.tobytes()
+                )
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "mime": "image/x-portable-pixmap",
+                    "payload": payloads,
+                    "meta_width": ws,
+                    "meta_height": hs,
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def _phash_kernel(payload: bytes) -> tuple[int, int, str] | None:
+    """REAL block-mean perceptual hash (aHash on an 8x8 grid): parse the
+    binary PPM, sum the channel bytes of each pixel (integer luminance x
+    channels — exact), assign pixel (x, y) to grid cell
+    (x*8//w, y*8//h), and emit bit 1 where the cell's mean exceeds the
+    image mean. The comparison is cross-multiplied integers
+    (cell_sum * n_pixels > total_sum * cell_n), so the 64-bit hash is
+    bit-reproducible in any engine. Requires w, h >= 8 (every cell
+    non-empty); returns (width, height, 64-char bit string) or None."""
+    import numpy as np
+
+    parsed = _parse_ppm(payload)
+    if parsed is None:
+        return None
+    w, h, channels, off = parsed
+    if w < PHASH_GRID or h < PHASH_GRID:
+        return None
+    raster = np.frombuffer(
+        payload[off : off + w * h * channels], dtype=np.uint8
+    ).astype(np.int64)
+    lum = raster.reshape(w * h, channels).sum(axis=1)  # per-pixel, exact int
+    i = np.arange(w * h, dtype=np.int64)
+    x, y = i % w, i // w
+    cell = (y * PHASH_GRID // h) * PHASH_GRID + (x * PHASH_GRID // w)
+    n_cells = PHASH_GRID * PHASH_GRID
+    cell_sum = np.bincount(cell, weights=lum, minlength=n_cells).astype(np.int64)
+    cell_n = np.bincount(cell, minlength=n_cells).astype(np.int64)
+    total = int(lum.sum())
+    bits = (cell_sum * (w * h)) > (total * cell_n)
+    return (w, h, "".join("1" if b else "0" for b in bits))
+
+
+def image_block_hash(media: DataFrame) -> DataFrame:
+    """Image fingerprinting via mapInPandas: per payload, the REAL parsed
+    dimensions and the 64-bit block-mean perceptual hash
+    (:func:`_phash_kernel`). Malformed or sub-8x8 images are dropped (the
+    dead-letter path). This is the decode -> fingerprint front of image
+    dedup: downstream, near-dup pairing is pure DataFrame ops over the
+    tiny (media_id, phash) table — the payload bytes never shuffle."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                got = _phash_kernel(p) if p is not None else None
+                if got is None:
+                    continue
+                w, h, bits = got
+                rows.append((int(mid), w, h, bits))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "phash"]
+            )
+
+    return media.mapInPandas(hash_batches, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 6, n_bands: int = 4
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join over the 64-bit
+    perceptual hash: split each hash into ``n_bands`` contiguous bands and
+    equi-join per band (two images within Hamming distance n_bands-1 share
+    at least one exact band by pigeonhole — so for max_hamming < n_bands
+    the blocking is lossless; beyond that it is the standard recall
+    trade), union the candidates, then verify exact Hamming distance
+    JVM-side (zip_with over the bit chars). The pair space never
+    materializes: candidates come from equi-joins on 16-bit band keys —
+    the same blocked shape as SimHash near-pairs (dedup.simhash_*), here
+    fed by REAL pixel content. Out: (media_a, media_b, hamming)."""
+    from pyspark.sql import functions as F  # local: keep module header lean
+
+    bits = 64
+    band_w = bits // n_bands
+    h = hashes.select("media_id", "phash")
+    cands = None
+    for b in range(n_bands):
+        key = F.substring(F.col("phash"), b * band_w + 1, band_w)
+        left = h.select(
+            F.col("media_id").alias("media_a"),
+            F.col("phash").alias("ph_a"),
+            key.alias("band_key"),
+        )
+        right = h.select(
+            F.col("media_id").alias("media_b"),
+            F.col("phash").alias("ph_b"),
+            key.alias("band_key"),
+        )
+        c = left.join(right, "band_key").filter(
+            F.col("media_a") < F.col("media_b")
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    pairs = cands.select("media_a", "media_b", "ph_a", "ph_b").distinct()
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("ph_a"), ""),
+                F.split(F.col("ph_b"), ""),
+                lambda a, b: a != b,
+            ),
+            lambda d: d,
+        )
+    )
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
 
 
 def video_frame_features(media: DataFrame, every_n: int = 2) -> DataFrame:

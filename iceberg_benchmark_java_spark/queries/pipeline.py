@@ -3004,6 +3004,101 @@ def multimodal_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- REAL pixel content: block-mean perceptual hash + image near-dup ---------
+# Shared pixel-replay CTE: gray value of pixel i in image d is
+# ((d%16)*7 + i*13) % 26 + 97 (+1 where i%37 == d%5), dims
+# (n_chars%32+8) x (n_chars%24+8) — the synthesize_textured_ppm formula.
+# Luminance is the 3-channel byte sum (3*v, exact integers), and a grid
+# cell's bit is the cross-multiplied integer mean comparison, so the
+# 64-bit hash replays bit-identically without parsing any bytes.
+_DUCK_PHASH = """
+    m AS (SELECT doc_id AS media_id,
+                 CAST(n_chars % 32 + 8 AS INTEGER) AS w,
+                 CAST(n_chars % 24 + 8 AS INTEGER) AS h,
+                 doc_id % 16 AS tex, doc_id % 5 AS phase
+          FROM documents),
+    px AS (
+      SELECT media_id, w, h,
+             ((tex * 7 + i * 13) % 26 + 97
+              + CASE WHEN i % 37 = phase THEN 1 ELSE 0 END) * 3 AS lum,
+             (i % w) AS x, (i // w) AS y
+      FROM m, UNNEST(generate_series(0, w * h - 1)) AS t(i)),
+    cells AS (
+      SELECT media_id, w, h,
+             (y * 8 // h) * 8 + (x * 8 // w) AS cell,
+             CAST(SUM(lum) AS BIGINT) AS cs, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM px GROUP BY 1, 2, 3, 4),
+    tot AS (SELECT media_id, SUM(cs) AS ts FROM cells GROUP BY 1),
+    ph AS (
+      SELECT c.media_id, c.w, c.h,
+             string_agg(CASE WHEN c.cs * (c.w * c.h) > t.ts * c.cn
+                             THEN '1' ELSE '0' END, '' ORDER BY c.cell) AS phash
+      FROM cells c JOIN tot t ON t.media_id = c.media_id
+      GROUP BY 1, 2, 3)
+"""
+
+
+@query(
+    "pipe_image_phash",
+    oracle=f"""
+    WITH {_DUCK_PHASH}
+    SELECT media_id, w AS width, h AS height, phash FROM ph
+    """,
+)
+def image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel feature extraction: payloads are binary P6 images with
+    VARYING, formula-derived pixel content; Spark PARSES the bytes
+    (header + raster) and computes the 8x8 block-mean perceptual hash
+    with exact integer arithmetic (operators/multimodal._phash_kernel).
+    The oracle replays the raster arithmetically — a parser or binning
+    bug hash-mismatches on the actual 64 bits. This is the decode ->
+    fingerprint front of image dedup: downstream ops touch only the tiny
+    (media_id, phash) table, so payload bytes never shuffle at 100 TB."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.image_block_hash(multimodal.synthesize_textured_ppm(d))
+
+
+@query(
+    "pipe_image_near_dup",
+    oracle=f"""
+    WITH {_DUCK_PHASH},
+    bands AS (
+      SELECT media_id, phash, b, substr(phash, b * 16 + 1, 16) AS band_key
+      FROM ph, UNNEST(generate_series(0, 3)) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+             a.phash AS ph_a, b.phash AS ph_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_key = b.band_key
+       AND a.media_id < b.media_id),
+    scored AS (
+      SELECT media_a, media_b,
+             CAST(list_sum(list_transform(generate_series(1, 64), i ->
+               CASE WHEN substr(ph_a, i, 1) <> substr(ph_b, i, 1)
+                    THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+      FROM cand)
+    SELECT media_a, media_b, hamming FROM scored WHERE hamming <= 3
+    """,
+)
+def image_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs from real pixel content: banded Hamming
+    join over the 64-bit perceptual hash (4 x 16-bit bands — lossless for
+    Hamming <= 3 by pigeonhole), exact distance verified JVM-side via
+    zip_with over the bit chars. The textured fixture family (texture
+    class doc_id%16, perturbation phase doc_id%5) guarantees genuine
+    exact- AND near-dup image structure to find. Candidates come from
+    16-bit-key equi-joins over the fingerprint table; neither the pair
+    space nor the payload bytes ever materialize — the image twin of
+    SimHash text near-pairs, completing the multimodal dedup story."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    hashes = multimodal.image_block_hash(multimodal.synthesize_textured_ppm(d))
+    return multimodal.phash_near_dup_pairs(hashes, max_hamming=3, n_bands=4)
+
+
 # --- PII redaction transform (the scrub pipe_pattern_scan fronts) ------------
 @query(
     "pipe_pii_redact",

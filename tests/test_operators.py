@@ -1428,3 +1428,63 @@ def test_events_profile_null_accounting(spark):
         assert 0 <= r.null_props <= r.n and 0 <= r.null_value <= r.n
         assert r.n_users <= r.n
         assert r.min_value <= r.max_value
+
+
+# --- round-6 additions: real-pixel perceptual hash + image near-dup ----------
+def test_phash_kernel_known_image_and_rejects():
+    """_phash_kernel on a hand-built 8x8 gray P6 (left half 0, right half
+    200): exactly the 4 right-hand columns of each grid row are above the
+    mean; sub-8x8 and malformed payloads are rejected."""
+    w = h = 8
+    raster = bytes(
+        (200 if x >= 4 else 0) for y in range(h) for x in range(w) for _ in range(3)
+    )
+    got = multimodal._phash_kernel(f"P6\n{w} {h}\n255\n".encode() + raster)
+    assert got is not None
+    gw, gh, bits = got
+    assert (gw, gh) == (8, 8) and len(bits) == 64
+    assert bits == ("0000" + "1111") * 8
+    assert multimodal._phash_kernel(b"P6\n4 4\n255\n" + b"\x00" * 48) is None
+    assert multimodal._phash_kernel(b"not an image") is None
+
+
+def test_phash_uniform_image_all_zero_bits():
+    """A constant raster has no cell above the mean (strict >): all-zero
+    hash — the degenerate case the cross-multiplied compare must get
+    right (no float-epsilon 'above mean' cells)."""
+    payload = b"P6\n9 9\n255\n" + b"\x7f" * (9 * 9 * 3)
+    got = multimodal._phash_kernel(payload)
+    assert got is not None and got[2] == "0" * 64
+
+
+def test_image_near_dup_planted_and_blocking_lossless(spark):
+    """The textured fixture family has genuine dup structure: docs with
+    equal (doc_id%16, dims, doc_id%5) yield Hamming-0 pairs, and the
+    4x16-bit banded blocking finds EVERY pair with Hamming <= 3 that a
+    brute-force scan over the collected hashes finds (pigeonhole
+    losslessness, verified end-to-end on real decoded pixels)."""
+    rows = [(d, "x", "en", "s", 100) for d in (1, 17, 81, 3, 7, 23, 40, 55, 96)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    hashes = multimodal.image_block_hash(multimodal.synthesize_textured_ppm(docs))
+    hs = {r.media_id: r.phash for r in hashes.collect()}
+    assert len(hs) == 9 and all(len(v) == 64 for v in hs.values())
+    # identical synthesis parameters -> identical pixels -> identical hash:
+    # 1 vs 81 share tex=1, phase=1, dims (same n_chars)
+    assert hs[1] == hs[81]
+    got = {
+        (r.media_a, r.media_b): r.hamming
+        for r in multimodal.phash_near_dup_pairs(
+            hashes, max_hamming=3, n_bands=4
+        ).collect()
+    }
+    assert got[(1, 81)] == 0
+    ids = sorted(hs)
+    brute = {
+        (a, b): sum(ca != cb for ca, cb in zip(hs[a], hs[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    }
+    expect = {p: d for p, d in brute.items() if d <= 3}
+    assert got == expect
