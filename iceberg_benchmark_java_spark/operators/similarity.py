@@ -462,6 +462,77 @@ def normalize_embeddings(embeddings: DataFrame) -> DataFrame:
     )
 
 
+# --- SQ8: per-dimension int8 scalar quantization ------------------------------
+def sq8_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension global (min, max) of the corpus as ONE row of two
+    position-ordered arrays — the codebook of scalar quantization. The
+    aggregate is a 64-row groupBy (one per dimension) collapsed to a
+    single broadcastable row: at any corpus size this is one map-side
+    combinable pass and a tiny driver-free broadcast."""
+    dims = (
+        embeddings.select(F.posexplode(F.col("embedding")).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    return dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+
+
+def _sq8_dequant(emb, mns, mxs):
+    """Quantize-then-dequantize one vector column against broadcast stats:
+    code_i = floor((x_i - mn_i) * 255 / (mx_i - mn_i) + 0.5), value back
+    as mn_i + code_i * (mx_i - mn_i) / 255. Exact formula order is kept
+    engine-portable (the oracle replays it verbatim); constant dimensions
+    (mx == mn) dequantize to the constant."""
+
+    def one(x, i):
+        mn = F.element_at(mns, (i + F.lit(1)).cast("int"))
+        mx = F.element_at(mxs, (i + F.lit(1)).cast("int"))
+        code = F.floor((x.cast("double") - mn) * 255 / (mx - mn) + F.lit(0.5))
+        return F.when(mx == mn, mn).otherwise(mn + code * (mx - mn) / F.lit(255.0))
+
+    return F.transform(emb, one)
+
+
+def sq8_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Approximate top-k over int8 scalar-quantized vectors: both sides are
+    quantized against the corpus per-dimension stats (broadcast single
+    row), dequantized, and scored with the exact-cosine kernel — i.e. the
+    ranking a 4x-compressed in-memory scan would produce, which is what
+    SQ8 buys at 100 TB (memory-bound ANN: vectors at 1 byte/dim). The
+    scoring scan here is brute force over the eval corpus; at scale SQ8
+    composes with IVF list pruning (cosine_topk_ivf) — quantization
+    decides bytes/vector, IVF decides vectors touched.
+
+    Returns (query_id, vec_id, sim, rnk) like cosine_topk_bruteforce, so
+    recall@k against the exact path is a direct join."""
+    stats = F.broadcast(sq8_stats(embeddings))
+    e = embeddings.crossJoin(stats).select(
+        "vec_id",
+        _sq8_dequant(F.col("embedding"), F.col("mns"), F.col("mxs")).alias(
+            "embedding"
+        ),
+    )
+    q = queries.crossJoin(stats).select(
+        "query_id",
+        _sq8_dequant(F.col("q_embedding"), F.col("mns"), F.col("mxs")).alias(
+            "q_embedding"
+        ),
+    )
+    return cosine_topk_bruteforce(e, q, k=k)
+
+
 def _pq_d_sub(dim: int) -> int:
     if dim % PQ_M:
         raise ValueError(f"embedding dim {dim} not divisible by PQ_M={PQ_M}")

@@ -1488,6 +1488,88 @@ def multimodal_ppm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.synthesize_ppm_media(d))
 
 
+# --- SQ8 scalar quantization: recall of the 4x-compressed scan ---------------
+# DuckDB replay of operators/similarity.sq8: per-dim (min, max) arrays, then
+# quantize-dequantize with the exact same formula order as _sq8_dequant.
+_DUCK_SQ8 = """
+  dims AS (SELECT i AS pos, MIN(ee[i]) AS mn, MAX(ee[i]) AS mx
+           FROM e, UNNEST(generate_series(1, 64)) AS t(i) GROUP BY i),
+  arr AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+          FROM dims),
+  edq AS (SELECT vec_id, list_transform(generate_series(1, 64), i ->
+            CASE WHEN mxs[i] = mns[i] THEN mns[i]
+                 ELSE mns[i]
+                      + floor((ee[i] - mns[i]) * 255 / (mxs[i] - mns[i]) + 0.5)
+                        * (mxs[i] - mns[i]) / 255.0 END) AS de
+          FROM e, arr),
+  qdq AS (SELECT query_id, list_transform(generate_series(1, 64), i ->
+            CASE WHEN mxs[i] = mns[i] THEN mns[i]
+                 ELSE mns[i]
+                      + floor((qe[i] - mns[i]) * 255 / (mxs[i] - mns[i]) + 0.5)
+                        * (mxs[i] - mns[i]) / 255.0 END) AS dq
+          FROM q, arr)
+"""
+
+
+@query(
+    "pipe_ann_sq8_recall",
+    oracle=f"""
+    WITH {_DUCK_ANN_BASE},
+    {_DUCK_SQ8},
+    bs AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {_duck_cos("qe", "ee")} DESC, vec_id) AS rn
+      FROM q, e WHERE query_id <> vec_id),
+    btop AS (SELECT query_id, vec_id FROM bs WHERE rn <= 5),
+    ss AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {_duck_cos("dq", "de")} DESC, vec_id) AS rn
+      FROM qdq, edq WHERE query_id <> vec_id),
+    stop AS (SELECT query_id, vec_id FROM ss WHERE rn <= 5)
+    SELECT q.query_id, COUNT(b.vec_id) / 5.0 AS recall_at_5
+    FROM q
+    LEFT JOIN stop t ON t.query_id = q.query_id
+    LEFT JOIN btop b ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+    GROUP BY q.query_id
+    """,
+)
+def ann_sq8_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of int8 scalar-quantized cosine search against the exact
+    top-5, per query — the quality dial of the OTHER quantization axis
+    (SQ8 = 1 byte/dim uniform grid) next to the existing PQ entries
+    (pipe_ann_pq_recall = codebook subspaces). At 100 TB the two compose
+    differently: SQ8 keeps per-dim resolution and 4x-compresses the
+    scan; PQ compresses harder but loses more recall — this pair of
+    measured dials is how an operator picks. Quantization stats are one
+    broadcast row; quantize/dequantize is a narrow JVM transform; no
+    extra shuffle beyond the scoring join."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    brute = similarity.cosine_topk_bruteforce(e, q, k=5).select(
+        "query_id", "vec_id"
+    )
+    sq = similarity.sq8_topk(e, q, k=5).select("query_id", "vec_id")
+    hits = (
+        sq.join(brute, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
 # --- ANN recall@k: approximate paths scored against brute force --------------
 @query(
     "pipe_ann_recall",

@@ -1488,3 +1488,45 @@ def test_image_near_dup_planted_and_blocking_lossless(spark):
     }
     expect = {p: d for p, d in brute.items() if d <= 3}
     assert got == expect
+
+
+def test_sq8_reconstruction_error_bounded(spark):
+    """Quantize-dequantize error is at most half a quantization step per
+    dimension (step = (max-min)/255), the defining invariant of uniform
+    scalar quantization; constant dims reconstruct exactly."""
+    e = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    stats = similarity.sq8_stats(e).collect()[0]
+    mns, mxs = stats.mns, stats.mxs
+    dq = (
+        e.crossJoin(F.broadcast(similarity.sq8_stats(e)))
+        .select(
+            "vec_id",
+            "embedding",
+            similarity._sq8_dequant(
+                F.col("embedding"), F.col("mns"), F.col("mxs")
+            ).alias("de"),
+        )
+        .collect()
+    )
+    for r in dq:
+        for i, (x, d) in enumerate(zip(r.embedding, r.de)):
+            step = (mxs[i] - mns[i]) / 255.0
+            assert abs(float(x) - d) <= step / 2 + 1e-12
+
+
+def test_sq8_topk_matches_bruteforce_on_separated_vectors(spark):
+    """On well-separated vectors SQ8 ranking is identical to exact ranking
+    (8-bit grids lose less than the inter-vector gaps)."""
+    e = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = {
+        (r.query_id, r.rnk): r.vec_id
+        for r in similarity.cosine_topk_bruteforce(e, q, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.rnk): r.vec_id
+        for r in similarity.sq8_topk(e, q, k=3).collect()
+    }
+    assert exact == approx
