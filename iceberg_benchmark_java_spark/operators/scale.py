@@ -139,3 +139,105 @@ def quantile_buckets(
     for c in cuts:
         bucket = bucket + F.when(F.col(col) > F.lit(c), 1).otherwise(0)
     return df.withColumn("bucket", bucket.cast("int"))
+
+
+# --- data layout: Z-order (Morton) clustering for min/max file skipping ------
+def interleave_bits(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative int columns — x at even positions, y at odd. Pure integer
+    JVM arithmetic (the contributions occupy disjoint bits, so addition
+    is bitwise OR); engine-portable, so oracles replay it verbatim."""
+    z = F.lit(0)
+    for k in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, k).bitwiseAND(F.lit(1)), 2 * k)
+            + F.shiftleft(F.shiftright(y, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        )
+    return z
+
+
+def layout_pruning_report(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    box: tuple[int, int, int, int],
+    n_buckets: int = 64,
+    bits: int = 8,
+) -> DataFrame:
+    """Measured file-skipping effectiveness of Z-ORDER vs LINEAR layout for
+    a 2-D box predicate — the data-layout decision that dominates scan
+    cost at 100 TB (Iceberg/Delta sort orders; the reference's partition
+    spec serves the same role for its date column).
+
+    Both layouts assign each row to one of ``n_buckets`` "files" by VALUE
+    RANGE (no global sort, no shuffle beyond two tiny bucket aggregates):
+    z-order buckets on the Morton key (→ 2-D tiles), linear buckets on x
+    alone (→ stripes). Per bucket, the min/max footer stats both table
+    formats keep; a bucket is SCANNED iff its [min,max] envelope on BOTH
+    dims overlaps the box — exactly the pruning a reader performs. Out,
+    per layout: bucket/row counts, scanned counts, frac_scanned, and
+    read_amplification = rows_scanned / rows_matched (the I/O multiplier
+    the layout costs you; 1.0 = perfect clustering)."""
+    x_lo, x_hi, y_lo, y_hi = box
+    pts = df.select(x.alias("x"), y.alias("y"))
+    z_step = (4**bits) // n_buckets
+    x_step = (2**bits) // n_buckets
+    both = pts.select(
+        F.lit("zorder").alias("layout"),
+        (interleave_bits(F.col("x"), F.col("y"), bits) / F.lit(z_step))
+        .cast("long")
+        .alias("bucket"),
+        "x",
+        "y",
+    ).unionAll(
+        pts.select(
+            F.lit("linear").alias("layout"),
+            (F.col("x") / F.lit(x_step)).cast("long").alias("bucket"),
+            "x",
+            "y",
+        )
+    )
+    buckets = both.groupBy("layout", "bucket").agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        F.count("*").alias("n_rows"),
+    )
+    scanned = (
+        (F.col("max_x") >= x_lo)
+        & (F.col("min_x") <= x_hi)
+        & (F.col("max_y") >= y_lo)
+        & (F.col("min_y") <= y_hi)
+    )
+    matched = pts.filter(
+        F.col("x").between(x_lo, x_hi) & F.col("y").between(y_lo, y_hi)
+    ).agg(F.count("*").alias("rows_matched"))
+    return (
+        buckets.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_partitions"),
+            F.sum(F.when(scanned, 1).otherwise(0)).alias("n_scanned"),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0)).alias(
+                "rows_scanned"
+            ),
+        )
+        .crossJoin(F.broadcast(matched))
+        .select(
+            "layout",
+            "n_partitions",
+            "n_scanned",
+            "rows_total",
+            "rows_scanned",
+            "rows_matched",
+            F.round(F.col("n_scanned") / F.col("n_partitions"), 6).alias(
+                "frac_scanned"
+            ),
+            F.when(
+                F.col("rows_matched") > 0,
+                F.round(F.col("rows_scanned") / F.col("rows_matched"), 6),
+            ).alias("read_amplification"),  # NULL when the box matches nothing
+        )
+    )

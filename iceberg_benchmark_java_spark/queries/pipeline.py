@@ -3181,6 +3181,76 @@ def image_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_near_dup_pairs(hashes, max_hamming=3, n_bands=4)
 
 
+# --- Z-order vs linear layout: measured min/max pruning ----------------------
+# Morton interleave of the low 8 bits of x (even positions) and y (odd),
+# expanded to the same integer arithmetic operators/scale.interleave_bits
+# emits — engine-portable bit ops, no hash functions.
+_DUCK_MORTON = " + ".join(
+    f"(((x >> {k}) & 1) << {2 * k}) + (((y >> {k}) & 1) << {2 * k + 1})"
+    for k in range(8)
+)
+
+
+@query(
+    "pipe_zorder_pruning",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id % 256 AS x,
+             (CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) // 3600) % 256 AS y
+      FROM events),
+    lay AS (
+      SELECT 'zorder' AS layout, ({_DUCK_MORTON}) // 1024 AS bucket, x, y
+      FROM pts
+      UNION ALL
+      SELECT 'linear' AS layout, x // 4 AS bucket, x, y FROM pts),
+    buckets AS (
+      SELECT layout, bucket,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lay GROUP BY 1, 2),
+    matched AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_matched FROM pts
+      WHERE x BETWEEN 64 AND 127 AND y BETWEEN 32 AND 95),
+    rep AS (
+      SELECT layout,
+             CAST(COUNT(*) AS BIGINT) AS n_partitions,
+             CAST(SUM(CASE WHEN max_x >= 64 AND min_x <= 127
+                            AND max_y >= 32 AND min_y <= 95
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+             SUM(n_rows) AS rows_total,
+             SUM(CASE WHEN max_x >= 64 AND min_x <= 127
+                       AND max_y >= 32 AND min_y <= 95
+                 THEN n_rows ELSE 0 END) AS rows_scanned
+      FROM buckets GROUP BY layout)
+    SELECT layout, n_partitions, n_scanned, rows_total, rows_scanned,
+           rows_matched,
+           ROUND(n_scanned / CAST(n_partitions AS DOUBLE), 6) AS frac_scanned,
+           CASE WHEN rows_matched > 0
+                THEN ROUND(rows_scanned / CAST(rows_matched AS DOUBLE), 6)
+           END AS read_amplification
+    FROM rep, matched
+    """,
+)
+def zorder_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED data-layout effectiveness: Z-order (Morton-key tiles) vs
+    linear (single-column stripes) bucketing of events on
+    (user_id%256, event-hour%256), scored by the min/max footer pruning a
+    parquet/Iceberg reader performs for a 2-D box predicate. The layout
+    question is THE scan-cost lever at 100 TB — this makes it a measured
+    dial (frac_scanned, read_amplification) instead of prose, the same
+    way pipe_ann_probe_sweep measures the IVF dial. Pure integer bit
+    arithmetic; two tiny bucket aggregates; no global sort."""
+    from ..operators import scale
+
+    e = load_table(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(256))
+    y = F.pmod((F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("long"), F.lit(256))
+    return scale.layout_pruning_report(
+        e, x, y, box=(64, 127, 32, 95), n_buckets=64, bits=8
+    )
+
+
 # --- PII redaction transform (the scrub pipe_pattern_scan fronts) ------------
 @query(
     "pipe_pii_redact",

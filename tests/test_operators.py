@@ -1530,3 +1530,44 @@ def test_sq8_topk_matches_bruteforce_on_separated_vectors(spark):
         for r in similarity.sq8_topk(e, q, k=3).collect()
     }
     assert exact == approx
+
+
+def test_zorder_layout_beats_linear_on_2d_box(spark):
+    """Layout report invariants: every scanned set covers the matched rows
+    (pruning is sound — a reader never skips a bucket containing matches),
+    and the Morton layout strictly beats the single-column layout on both
+    dials for a genuinely 2-D predicate. Box sized to the smoke fixture's
+    user range (0..14)."""
+    from iceberg_benchmark_java_spark.operators.scale import layout_pruning_report
+
+    e = load_table(spark, SF_SMOKE, "events")
+    x = F.pmod(F.col("user_id"), F.lit(256))
+    y = F.pmod((F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("long"), F.lit(256))
+    rep = {
+        r.layout: r
+        for r in layout_pruning_report(
+            e, x, y, box=(4, 11, 32, 95), n_buckets=64, bits=8
+        ).collect()
+    }
+    z, lin = rep["zorder"], rep["linear"]
+    assert z.rows_matched == lin.rows_matched > 0
+    for r in (z, lin):
+        assert r.rows_scanned >= r.rows_matched  # soundness
+        assert 0 < r.n_scanned <= r.n_partitions
+        assert r.read_amplification >= 1.0
+    assert z.frac_scanned < lin.frac_scanned
+    assert z.read_amplification < lin.read_amplification
+
+
+def test_interleave_bits_known_values(spark):
+    """Morton key spot-checks: (x=0b11, y=0b01) -> 0b0111 = 7;
+    (x=255, y=0) -> 0b0101...01 = 21845; (0,255) -> 43690."""
+    from iceberg_benchmark_java_spark.operators.scale import interleave_bits
+
+    df = spark.createDataFrame([(3, 1), (255, 0), (0, 255)], ["x", "y"])
+    got = [
+        r.z for r in df.select(
+            interleave_bits(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    ]
+    assert got == [7, 21845, 43690]
