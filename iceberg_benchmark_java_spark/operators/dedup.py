@@ -831,3 +831,83 @@ def prefix_filter_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+# --- sorted-neighborhood blocking ---------------------------------------------
+def sorted_neighborhood_pairs(
+    docs: DataFrame, window: int = 2, key_len: int = 40
+) -> DataFrame:
+    """Sorted-neighborhood method (SNM): the classic entity-resolution
+    blocking alternative to LSH — sort the corpus by a normalization key
+    (here: the leading ``key_len`` chars of the sorted distinct lowercase
+    token string) and compare only records within ``window`` positions of
+    the global sort order. Near-identical documents normalize to adjacent
+    keys, so the pair space is N x window instead of N².
+
+    Scale shape: the global rank comes from the partition-offset trick
+    (range-repartition on the key, row_number within each range partition,
+    add the broadcast count-of-earlier-partitions offset — the same
+    zero-single-partition-stage decomposition as pipe_zipf_slope), and the
+    window join is ``window`` equi-joins on rank+d — shuffle-partitioned
+    by rank, never a global window. Out: (doc_a, doc_b, rank_gap,
+    jaccard) with jaccard over the distinct token sets."""
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    toks = F.array_sort(
+        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.substring(F.array_join(toks, " "), 1, key_len).alias("snm_key"),
+        toks.alias("toks"),
+    )
+    try:  # "auto" is a legal value under some AQE configs
+        n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
+    except ValueError:
+        n_parts = 32
+    srt = (
+        base.repartitionByRange(
+            n_parts, F.col("snm_key").asc(), F.col("doc_id").asc()
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    pc = srt.groupBy("pid").agg(F.count("*").alias("pn"))
+    a, b = pc.alias("a"), pc.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.pn"), F.lit(0)).alias("off"))
+    )
+    w_in = Window.partitionBy("pid").orderBy(F.asc("snm_key"), F.asc("doc_id"))
+    ranked = (
+        srt.withColumn("r_in", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("r_in") + F.col("off")).alias("rnk"), "doc_id", "toks"
+        )
+    )
+    left = ranked.select(
+        F.col("rnk").alias("rnk_a"),
+        F.col("doc_id").alias("d_a"),
+        F.col("toks").alias("toks_a"),
+    )
+    pairs = None
+    for d in range(1, window + 1):
+        right = ranked.select(
+            (F.col("rnk") - d).alias("rnk_a"),
+            F.col("doc_id").alias("d_b"),
+            F.col("toks").alias("toks_b"),
+            F.lit(d).alias("rank_gap"),
+        )
+        p = left.join(right, "rnk_a")
+        pairs = p if pairs is None else pairs.unionAll(p)
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - inter
+    return pairs.select(
+        F.least(F.col("d_a"), F.col("d_b")).alias("doc_a"),
+        F.greatest(F.col("d_a"), F.col("d_b")).alias("doc_b"),
+        "rank_gap",
+        F.round(inter / union.cast("double"), 6).alias("jaccard"),
+    )

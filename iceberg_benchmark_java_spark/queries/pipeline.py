@@ -3181,6 +3181,45 @@ def image_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_near_dup_pairs(hashes, max_hamming=3, n_bands=4)
 
 
+# --- sorted-neighborhood blocking (the pre-LSH classic) ----------------------
+@query(
+    "pipe_sorted_neighborhood",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               regexp_split_to_array(trim(lower(text)), '\\s+'))) AS toks
+      FROM documents),
+    r AS (
+      SELECT doc_id, toks,
+             ROW_NUMBER() OVER (
+               ORDER BY substr(array_to_string(toks, ' '), 1, 40), doc_id
+             ) AS rnk
+      FROM t),
+    p AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(b.rnk - a.rnk AS INTEGER) AS rank_gap,
+             a.toks AS ta, b.toks AS tb
+      FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 2)
+    SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b, rank_gap,
+           ROUND(len(list_intersect(ta, tb))
+                 / CAST(len(ta) + len(tb) - len(list_intersect(ta, tb))
+                        AS DOUBLE), 6) AS jaccard
+    FROM p
+    """,
+)
+def sorted_neighborhood_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (SNM), the classic entity-resolution
+    alternative to MinHash/SimHash blocking: global-sort the corpus by a
+    normalization key and score only the window-adjacent pairs (N x w
+    pairs, never N²). The global rank uses the partition-offset
+    decomposition (zero single-partition windows — asserted in
+    test_plans) and the window join is w rank+d equi-joins. Oracle: the
+    identical key, global ROW_NUMBER, and token-set Jaccard in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.sorted_neighborhood_pairs(d, window=2, key_len=40)
+
+
 # --- Z-order vs linear layout: measured min/max pruning ----------------------
 # Morton interleave of the low 8 bits of x (even positions) and y (odd),
 # expanded to the same integer arithmetic operators/scale.interleave_bits

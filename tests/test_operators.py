@@ -1571,3 +1571,25 @@ def test_interleave_bits_known_values(spark):
         ).collect()
     ]
     assert got == [7, 21845, 43690]
+
+
+def test_sorted_neighborhood_adjacent_dups_found(spark):
+    """Docs that normalize identically sort adjacent, so SNM must pair them
+    at jaccard 1.0; the pair count is exactly N*w - w*(w+1)/2 (every rank
+    joins its d=1..w successors)."""
+    rows = [
+        (0, "delta beta alpha"),        # same token set as doc 2
+        (1, "zz yy xx"),
+        (2, "alpha beta delta"),
+        (3, "alpha beta delta extra"),  # near-dup of 0/2
+        (4, "mm nn oo"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup.sorted_neighborhood_pairs(docs, window=2).collect()
+    }
+    n, w = len(rows), 2
+    assert len(out) == n * w - w * (w + 1) // 2
+    assert out[(0, 2)].jaccard == 1.0 and out[(0, 2)].rank_gap == 1
+    assert out[(2, 3)].jaccard == 0.75  # |{a,b,d}| / |{a,b,d,extra}|

@@ -809,3 +809,24 @@ def test_embedding_pca_gram_is_combinable(spark):
     assert "partial_sum" in plan, plan[:1500]
     assert plan.count("Exchange") == 1  # exactly the d^2-row aggregation
     assert "CartesianProduct" not in plan
+
+
+def test_sorted_neighborhood_partitioned_rank_only(spark):
+    """pipe_sorted_neighborhood's global sort rank must come from the
+    partition-offset decomposition: its only window is partitioned by
+    spark_partition_id, never an unpartitioned global-rank window, and the
+    window join is rank+d equi-joins (no cartesian)."""
+    plan = _plan(spark, "pipe_sorted_neighborhood")
+    assert "windowspecdefinition(pid#" in plan, plan[:1500]
+    assert not _unpartitioned_window_specs(plan), _unpartitioned_window_specs(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_image_near_dup_no_cartesian_and_no_payload_shuffle(spark):
+    """pipe_image_near_dup candidates must come from band-key equi-joins
+    over the fingerprint table: no cartesian product, and the binary
+    payload column never appears in an exchange (only the tiny
+    media_id/phash columns shuffle)."""
+    plan = _plan(spark, "pipe_image_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "payload" not in plan.lower().split("exchange", 1)[-1][:400]
