@@ -56,6 +56,12 @@ HEADLINE = [
     "pipe_prefix_filter_pairs",
     "pipe_semantic_dedup",
     "pipe_session_window_agg",
+    # round-6 closing-session additions (new computation, disclosed in
+    # BENCH_DELTA_r06):
+    "pipe_image_near_dup",
+    "pipe_sorted_neighborhood",
+    "pipe_ann_sq8_recall",
+    "pipe_zorder_pruning",
     # Verbatim reference corpus headliners (fixtures/ warehouse, fixed
     # scale): the marquee TPC-DS shapes named in the round-1 review plus
     # two verbatim TPC-H texts. These time the reference's own SQL files

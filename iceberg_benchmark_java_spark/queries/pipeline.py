@@ -3220,6 +3220,73 @@ def sorted_neighborhood_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.sorted_neighborhood_pairs(d, window=2, key_len=40)
 
 
+# --- merkle-style snapshot diff (anti-entropy bucket digests) ----------------
+def _duck_h60(expr: str) -> str:
+    """DuckDB mirror of conv(substr(md5(expr),1,15),16,10): 60-bit value."""
+    return (
+        "list_sum(list_transform(generate_series(1,15), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1)::BIGINT"
+        " * (1::BIGINT << (4 * (15 - i)))))"
+    )
+
+
+@query(
+    "pipe_snapshot_diff",
+    oracle=f"""
+    WITH olds AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) || '|' || text AS payload
+      FROM documents),
+    news AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) || '|' ||
+             (CASE WHEN doc_id % 97 = 0 THEN text || ' [v2]' ELSE text END)
+               AS payload
+      FROM documents WHERE doc_id % 101 <> 0),
+    ob AS (
+      SELECT CAST({_duck_h60("CAST(doc_id AS VARCHAR)")} % 64 AS INTEGER)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_old,
+             CAST(SUM({_duck_h60("payload")} % 2147483648) AS BIGINT)
+               AS digest_old
+      FROM olds GROUP BY 1),
+    nb AS (
+      SELECT CAST({_duck_h60("CAST(doc_id AS VARCHAR)")} % 64 AS INTEGER)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_new,
+             CAST(SUM({_duck_h60("payload")} % 2147483648) AS BIGINT)
+               AS digest_new
+      FROM news GROUP BY 1)
+    SELECT COALESCE(ob.bucket, nb.bucket) AS bucket,
+           n_old, n_new, digest_old, digest_new,
+           CASE WHEN n_old IS NULL THEN 'only_new'
+                WHEN n_new IS NULL THEN 'only_old'
+                WHEN n_old = n_new AND digest_old = digest_new THEN 'match'
+                ELSE 'differ' END AS status
+    FROM ob FULL OUTER JOIN nb ON ob.bucket = nb.bucket
+    """,
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style anti-entropy: bucket digests of two snapshots (base
+    documents vs a derived v2 with planted updates at doc_id%97 and
+    deletes at doc_id%101), full-outer-joined to a per-bucket verdict.
+    The question "what changed between these 100 TB snapshots, and
+    where?" costs two narrow scans + a 64-row join; only 'differ'
+    buckets need re-reading — the incremental-sync primitive CDC
+    validation and replica repair are built on. Digests are md5-folds
+    reduced mod 2^31 before the BIGINT sum (overflow-free below ~4B
+    rows/bucket in any engine)."""
+    from ..operators import scale
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 101 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")),
+    )
+    payload = F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))
+    return scale.snapshot_diff(d, new, F.col("doc_id"), payload, n_buckets=64)
+
+
 # --- Z-order vs linear layout: measured min/max pruning ----------------------
 # Morton interleave of the low 8 bits of x (even positions) and y (odd),
 # expanded to the same integer arithmetic operators/scale.interleave_bits

@@ -1593,3 +1593,60 @@ def test_sorted_neighborhood_adjacent_dups_found(spark):
     assert len(out) == n * w - w * (w + 1) // 2
     assert out[(0, 2)].jaccard == 1.0 and out[(0, 2)].rank_gap == 1
     assert out[(2, 3)].jaccard == 0.75  # |{a,b,d}| / |{a,b,d,extra}|
+
+
+def test_snapshot_diff_matches_pure_python_merkle(spark):
+    """snapshot_diff's bucket digests equal a pure-Python replay of the
+    md5 fold (shard, h31 sum, verdict) on a corpus with one delete, one
+    update, and one insert — every verdict class exercised end-to-end."""
+    import hashlib
+
+    from iceberg_benchmark_java_spark.operators.scale import snapshot_diff
+
+    old_rows = [(i, f"text number {i}") for i in range(10)]
+    new_rows = (
+        [(i, f"text number {i}") for i in range(10) if i != 3]  # delete 3
+        + [(99, "a brand new doc")]                             # insert 99
+    )
+    new_rows = [(i, t + " changed") if i == 5 else (i, t) for i, t in new_rows]
+
+    def shard(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 64
+
+    def h31(payload):
+        return int(hashlib.md5(payload.encode()).hexdigest()[:15], 16) % 2**31
+
+    def summary(rows):
+        out = {}
+        for i, t in rows:
+            b = shard(i)
+            n, d = out.get(b, (0, 0))
+            out[b] = (n + 1, d + h31(f"{i}|{t}"))
+        return out
+
+    so, sn = summary(old_rows), summary(new_rows)
+    expect = {}
+    for b in set(so) | set(sn):
+        n_old, d_old = so.get(b, (None, None))
+        n_new, d_new = sn.get(b, (None, None))
+        if n_old is None:
+            st = "only_new"
+        elif n_new is None:
+            st = "only_old"
+        elif (n_old, d_old) == (n_new, d_new):
+            st = "match"
+        else:
+            st = "differ"
+        expect[b] = (n_old, n_new, d_old, d_new, st)
+
+    old = spark.createDataFrame(old_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    payload = F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))
+    got = {
+        r.bucket: (r.n_old, r.n_new, r.digest_old, r.digest_new, r.status)
+        for r in snapshot_diff(
+            old, new, F.col("doc_id"), payload, n_buckets=64
+        ).collect()
+    }
+    assert got == expect
+    assert {v[4] for v in got.values()} >= {"match", "differ"}

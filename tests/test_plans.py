@@ -830,3 +830,12 @@ def test_image_near_dup_no_cartesian_and_no_payload_shuffle(spark):
     plan = _plan(spark, "pipe_image_near_dup")
     assert "CartesianProduct" not in plan
     assert "payload" not in plan.lower().split("exchange", 1)[-1][:400]
+
+
+def test_image_phash_zero_shuffle_and_pruned_scan(spark):
+    """The decode->fingerprint chain is two chained MapInPandas over a
+    column-pruned scan (only doc_id/n_chars read): no Exchange anywhere —
+    the embarrassingly-parallel shape a 100 TB decode pass needs."""
+    plan = _plan(spark, "pipe_image_phash")
+    assert "Exchange" not in plan, plan[:1500]
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan

@@ -64,6 +64,17 @@ HEADLINERS = [
     "pipe_typo_pairs",
     "pipe_random_projection",
     "pipe_embedding_pca",
+    # round-6 closing-session additions. pipe_image_near_dup is NOT here
+    # for the same saturation reason as prefix_filter: the textured-PPM
+    # formula has a FIXED class space (16 textures x 32 widths x 24
+    # heights x 5 phases), so replicating docs grows identical-image
+    # PAIRS quadratically in the data — a fixture artifact, not a plan
+    # defect (the banded-join plan is the measured simhash shape). The
+    # decode+fingerprint stage, which is the actual byte-touching cost,
+    # is measured via pipe_image_phash.
+    "pipe_image_phash",
+    "pipe_sorted_neighborhood",
+    "pipe_ann_sq8_recall",
 ]
 
 EXACT_DUP_RATE = 0.002
@@ -341,6 +352,18 @@ def plan_asserts(spark, queries, sf_dir: str) -> dict[str, str]:
             and "BroadcastHashJoin" not in plan
         ):
             errs.append("boilerplate set not broadcast")
+        if name == "pipe_sorted_neighborhood":
+            bad_windows = [
+                ln
+                for ln in plan.splitlines()
+                if "windowspecdefinition(" in ln and "pid#" not in ln
+            ]
+            if bad_windows:
+                errs.append("unpartitioned global-rank window")
+        # pipe_ann_sq8_recall: the 1-row stats crossJoin and the 10-row
+        # query-side scoring join both compile to broadcast nested loops —
+        # the intended shape; only a CartesianProduct (generic check above)
+        # would flag a defect.
         if name == "pipe_embedding_near_dup_banded":
             if "BroadcastNestedLoopJoin" in plan:
                 errs.append("BroadcastNestedLoopJoin")
