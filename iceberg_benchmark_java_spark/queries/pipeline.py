@@ -3357,6 +3357,62 @@ def zorder_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- image dedup end-to-end: phash pairs -> connected-component clusters -----
+@query(
+    "pipe_image_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_PHASH},
+    bands AS (
+      SELECT media_id, phash, b, substr(phash, b * 16 + 1, 16) AS band_key
+      FROM ph, UNNEST(generate_series(0, 3)) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+             a.phash AS ph_a, b.phash AS ph_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_key = b.band_key
+       AND a.media_id < b.media_id),
+    pairs AS (
+      SELECT media_a, media_b FROM cand
+      WHERE list_sum(list_transform(generate_series(1, 64), i ->
+              CASE WHEN substr(ph_a, i, 1) <> substr(ph_b, i, 1)
+                   THEN 1 ELSE 0 END)) <= 3),
+    edges AS (
+      SELECT media_a AS u, media_b AS v FROM pairs
+      UNION
+      SELECT media_b AS u, media_a AS v FROM pairs),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node)
+    SELECT node AS media_id,
+           MIN(label) AS cluster_id,
+           CAST(node = MIN(label) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def image_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image dedup: real pixel decode -> perceptual hash ->
+    banded Hamming pairs -> connected components -> keep/drop canonical
+    per cluster — the image twin of pipe_dedup_clusters (MinHash) and
+    pipe_embedding_clusters (sign-LSH), built from the same min-label
+    pointer-jumping operator, proving the cluster machinery is
+    modality-agnostic. Payload bytes stop at the fingerprint stage; the
+    cluster stage shuffles only (media_id, media_id) edges."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    hashes = multimodal.image_block_hash(multimodal.synthesize_textured_ppm(d))
+    pairs = multimodal.phash_near_dup_pairs(
+        hashes, max_hamming=3, n_bands=4
+    ).select(F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b"))
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        F.col("doc_id").alias("media_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 # --- PII redaction transform (the scrub pipe_pattern_scan fronts) ------------
 @query(
     "pipe_pii_redact",
