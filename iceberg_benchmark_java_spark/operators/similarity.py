@@ -51,8 +51,14 @@ def cosine_topk_bruteforce(
 
     ``embeddings``: (vec_id, embedding); ``queries``: (query_id, q_embedding).
     Returns (query_id, vec_id, sim, rnk). Self-matches excluded.
+
+    The query side is BROADCAST by construction (recall evaluation uses a
+    handful of probes): without the structural hint, a query frame derived
+    by filtering a large scan inherits the scan's size estimate and the
+    cross join degrades to a CartesianProduct — caught by the scaling
+    suite's plan asserts at 10x, same failure mode as the IVF seed join.
     """
-    joined = queries.crossJoin(embeddings).filter(
+    joined = F.broadcast(queries).crossJoin(embeddings).filter(
         F.col("query_id") != F.col("vec_id")
     )
     scored = joined.select(
