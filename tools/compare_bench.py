@@ -83,6 +83,23 @@ def main() -> int:
         else:
             rows.append(((t_new - t_old) / t_old * 100.0, q, t_old, t_new))
     rows.sort(key=lambda r: (r[0] is None, -(r[0] or 0)))
+    # Secondary host-shift indicator (REPORTED, never auto-discounted): the
+    # median time ratio over the verbatim corpus_* entries, which are
+    # code-stable by definition (byte-identical SQL, fixed fixtures). A
+    # scan-agg probe misses shuffle-heavy contention; the corpus median
+    # sees it. A median well above 1.0 with a flat probe means the host
+    # moved for shuffle-bound work — read the per-query rows accordingly.
+    corpus_ratios = sorted(
+        t_new / t_old
+        for pct, q, t_old, t_new in rows
+        if pct is not None and q.startswith("corpus_") and t_old
+    )
+    if corpus_ratios:
+        med = corpus_ratios[len(corpus_ratios) // 2]
+        emit(
+            f"corpus-median ratio (code-stable entries, secondary host "
+            f"signal): x{med:.2f} over {len(corpus_ratios)} queries"
+        )
     regressed = []
     for pct, q, t_old, t_new in rows:
         tag = "NEW " if pct is None else f"{pct:+7.1f}%"
