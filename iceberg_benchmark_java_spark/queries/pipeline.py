@@ -3224,9 +3224,9 @@ def sorted_neighborhood_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_h60(expr: str) -> str:
     """DuckDB mirror of conv(substr(md5(expr),1,15),16,10): 60-bit value."""
     return (
-        "list_sum(list_transform(generate_series(1,15), i -> "
-        f"(strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1)::BIGINT"
-        " * (1::BIGINT << (4 * (15 - i)))))"
+        "list_sum(list_transform(generate_series(1,15), hx -> "
+        f"(strpos('0123456789abcdef', substr(md5({expr}), hx, 1)) - 1)::BIGINT"
+        " * (1::BIGINT << (4 * (15 - hx)))))"
     )
 
 
@@ -5375,4 +5375,115 @@ def events_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
         .cast("double")
         .alias("sum_value"),
+    )
+
+
+# --- DSIR importance weights (hashed-bigram importance resampling) ------------
+def _duck_hex15(expr: str) -> str:
+    """60-bit hex→int parse of md5(expr), matching Spark's
+    conv(substr(md5(expr),1,15),16,10)."""
+    return (
+        "list_sum(list_transform(generate_series(1,15), hx -> "
+        f"(strpos('0123456789abcdef', substr(md5({expr}), hx, 1)) - 1)::BIGINT"
+        " * (1::BIGINT << (4 * (15 - hx)))))"
+    )
+
+
+_DSIR_BUCKETS = 512
+
+
+@query(
+    "pipe_dsir_importance",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, lang,
+             CAST({_duck_hex15("toks[i] || ' ' || toks[i+1]")}
+                  % {_DSIR_BUCKETS} AS INTEGER) AS bucket
+      FROM w, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2),
+    raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM b GROUP BY 1),
+    tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM b WHERE lang = 'en' GROUP BY 1),
+    tot AS (SELECT (SELECT SUM(cr) FROM raw) AS tr,
+                   (SELECT SUM(ct) FROM tgt) AS tt),
+    lam AS (
+      SELECT r.bucket,
+             CAST(FLOOR(ln(
+               ((COALESCE(t.ct, 0) + 1) * (tot.tr + {_DSIR_BUCKETS}.0))
+               / ((r.cr + 1) * (tot.tt + {_DSIR_BUCKETS}.0))
+             ) * 1000000) AS BIGINT) AS lam
+      FROM raw r LEFT JOIN tgt t USING (bucket), tot)
+    SELECT b.doc_id, b.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(l.lam) AS BIGINT) AS logw_fp,
+           ROUND(SUM(l.lam) / (COUNT(*) * 1000000.0), 4) AS avg_dsir
+    FROM b JOIN lam l USING (bucket)
+    GROUP BY b.doc_id, b.lang
+    """,
+)
+def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): hashed-bigram features (md5 → one of 512
+    buckets), add-1-smoothed bucket distributions for the target slice
+    (lang='en') vs the raw corpus, and per-doc importance
+    log w(x) = Σ_features ln(p_target[b]/p_raw[b]) — the score a curation
+    pipeline resamples pretraining data by. Fixed point: each bucket's log
+    ratio is floored to 1e-6 once, so per-doc sums are exact BIGINTs
+    (order-independent, bit-identical across engines). Plan shape at
+    scale: one bigram explode over the corpus, two bucket-bounded
+    combinable aggregates (≤512 rows each — broadcast), one doc_id
+    aggregate; nothing grows with the corpus except the two linear
+    passes."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    feats = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+    )
+    b = base.select(
+        "doc_id",
+        "lang",
+        F.explode(feats).alias("feat"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("feat")), 1, 15), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    raw = b.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt = b.filter(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count("*").alias("ct")
+    )
+    tot = raw.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt.agg(F.sum("ct").alias("tt"))
+    )
+    lam_expr = F.floor(
+        F.log(
+            ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * (F.col("tr") + F.lit(float(_DSIR_BUCKETS))))
+            / ((F.col("cr") + 1) * (F.col("tt") + F.lit(float(_DSIR_BUCKETS))))
+        )
+        * 1_000_000
+    ).cast("long")
+    lam = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("bucket", lam_expr.alias("lam"))
+    )
+    return (
+        b.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("lam").cast("long").alias("logw_fp"),
+            F.round(F.sum("lam") / (F.count("*") * F.lit(1_000_000.0)), 4).alias(
+                "avg_dsir"
+            ),
+        )
     )
