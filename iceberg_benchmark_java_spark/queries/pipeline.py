@@ -5487,3 +5487,87 @@ def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- embedding quality filter (CLIP-score-proxy curation) ----------------------
+@query(
+    "pipe_embedding_quality_filter",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+               FROM embeddings),
+    m AS (
+      SELECT i AS pos,
+             ROUND(SUM(CAST(FLOOR(ve[i] * 1000000) AS BIGINT))
+                   / (COUNT(*) * 1000000.0), 4) AS mv
+      FROM e, UNNEST(generate_series(1, len(ve))) AS t(i)
+      WHERE label = 0 GROUP BY i),
+    c AS (SELECT list(mv ORDER BY pos) AS ce FROM m),
+    s AS (
+      SELECT vec_id, label,
+             CAST(FLOOR(
+               list_dot_product(ve, ce)
+               / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce)))
+               * 1000000) AS BIGINT) AS s6
+      FROM e, c)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN s6 >= 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           ROUND(SUM(CASE WHEN s6 >= 50000 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS keep_rate,
+           ROUND(SUM(s6) / (COUNT(*) * 1000000.0), 4) AS avg_sim
+    FROM s GROUP BY label
+    """,
+)
+def embedding_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-proxy quality filtering (the DataComp/LAION curation
+    gate): score every vector by cosine similarity to a reference
+    'high-quality' centroid — here the fixed-point element-wise mean of
+    the label=0 vectors, standing in for an aligned text-image or
+    quality-classifier direction — and keep vectors scoring >= 0.05,
+    reporting per-label keep rates and mean scores. Fixed point twice:
+    the centroid uses BIGINT 1e-6 sums (kmeans_refine discipline, 4dp
+    means) and each cosine is floored to 1e-6 before the per-label sum.
+    Plan shape at scale: the centroid is a 1-row broadcast (d-bounded
+    aggregate); scoring is one map-side pass over the corpus with a
+    zip_with/aggregate fold; the report is one label-keyed combinable
+    aggregate — no shuffle carries a vector."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ve"),
+    )
+    cent = (
+        e.filter(F.col("label") == 0)
+        .select(F.posexplode("ve").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.round(
+                F.sum(F.floor(F.col("val") * 1_000_000).cast("long"))
+                / (F.count("*") * F.lit(1_000_000.0)),
+                4,
+            ).alias("mv")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s.getField("mv"),
+            ).alias("ce")
+        )
+    )
+    s6 = F.floor(
+        similarity.cosine(F.col("ve"), F.col("ce")) * 1_000_000
+    ).cast("long")
+    keep = F.when(F.col("s6") >= 50_000, 1).otherwise(0)
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select("label", s6.alias("s6"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(keep).cast("long").alias("n_keep"),
+            F.round(F.sum(keep) / F.count("*"), 4).alias("keep_rate"),
+            F.round(F.sum("s6") / (F.count("*") * F.lit(1_000_000.0)), 4).alias(
+                "avg_sim"
+            ),
+        )
+    )
