@@ -5571,3 +5571,67 @@ def embedding_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- robust hourly anomaly detection (median/MAD twin of the z-score entry) ---
+@query(
+    "pipe_events_mad_outliers",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    med AS (
+      SELECT event_type, quantile_disc(cnt, 0.5) AS med
+      FROM hc GROUP BY event_type),
+    mad AS (
+      SELECT hc.event_type, quantile_disc(ABS(hc.cnt - med.med), 0.5) AS mad
+      FROM hc JOIN med USING (event_type) GROUP BY hc.event_type)
+    SELECT hc.event_type, hc.hour, hc.cnt, med.med, mad.mad,
+           CASE WHEN ABS(hc.cnt - med.med) > 3 * mad.mad THEN 1 ELSE 0
+             END AS is_outlier
+    FROM hc JOIN med USING (event_type) JOIN mad USING (event_type)
+    """,
+)
+def events_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust hourly-volume anomaly detection: median + MAD (median
+    absolute deviation) instead of mean + stddev, so a single burst hour
+    can't inflate its own detection threshold — the estimator monitoring
+    pipelines prefer once outliers are common enough to poison the mean
+    (the z-score twin is pipe_events_anomaly). Everything stays in exact
+    integers: percentile_disc picks actual data values on both engines
+    and the 3×MAD test compares BIGINTs — no float boundary anywhere.
+    Plan shape at scale: one (type, hour)-keyed combinable rollup, then
+    two per-type percentile aggregates over the tiny hourly table, both
+    broadcast back — the corpus is scanned once."""
+    e = load_table(spark, sf_dir, "events")
+    hc = (
+        e.select("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("cnt"))
+    )
+    med = hc.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)").alias("med")
+    )
+    mad = (
+        hc.join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("cnt") - F.col("med")).alias("dev"))
+        .groupBy("event_type")
+        .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").alias("mad"))
+    )
+    return (
+        hc.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "cnt",
+            "med",
+            "mad",
+            F.when(
+                F.abs(F.col("cnt") - F.col("med")) > 3 * F.col("mad"), 1
+            )
+            .otherwise(0)
+            .alias("is_outlier"),
+        )
+    )
