@@ -5635,3 +5635,55 @@ def events_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_outlier"),
         )
     )
+
+
+# --- token-budget mixture planner (epochs per source under an upsampling cap) -
+@query(
+    "pipe_mixture_epochs",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (SELECT source, n_docs, n_tokens,
+                 CAST(FLOOR(sqrt(n_tokens) * 1000000) AS BIGINT) AS w6 FROM s),
+    t AS (SELECT SUM(n_tokens) AS total, SUM(w6) AS z FROM w)
+    SELECT w.source, w.n_docs, w.n_tokens,
+           ROUND(w.w6 / (1.0 * t.z), 6) AS weight,
+           CAST(FLOOR((2.0 * t.total) * w.w6 / t.z) AS BIGINT) AS alloc_tokens,
+           ROUND(LEAST(4.0, (2.0 * t.total) * w.w6 / t.z / w.n_tokens), 4)
+             AS epochs
+    FROM w, t
+    """,
+)
+def mixture_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planner: given per-source token counts, a
+    sqrt-scaled sampling weight (temperature T=0.5 — the multilingual
+    upsampling rule), and a training budget of 2× the corpus, compute
+    each source's allocated tokens and implied epoch count capped at 4
+    epochs (the repetition ceiling before diminishing returns). This is
+    the table a 100 TB pretraining run turns into its sampler config.
+    Determinism: sqrt is IEEE-exact, floored once to 1e-6 per source
+    (BIGINT weights, exact integer normalizer); the remaining double
+    chains are written in identical operation order on both engines.
+    Plan shape: corpus work is ONE token-count aggregate; everything
+    after is arithmetic over the tiny per-source table with a broadcast
+    1-row total."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "w6", F.floor(F.sqrt(F.col("n_tokens")) * 1_000_000).cast("long")
+    )
+    t = w.agg(F.sum("n_tokens").alias("total"), F.sum("w6").alias("z"))
+    alloc = (F.lit(2.0) * F.col("total")) * F.col("w6") / F.col("z")
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("w6") / (F.lit(1.0) * F.col("z")), 6).alias("weight"),
+        F.floor(alloc).cast("long").alias("alloc_tokens"),
+        F.round(F.least(F.lit(4.0), alloc / F.col("n_tokens")), 4).alias("epochs"),
+    )
