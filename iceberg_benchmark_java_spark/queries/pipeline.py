@@ -5677,6 +5677,11 @@ def mixture_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = s.withColumn(
         "w6", F.floor(F.sqrt(F.col("n_tokens")) * 1_000_000).cast("long")
     )
+    # The per-source table feeds both the total and the final projection;
+    # a lazy localCheckpoint pins the ~|sources| rows so the corpus
+    # token-count pass runs exactly once (ReuseExchange does not fire
+    # across the two aggregate branches).
+    w = w.localCheckpoint(eager=False)
     t = w.agg(F.sum("n_tokens").alias("total"), F.sum("w6").alias("z"))
     alloc = (F.lit(2.0) * F.col("total")) * F.col("w6") / F.col("z")
     return w.crossJoin(F.broadcast(t)).select(

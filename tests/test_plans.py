@@ -839,3 +839,46 @@ def test_image_phash_zero_shuffle_and_pruned_scan(spark):
     plan = _plan(spark, "pipe_image_phash")
     assert "Exchange" not in plan, plan[:1500]
     assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan
+
+
+def test_dsir_broadcasts_bucket_tables(spark):
+    """DSIR scoring must broadcast the 512-bucket log-ratio table against
+    the corpus bigram explode — a term-keyed shuffle of the corpus would
+    defeat the point of hashing features into a bounded bucket space."""
+    plan = _plan(spark, "pipe_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowExec" not in plan
+
+
+def test_embedding_quality_filter_no_vector_shuffle(spark):
+    """CLIP-proxy filtering: the centroid is a 1-row broadcast; the only
+    Exchange may carry the (label, s6) aggregation rows — never a vector
+    column."""
+    plan = _plan(spark, "pipe_embedding_quality_filter")
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "hashpartitioning" in ln:
+            assert "ve" not in ln and "embedding" not in ln, ln
+
+
+def test_mad_outliers_broadcasts_stats(spark):
+    """Median/MAD anomaly: per-type stats (5 rows) must broadcast back to
+    the hourly table; no global window and no cartesian anywhere."""
+    plan = _plan(spark, "pipe_events_mad_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowExec" not in plan
+
+
+def test_mixture_epochs_single_corpus_agg(spark):
+    """The mixture planner's corpus work is ONE source-keyed aggregate —
+    exactly one hashpartitioning Exchange (the 1-row total is broadcast)."""
+    plan = _plan(spark, "pipe_mixture_epochs")
+    ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(ex) <= 1, plan
+    assert "CartesianProduct" not in plan
