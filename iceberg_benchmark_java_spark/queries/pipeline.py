@@ -5692,3 +5692,132 @@ def mixture_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(alloc).cast("long").alias("alloc_tokens"),
         F.round(F.least(F.lit(4.0), alloc / F.col("n_tokens")), 4).alias("epochs"),
     )
+
+
+# --- population stability index (distribution drift between snapshots) --------
+@query(
+    "pipe_quality_psi",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             LEAST(CAST(len({_DUCK_TOKENS}) // 32 AS BIGINT), 15) AS bin,
+             CAST({_DUCK_DOC_HEX15} % 2 AS INTEGER) AS half
+      FROM documents),
+    o AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_old FROM d WHERE half = 0 GROUP BY bin),
+    n AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_new FROM d WHERE half = 1 GROUP BY bin),
+    t AS (SELECT (SELECT SUM(n_old) FROM o) AS so, (SELECT SUM(n_new) FROM n) AS sn),
+    b AS (
+      SELECT COALESCE(o.bin, n.bin) AS bin,
+             COALESCE(o.n_old, 0) AS n_old, COALESCE(n.n_new, 0) AS n_new
+      FROM o FULL JOIN n ON o.bin = n.bin)
+    SELECT b.bin, b.n_old, b.n_new,
+           CAST(FLOOR(
+             ((b.n_new + 1) / (t.sn + 16.0) - (b.n_old + 1) / (t.so + 16.0))
+             * ln(((b.n_new + 1) * (t.so + 16.0)) / ((b.n_old + 1) * (t.sn + 16.0)))
+             * 1000000000) AS BIGINT) AS psi_contrib_fp
+    FROM b, t
+    """,
+)
+def quality_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between two corpus snapshots (halves by
+    doc_id hash, standing in for last month's crawl vs this month's):
+    token-length deciles-ish bins (width 32, capped at 15), add-1-smoothed
+    bin shares, per-bin PSI contribution (Δp · ln(p_new/p_old)) — the
+    standard drift alarm a curation pipeline runs per source before
+    retraining mixes. Fixed point: each bin's contribution is floored to
+    1e-9 once (sums of the 16 rows stay exact downstream). Plan shape:
+    one corpus pass into a 16-row combinable aggregate per half, a tiny
+    full-outer bin join, broadcast totals — nothing scales with the
+    corpus but the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = d.select(
+        F.least(
+            F.floor(text.token_count(F.col("text")) / 32).cast("long"), F.lit(15)
+        ).alias("bin"),
+        (h60 % 2).cast("int").alias("half"),
+    )
+    o = base.filter(F.col("half") == 0).groupBy("bin").agg(
+        F.count("*").alias("n_old")
+    )
+    n = base.filter(F.col("half") == 1).groupBy("bin").agg(
+        F.count("*").alias("n_new")
+    )
+    t = o.agg(F.sum("n_old").alias("so")).crossJoin(n.agg(F.sum("n_new").alias("sn")))
+    b = (
+        o.join(n, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_old"), F.lit(0)).alias("n_old"),
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+        .crossJoin(F.broadcast(t))
+    )
+    contrib = F.floor(
+        (
+            (F.col("n_new") + 1) / (F.col("sn") + 16.0)
+            - (F.col("n_old") + 1) / (F.col("so") + 16.0)
+        )
+        * F.log(
+            ((F.col("n_new") + 1) * (F.col("so") + 16.0))
+            / ((F.col("n_old") + 1) * (F.col("sn") + 16.0))
+        )
+        * 1_000_000_000
+    ).cast("long")
+    return b.select("bin", "n_old", "n_new", contrib.alias("psi_contrib_fp"))
+
+
+# --- right-to-be-forgotten erasure audit ---------------------------------------
+@query(
+    "pipe_user_erasure_audit",
+    oracle="""
+    WITH del AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE list_sum(list_transform(generate_series(1,15), hx ->
+              (strpos('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), hx, 1)) - 1)::BIGINT
+              * (1::BIGINT << (4 * (15 - hx))))) % 97 = 0)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_erased,
+           CAST(COUNT(*) FILTER (d.user_id IS NULL) AS BIGINT) AS n_remaining,
+           CAST(COUNT(DISTINCT CASE WHEN d.user_id IS NOT NULL
+                                    THEN e.user_id END) AS BIGINT)
+             AS users_erased
+    FROM events e LEFT JOIN del d USING (user_id)
+    GROUP BY e.event_type
+    """,
+)
+def user_erasure_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR/right-to-be-forgotten erasure audit: given a deletion-request
+    list (here a deterministic 1-in-97 hash sample of users, standing in
+    for the real request table), classify every event as erased/remaining
+    and report per-type counts plus distinct users actually hit — the
+    compliance evidence a deletion job must produce alongside the delete
+    itself. Plan shape at scale: the request list is always tiny relative
+    to the corpus — broadcast left join, corpus scanned once; the same
+    broadcast drives the actual anti-join delete."""
+    e = load_table(spark, sf_dir, "events")
+    h60 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    dels = (
+        e.filter(h60 % 97 == 0)
+        .select(F.col("user_id").alias("del_user"))
+        .distinct()
+    )
+    marked = e.join(
+        F.broadcast(dels), e.user_id == dels.del_user, "left"
+    )
+    erased = F.when(F.col("del_user").isNotNull(), 1).otherwise(0)
+    return marked.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(erased).cast("long").alias("n_erased"),
+        F.sum(1 - erased).cast("long").alias("n_remaining"),
+        F.countDistinct(
+            F.when(F.col("del_user").isNotNull(), F.col("user_id"))
+        ).alias("users_erased"),
+    )
