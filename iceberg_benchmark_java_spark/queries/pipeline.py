@@ -5821,3 +5821,80 @@ def user_erasure_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("del_user").isNotNull(), F.col("user_id"))
         ).alias("users_erased"),
     )
+
+
+# --- dedup method-agreement audit ---------------------------------------------
+_DUCK_FP = (
+    "md5(array_to_string(list_sort(list_distinct("
+    "regexp_split_to_array(trim(lower(text)), '\\s+'))), ' '))"
+)
+
+
+@query(
+    "pipe_dedup_method_agreement",
+    oracle=f"""
+    WITH {_DUCK_MINHASH_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+    dg AS (SELECT doc_id, md5(text) AS k FROM documents),
+    ge AS (SELECT k, MIN(doc_id) AS mn FROM dg GROUP BY k),
+    f_exact AS (SELECT doc_id FROM dg JOIN ge USING (k) WHERE doc_id <> mn),
+    fp AS (SELECT doc_id, {_DUCK_FP} AS k FROM documents),
+    gf AS (SELECT k, MIN(doc_id) AS mn FROM fp GROUP BY k),
+    f_fp AS (SELECT doc_id FROM fp JOIN gf USING (k) WHERE doc_id <> mn),
+    f_mh AS (SELECT DISTINCT doc_b AS doc_id FROM cand),
+    flags AS (
+      SELECT doc_id, 'exact' AS m FROM f_exact
+      UNION ALL SELECT doc_id, 'fingerprint' FROM f_fp
+      UNION ALL SELECT doc_id, 'minhash' FROM f_mh)
+    SELECT a.m AS method_a, b.m AS method_b,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM flags a JOIN flags b ON a.doc_id = b.doc_id AND a.m <= b.m
+    GROUP BY 1, 2
+    """,
+)
+def dedup_method_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement audit across the dedup stack: for exact-digest,
+    normalized-fingerprint, and MinHash-LSH dedup, the set of docs each
+    method would drop (keep-min-id rule; for LSH, the greater member of
+    any candidate pair), reported as the pairwise-overlap matrix — the
+    table that tells a curation team whether a cheaper method already
+    catches what an expensive one would, before turning it on at 100 TB.
+    Plan shape: each flag set is its method's existing scale path
+    (digest groupBy / fingerprint groupBy / banded equi-join); the
+    agreement matrix is a doc_id-keyed self-join over the flag union —
+    flag tables are duplicates-only, far smaller than the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def _flag_by_key(df, key, name):
+        keyed = df.select("doc_id", key.alias("k"))
+        grp = keyed.groupBy("k").agg(F.min("doc_id").alias("mn"))
+        return (
+            keyed.join(grp, "k")
+            .filter(F.col("doc_id") != F.col("mn"))
+            .select("doc_id", F.lit(name).alias("m"))
+        )
+
+    f_exact = _flag_by_key(d, F.md5(F.col("text")), "exact")
+    f_fp = _flag_by_key(d, text.fingerprint(F.col("text")), "fingerprint")
+    f_mh = (
+        dedup.minhash_lsh_candidates(d, n=3)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit("minhash").alias("m"))
+    )
+    flags = f_exact.unionAll(f_fp).unionAll(f_mh)
+    a = flags.alias("a")
+    b = flags.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.m") <= F.col("b.m")),
+        )
+        .groupBy(F.col("a.m").alias("method_a"), F.col("b.m").alias("method_b"))
+        .agg(F.count("*").alias("n_docs"))
+    )
