@@ -882,3 +882,28 @@ def test_mixture_epochs_single_corpus_agg(spark):
     ]
     assert len(ex) <= 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_psi_bounded_aggregates(spark):
+    """PSI: both halves aggregate into <=16 bins; the bin join and totals
+    are tiny — no window, no cartesian beyond the broadcast 1-row total."""
+    plan = _plan(spark, "pipe_quality_psi")
+    assert "WindowExec" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_user_erasure_broadcasts_request_list(spark):
+    """Erasure audit: the deletion-request list must broadcast against the
+    events scan — shuffling 100 TB of events on user_id to honor a few
+    thousand requests is the anti-pattern."""
+    plan = _plan(spark, "pipe_user_erasure_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_method_agreement_no_cartesian(spark):
+    """Agreement matrix: flag sets join on doc_id (equi); the method-pair
+    inequality rides the join as a post-condition — no cartesian, no BNLJ."""
+    plan = _plan(spark, "pipe_dedup_method_agreement")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
