@@ -62,6 +62,10 @@ HEADLINE = [
     "pipe_sorted_neighborhood",
     "pipe_ann_sq8_recall",
     "pipe_zorder_pruning",
+    # round-6 continuation additions (new computation, disclosed in
+    # BENCH_DELTA_r06):
+    "pipe_dsir_importance",
+    "pipe_dedup_method_agreement",
     # Verbatim reference corpus headliners (fixtures/ warehouse, fixed
     # scale): the marquee TPC-DS shapes named in the round-1 review plus
     # two verbatim TPC-H texts. These time the reference's own SQL files

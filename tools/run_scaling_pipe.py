@@ -75,6 +75,11 @@ HEADLINERS = [
     "pipe_image_phash",
     "pipe_sorted_neighborhood",
     "pipe_ann_sq8_recall",
+    # round-6 continuation additions: DSIR is the bigram-explode /
+    # bounded-bucket-aggregate shape, method-agreement composes three
+    # dedup scale paths plus a flag self-join.
+    "pipe_dsir_importance",
+    "pipe_dedup_method_agreement",
 ]
 
 EXACT_DUP_RATE = 0.002
@@ -364,6 +369,13 @@ def plan_asserts(spark, queries, sf_dir: str) -> dict[str, str]:
         # query-side scoring join both compile to broadcast nested loops —
         # the intended shape; only a CartesianProduct (generic check above)
         # would flag a defect.
+        if name == "pipe_dsir_importance" and "BroadcastHashJoin" not in plan:
+            errs.append("bucket log-ratio table not broadcast")
+        if (
+            name == "pipe_dedup_method_agreement"
+            and "BroadcastNestedLoopJoin" in plan
+        ):
+            errs.append("BroadcastNestedLoopJoin")
         if name == "pipe_embedding_near_dup_banded":
             if "BroadcastNestedLoopJoin" in plan:
                 errs.append("BroadcastNestedLoopJoin")
