@@ -1650,3 +1650,76 @@ def test_snapshot_diff_matches_pure_python_merkle(spark):
     }
     assert got == expect
     assert {v[4] for v in got.values()} >= {"match", "differ"}
+
+
+# --- round-6 continuation entries: invariants over the fixture corpus --------
+
+
+def _q(spark, name):
+    from iceberg_benchmark_java_spark.queries.registry import REGISTRY
+    import iceberg_benchmark_java_spark.queries.pipeline  # noqa: F401
+
+    return REGISTRY[name].builder(spark, SF_SMOKE)
+
+
+def test_psi_contributions_nonnegative(spark):
+    """Each PSI term (p_new - p_old)·ln(p_new/p_old) has matching signs in
+    both factors, so every contribution is >= 0 — and with add-1 smoothing
+    it is finite. The fixed-point floor preserves the bound exactly."""
+    rows = _q(spark, "pipe_quality_psi").collect()
+    assert rows
+    assert all(r.psi_contrib_fp >= 0 for r in rows)
+    assert sum(r.n_old for r in rows) + sum(r.n_new for r in rows) > 0
+
+
+def test_erasure_audit_conserves_rows(spark):
+    """erased + remaining == total per type, and every flagged user's
+    events are gone from the remaining side by construction of the same
+    broadcast join the delete would use."""
+    rows = _q(spark, "pipe_user_erasure_audit").collect()
+    assert rows
+    for r in rows:
+        assert r.n_erased + r.n_remaining == r.n_total
+        assert r.users_erased <= r.n_erased
+
+
+def test_method_agreement_diagonal_dominates(spark):
+    """|A∩B| can never exceed |A∩A| or |B∩B| — the off-diagonal cells of
+    the agreement matrix are bounded by the method totals."""
+    rows = _q(spark, "pipe_dedup_method_agreement").collect()
+    diag = {r.method_a: r.n_docs for r in rows if r.method_a == r.method_b}
+    for r in rows:
+        if r.method_a != r.method_b:
+            assert r.n_docs <= diag.get(r.method_a, 0)
+            assert r.n_docs <= diag.get(r.method_b, 0)
+
+
+def test_dsir_target_slice_scores_higher(spark):
+    """DSIR importance log-weights estimate ln(p_target/p_raw): the target
+    slice (lang='en') must average strictly higher than the complement —
+    otherwise the bucket distributions got crossed."""
+    rows = _q(spark, "pipe_dsir_importance").collect()
+    en = [r.avg_dsir for r in rows if r.lang == "en"]
+    rest = [r.avg_dsir for r in rows if r.lang != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_mixture_epochs_allocates_budget(spark):
+    """Allocations sum to ~the 2x-corpus budget (floor slack per source)
+    and every epoch count respects the cap."""
+    rows = _q(spark, "pipe_mixture_epochs").collect()
+    total = sum(r.n_tokens for r in rows)
+    alloc = sum(r.alloc_tokens for r in rows)
+    assert 0 <= 2 * total - alloc <= len(rows)
+    assert all(0 < r.epochs <= 4.0 for r in rows)
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+
+
+def test_quality_filter_centroid_label_keeps_most(spark):
+    """The label that defines the reference centroid must have the highest
+    keep rate — the filter is supposed to prefer its own direction."""
+    rows = _q(spark, "pipe_embedding_quality_filter").collect()
+    by = {r.label: r for r in rows}
+    assert by[0].keep_rate == max(r.keep_rate for r in rows)
+    assert all(0 <= r.n_keep <= r.n_vecs for r in rows)
