@@ -5898,3 +5898,119 @@ def dedup_method_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.m").alias("method_a"), F.col("b.m").alias("method_b"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --- word2vec-style negative-sampling table ------------------------------------
+@query(
+    "pipe_negative_sampling_table",
+    oracle=f"""
+    WITH w AS (SELECT UNNEST({_DUCK_TOKENS}) AS term FROM documents),
+    freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY term),
+    top AS (SELECT term, cnt FROM freq ORDER BY cnt DESC, term LIMIT 64),
+    wt AS (SELECT term, cnt,
+                  CAST(FLOOR(sqrt(cnt) * sqrt(sqrt(cnt)) * 1000000) AS BIGINT)
+                    AS w6
+           FROM top),
+    z AS (SELECT SUM(w6) AS z FROM wt),
+    ranked AS (
+      SELECT a.term, a.cnt, a.w6,
+             CAST(COUNT(*) AS BIGINT) AS rnk,
+             CAST(SUM(b.w6) AS BIGINT) AS cum_w6
+      FROM wt a JOIN wt b
+        ON b.cnt > a.cnt OR (b.cnt = a.cnt AND b.term <= a.term)
+      GROUP BY a.term, a.cnt, a.w6)
+    SELECT r.term, r.cnt, CAST(r.rnk AS INTEGER) AS rnk,
+           ROUND(r.w6 / (1.0 * z.z), 6) AS prob,
+           ROUND(r.cum_w6 / (1.0 * z.z), 6) AS cum_prob
+    FROM ranked r, z
+    """,
+)
+def negative_sampling_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec/contrastive negative-sampling table: unigram counts raised
+    to the 3/4 power (computed as sqrt(c)·sqrt(sqrt(c)) — two IEEE
+    correctly-rounded sqrts, so bit-identical across engines, unlike
+    libm pow), normalized over the top-64 vocabulary with ranks and the
+    cumulative distribution a sampler inverts. Scale shape: exactly the
+    vocab_coverage discipline — TakeOrderedAndProject top-64 (never a
+    global vocabulary sort), broadcast triangular self-join for
+    rank+cumsum over the 64 rows, broadcast normalizer."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = freq.orderBy(F.desc("cnt"), F.asc("term")).limit(64)
+    wt = top.select(
+        "term",
+        "cnt",
+        F.floor(
+            F.sqrt(F.col("cnt")) * F.sqrt(F.sqrt(F.col("cnt"))) * 1_000_000
+        )
+        .cast("long")
+        .alias("w6"),
+    )
+    z = wt.agg(F.sum("w6").alias("z"))
+    a, b = wt.alias("a"), wt.alias("b")
+    at_or_before = (F.col("b.cnt") > F.col("a.cnt")) | (
+        (F.col("b.cnt") == F.col("a.cnt")) & (F.col("b.term") <= F.col("a.term"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), at_or_before)
+        .groupBy(F.col("a.term"), F.col("a.cnt"), F.col("a.w6"))
+        .agg(F.count("*").alias("rnk"), F.sum(F.col("b.w6")).alias("cum_w6"))
+    )
+    return ranked.crossJoin(F.broadcast(z)).select(
+        F.col("term"),
+        F.col("cnt"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.round(F.col("w6") / (F.lit(1.0) * F.col("z")), 6).alias("prob"),
+        F.round(F.col("cum_w6") / (F.lit(1.0) * F.col("z")), 6).alias("cum_prob"),
+    )
+
+
+# --- one-row corpus data card ---------------------------------------------------
+@query(
+    "pipe_corpus_datacard",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6)
+             AS exact_dup_rate,
+           CAST(quantile_disc(len({_DUCK_TOKENS}), 0.5) AS BIGINT)
+             AS p50_tokens,
+           ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS en_share
+    FROM documents
+    """,
+)
+def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus data card: the header block of a dataset card
+    (sizes, language/source breadth, exact-dup rate, median length,
+    majority-language share) computed in a single combinable global
+    aggregate — the first artifact published alongside any 100 TB corpus
+    release. All-integer until the final ratios."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = text.token_count(F.col("text"))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(ntok).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.lit(1.0) - F.countDistinct(F.md5(F.col("text"))) / F.count("*"), 6
+        ).alias("exact_dup_rate"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP "
+            "(ORDER BY size(split(trim(text), '\\\\s+')))"
+        )
+        .cast("long")
+        .alias("p50_tokens"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) / F.count("*"), 6
+        ).alias("en_share"),
+    )
