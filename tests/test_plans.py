@@ -907,3 +907,21 @@ def test_dedup_method_agreement_no_cartesian(spark):
     plan = _plan(spark, "pipe_dedup_method_agreement")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_sampling_no_window(spark):
+    """The ^0.75 sampling table must come from TakeOrderedAndProject
+    top-64 + broadcast triangular self-join — never a global vocabulary
+    window (unbounded at web scale)."""
+    plan = _plan(spark, "pipe_negative_sampling_table")
+    assert "WindowExec" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_datacard_single_pass(spark):
+    """The data card is ONE combinable global aggregate over the scan —
+    no window, no join, nothing but partial/final agg + exchange."""
+    plan = _plan(spark, "pipe_corpus_datacard")
+    assert "WindowExec" not in plan
+    assert "Join" not in plan
