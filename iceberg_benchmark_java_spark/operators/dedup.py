@@ -911,3 +911,122 @@ def sorted_neighborhood_pairs(
         "rank_gap",
         F.round(inter / union.cast("double"), 6).alias("jaccard"),
     )
+
+
+def ppjoin_pairs(
+    docs: DataFrame, n: int = 3, tau_num: int = 1, tau_den: int = 2
+) -> DataFrame:
+    """PPJoin proper (Xiao et al. 2008): prefix filtering PLUS the length
+    and positional filters, one algorithmic tier above
+    :func:`prefix_filter_pairs`. Same global (df asc, shingle asc) order
+    and prefix size p = |s| - ceil(tau·|s|) + 1; additionally each
+    candidate pair must pass
+
+    - the LENGTH filter: tau_den·min(|A|,|B|) >= tau_num·max(|A|,|B|)
+      (a qualifying pair's sizes can differ by at most 1/tau), and
+    - the POSITIONAL filter: for a shared prefix token at per-doc ranks
+      (pa, pb), overlap <= min(pa,pb) + min(|A|-pa, |B|-pb) — tokens
+      ordered before the match on both sides, the match itself, and the
+      smaller remaining tail; the pair survives only if the max of this
+      bound over its observed prefix matches reaches
+      alpha = ceil(tau_num·(|A|+|B|)/(tau_num+tau_den)).
+
+    Both filters are exact-integer and provably lossless (every
+    Jaccard >= tau pair passes), so the output is identical to
+    prefix_filter_pairs and to the brute-force join — the filters only
+    shrink the candidate set that reaches exact verification, which is
+    the expensive stage at 100 TB (candidate-bounded intersection
+    joins). Shuffle shape is unchanged from prefix_filter_pairs; the
+    two extra predicates ride the existing candidate aggregation.
+
+    Out: doc_a, doc_b, n_a, n_b, n_common, jaccard (6dp).
+    """
+    from pyspark.sql.window import Window
+
+    sh = with_word_shingles(docs, n=n)
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(df, "shingle")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    p = (
+        F.col("n")
+        - F.floor(
+            (F.lit(tau_num) * F.col("n") + F.lit(tau_den - 1)) / F.lit(tau_den)
+        )
+        + 1
+    )
+    prefix = ranked.filter(F.col("rnk") <= p).select(
+        "doc_id", "shingle", "n", "rnk"
+    )
+    ub = F.least(F.col("pa"), F.col("pb")) + F.least(
+        F.col("n_a") - F.col("pa"), F.col("n_b") - F.col("pb")
+    )
+    alpha = F.floor(
+        (
+            F.lit(tau_num) * (F.col("n_a") + F.col("n_b"))
+            + F.lit(tau_num + tau_den - 1)
+        )
+        / F.lit(tau_num + tau_den)
+    )
+    cand = (
+        prefix.select(
+            F.col("doc_id").alias("doc_a"),
+            "shingle",
+            F.col("n").alias("n_a"),
+            F.col("rnk").alias("pa"),
+        )
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("doc_b"),
+                "shingle",
+                F.col("n").alias("n_b"),
+                F.col("rnk").alias("pb"),
+            ),
+            "shingle",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter rides the candidate join
+        .filter(
+            F.lit(tau_den) * F.least(F.col("n_a"), F.col("n_b"))
+            >= F.lit(tau_num) * F.greatest(F.col("n_a"), F.col("n_b"))
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.max(ub).alias("max_ub"))
+        # positional filter: best overlap bound must reach alpha
+        .filter(F.col("max_ub") >= alpha)
+        .select("doc_a", "doc_b", "n_a", "n_b")
+    )
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.filter(
+            F.lit(tau_den + tau_num) * F.col("n_common")
+            >= F.lit(tau_num) * (F.col("n_a") + F.col("n_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

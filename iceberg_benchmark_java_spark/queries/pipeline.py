@@ -6014,3 +6014,34 @@ def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) / F.count("*"), 6
         ).alias("en_share"),
     )
+
+
+# --- PPJoin (prefix + length + positional filters) -----------------------------
+@query(
+    "pipe_ppjoin_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b, sa.n AS n_a, sb.n AS n_b,
+           c AS n_common,
+           ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = da
+    JOIN sizes sb ON sb.doc_id = db
+    WHERE 3 * c >= sa.n + sb.n
+    """,
+)
+def ppjoin_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PPJoin at Jaccard >= 1/2 over 3-shingle sets
+    (dedup.ppjoin_pairs): prefix filtering plus the exact-integer length
+    and positional filters. Same brute-force oracle as
+    pipe_prefix_filter_pairs — equality IS the losslessness theorem for
+    the two extra filters; what changes is the candidate volume reaching
+    exact verification (the dominant cost at 100 TB), measured in
+    tests/test_operators.py::test_ppjoin_candidates_subset."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ppjoin_pairs(d.select("doc_id", "text"), n=3, tau_num=1, tau_den=2)

@@ -1723,3 +1723,53 @@ def test_quality_filter_centroid_label_keeps_most(spark):
     by = {r.label: r for r in rows}
     assert by[0].keep_rate == max(r.keep_rate for r in rows)
     assert all(0 <= r.n_keep <= r.n_vecs for r in rows)
+
+
+def test_ppjoin_equals_prefix_filter_and_prunes_candidates(spark, docs):
+    """PPJoin's length+positional filters are lossless: final pairs equal
+    prefix_filter_pairs exactly. And they genuinely prune: the candidate
+    set reaching exact verification is a (strict, on this corpus) subset
+    of the prefix-only candidates."""
+    from pyspark.sql.window import Window
+
+    d = docs.select("doc_id", "text")
+    got = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in dedup.ppjoin_pairs(d, n=3, tau_num=1, tau_den=2).collect()
+    }
+    ref = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in dedup.prefix_filter_pairs(d, n=3, tau_num=1, tau_den=2).collect()
+    }
+    assert got == ref
+
+    # candidate-volume audit: rebuild both candidate stages
+    sh = dedup.with_word_shingles(d, n=3)
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(df, "shingle")
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    p = F.col("n") - F.floor((F.col("n") + 1) / 2) + 1
+    prefix = ranked.filter(F.col("rnk") <= p)
+    a = prefix.select(F.col("doc_id").alias("da"), "shingle", F.col("n").alias("na"), F.col("rnk").alias("pa"))
+    b = prefix.select(F.col("doc_id").alias("db"), "shingle", F.col("n").alias("nb"), F.col("rnk").alias("pb"))
+    joined = a.join(b, "shingle").filter(F.col("da") < F.col("db"))
+    n_prefix = joined.select("da", "db").distinct().count()
+    ub = F.least(F.col("pa"), F.col("pb")) + F.least(
+        F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+    )
+    alpha = F.floor((F.col("na") + F.col("nb") + 2) / 3)
+    n_ppjoin = (
+        joined.filter(2 * F.least("na", "nb") >= F.greatest("na", "nb"))
+        .groupBy("da", "db", "na", "nb")
+        .agg(F.max(ub).alias("mu"))
+        .filter(F.col("mu") >= alpha)
+        .count()
+    )
+    assert n_ppjoin <= n_prefix
+    assert n_ppjoin < n_prefix  # the filters must actually bite here
