@@ -6045,3 +6045,106 @@ def ppjoin_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py::test_ppjoin_candidates_subset."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.ppjoin_pairs(d.select("doc_id", "text"), n=3, tau_num=1, tau_den=2)
+
+
+# --- per-doc drop-reason waterfall ---------------------------------------------
+@query(
+    "pipe_drop_reason_waterfall",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM tr GROUP BY 1),
+    hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+             FROM tr JOIN ev USING (shingle) GROUP BY 1),
+    contam AS (
+      SELECT s.doc_id FROM sizes s JOIN hits h USING (doc_id)
+      WHERE 5 * h.n_hit >= s.n_sh),
+    dg AS (SELECT doc_id, md5(text) AS k FROM documents),
+    mins AS (SELECT k, MIN(doc_id) AS mn FROM dg GROUP BY k),
+    dups AS (SELECT doc_id FROM dg JOIN mins USING (k) WHERE doc_id <> mn),
+    q AS (
+      SELECT doc_id,
+             len(w) < 20 OR len(w) > 90
+             OR len(list_filter(w, t -> t IN ('the','a','of','and')))
+                / CAST(len(w) AS DOUBLE) < 0.02
+             OR len(list_filter(w, t -> t IN ('the','a','of','and')))
+                / CAST(len(w) AS DOUBLE) > 0.12
+             OR length(regexp_replace(text, '\\s+', '', 'g'))
+                / CAST(len(w) AS DOUBLE) < 3.0
+             OR length(regexp_replace(text, '\\s+', '', 'g'))
+                / CAST(len(w) AS DOUBLE) > 8.0
+             OR len(list_distinct(list_transform(
+                    generate_series(1, GREATEST(len(w) - 2, 1)),
+                    i -> array_to_string(w[i:i+2], ' '))))
+                / CAST(GREATEST(len(w) - 2, 1) AS DOUBLE) < 0.99
+               AS lowq
+      FROM (SELECT doc_id, text, {_DUCK_TOKENS} AS w FROM documents) t),
+    verdict AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 97 = 0 THEN 'eval_holdout'
+                  WHEN dup.doc_id IS NOT NULL THEN 'exact_dup'
+                  WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                  WHEN q.lowq THEN 'low_quality'
+                  ELSE 'keep' END AS reason
+      FROM documents d
+      LEFT JOIN dups dup ON dup.doc_id = d.doc_id
+      LEFT JOIN contam c ON c.doc_id = d.doc_id
+      JOIN q ON q.doc_id = d.doc_id)
+    SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents), 6) AS share
+    FROM verdict GROUP BY reason
+    """,
+)
+def drop_reason_waterfall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation waterfall as a per-doc FIRST-drop-reason precedence
+    (eval_holdout > exact_dup > contaminated(>=20% eval shingles) >
+    low_quality(any Gopher rule) > keep), rolled up to reason counts —
+    the one-glance answer to "where does my corpus go?" that per-stage
+    funnels can't give (a doc failing two gates is counted once, at the
+    gate that actually removes it). Composes the existing scale paths:
+    digest groupBy (dedup), broadcast eval shingle join
+    (decontamination), zero-shuffle rule battery (quality); the verdict
+    itself is doc_id-keyed left joins against flag tables far smaller
+    than the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    contam = (
+        dedup.cross_corpus_contamination(tr, ev, n=3)
+        .filter(5 * F.col("n_contaminated") >= F.col("n_shingles"))
+        .select(F.col("doc_id").alias("c_id"))
+    )
+    keyed = d.select("doc_id", F.md5("text").alias("k"))
+    mins = keyed.groupBy("k").agg(F.min("doc_id").alias("mn"))
+    dups = (
+        keyed.join(mins, "k")
+        .filter(F.col("doc_id") != F.col("mn"))
+        .select(F.col("doc_id").alias("d_id"))
+    )
+    lowq = text.quality_filter_decision(d).select(
+        "doc_id", (~F.col("keep")).alias("lowq")
+    )
+    total = d.agg(F.count("*").alias("n_total"))
+    reason = (
+        F.when(F.col("doc_id") % 97 == 0, "eval_holdout")
+        .when(F.col("d_id").isNotNull(), "exact_dup")
+        .when(F.col("c_id").isNotNull(), "contaminated")
+        .when(F.col("lowq"), "low_quality")
+        .otherwise("keep")
+    )
+    return (
+        d.select("doc_id")
+        .join(dups, d.doc_id == dups.d_id, "left")
+        .join(contam, d.doc_id == contam.c_id, "left")
+        .join(lowq, "doc_id")
+        .select(reason.alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "reason",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
+        )
+    )

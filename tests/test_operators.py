@@ -1773,3 +1773,51 @@ def test_ppjoin_equals_prefix_filter_and_prunes_candidates(spark, docs):
     )
     assert n_ppjoin <= n_prefix
     assert n_ppjoin < n_prefix  # the filters must actually bite here
+
+
+def test_drop_reason_waterfall_planted(spark, tmp_path):
+    """Planted corpus exercising every waterfall branch with known counts:
+    id 0 -> eval_holdout, 1/2 identical (2 drops as exact_dup), 3 copies
+    eval text (contaminated), 4 trips too_few_tokens (low_quality),
+    5 is a clean keep."""
+    good = (
+        "the quick brown fox jumps over a lazy dog and then the dog "
+        "sleeps while a cat watches the quiet yard and birds sing of "
+        "morning light as the day begins slowly with a warm wind"
+    )
+    eval_text = (
+        "the silver river bends north of a stone bridge and the water "
+        "carries leaves past a quiet mill where the miller waits for "
+        "morning grain carts of the valley farms to arrive in line"
+    )
+    rows = [
+        (0, eval_text),
+        (1, good),
+        (2, good),
+        (3, "intro words here " + eval_text),
+        (4, "too short"),
+        (5, good + " extra tail words close it out nicely today"),
+    ]
+    import pandas as pd
+
+    d = tmp_path / "wf"
+    d.mkdir()
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["lang"] = "en"
+    df["source"] = "s0"
+    df["n_chars"] = df.text.str.len()
+    df.to_parquet(str(d / "documents.parquet"))
+    from iceberg_benchmark_java_spark.queries.registry import REGISTRY
+    import iceberg_benchmark_java_spark.queries.pipeline  # noqa: F401
+
+    out = {
+        r.reason: r.n_docs
+        for r in REGISTRY["pipe_drop_reason_waterfall"].builder(
+            spark, str(d)
+        ).collect()
+    }
+    assert out["eval_holdout"] == 1
+    assert out["exact_dup"] == 1  # id 2 (id 1 is the keeper)
+    assert out["contaminated"] == 1  # id 3
+    assert out["low_quality"] >= 1  # id 4; keepers may trip rules too
+    assert sum(out.values()) == 6
