@@ -6148,3 +6148,61 @@ def drop_reason_waterfall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
         )
     )
+
+
+# --- event path mining (top user-journey trigrams) -----------------------------
+@query(
+    "pipe_event_path_mining",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    tri AS (
+      SELECT a.user_id,
+             a.event_type || '>' || b.event_type || '>' || c.event_type
+               AS path
+      FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+               JOIN o c ON c.user_id = a.user_id AND c.rn = a.rn + 2),
+    agg AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM tri GROUP BY path)
+    SELECT path, n_paths, n_users FROM agg
+    ORDER BY n_paths DESC, path LIMIT 20
+    """,
+)
+def event_path_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: the 20 most common 3-step event-type
+    sequences (per-user event order by ts with event_id tiebreak) with
+    path frequency and distinct-user reach — the product-analytics query
+    behind 'what do users actually do before purchasing'. Plan shape at
+    scale: ONE user_id shuffle; ordering and the trigram construction
+    happen inside each user's partition via lead() (bounded by per-user
+    event count, never a global window), then a path-keyed combinable
+    aggregate and TakeOrderedAndProject top-20."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path"),
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(
+            F.count("*").alias("n_paths"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(20)
+    )

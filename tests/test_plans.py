@@ -925,3 +925,16 @@ def test_corpus_datacard_single_pass(spark):
     plan = _plan(spark, "pipe_corpus_datacard")
     assert "WindowExec" not in plan
     assert "Join" not in plan
+
+
+def test_event_path_mining_single_user_shuffle_topk(spark):
+    """Path mining: per-user window (never unpartitioned), path-keyed agg,
+    and TakeOrderedAndProject for the top-20 (no global sort)."""
+    plan = _plan(spark, "pipe_event_path_mining")
+    assert "TakeOrderedAndProject" in plan
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln and "user_id" not in ln
+    ]
+    assert not bad, bad
