@@ -6206,3 +6206,113 @@ def event_path_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), F.asc("path"))
         .limit(20)
     )
+
+
+# --- joint text+embedding curation gate ----------------------------------------
+@query(
+    "pipe_joint_curation_gate",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             NOT (len(w) < 20 OR len(w) > 90
+                  OR len(list_filter(w, t -> t IN ('the','a','of','and')))
+                     / CAST(len(w) AS DOUBLE) < 0.02
+                  OR len(list_filter(w, t -> t IN ('the','a','of','and')))
+                     / CAST(len(w) AS DOUBLE) > 0.12
+                  OR nchars / CAST(len(w) AS DOUBLE) < 3.0
+                  OR nchars / CAST(len(w) AS DOUBLE) > 8.0
+                  OR len(list_distinct(list_transform(
+                         generate_series(1, GREATEST(len(w) - 2, 1)),
+                         i -> array_to_string(w[i:i+2], ' '))))
+                     / CAST(GREATEST(len(w) - 2, 1) AS DOUBLE) < 0.99)
+               AS text_keep
+      FROM (SELECT doc_id, lang, {_DUCK_TOKENS} AS w,
+                   length(regexp_replace(text, '\\s+', '', 'g')) AS nchars
+            FROM documents) t),
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+          FROM embeddings),
+    m AS (
+      SELECT i AS pos,
+             ROUND(SUM(CAST(FLOOR(ve[i] * 1000000) AS BIGINT))
+                   / (COUNT(*) * 1000000.0), 4) AS mv
+      FROM e, UNNEST(generate_series(1, len(ve))) AS t(i)
+      WHERE label = 0 GROUP BY i),
+    c AS (SELECT list(mv ORDER BY pos) AS ce FROM m),
+    s AS (
+      SELECT vec_id,
+             CAST(FLOOR(
+               list_dot_product(ve, ce)
+               / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce)))
+               * 1000000) AS BIGINT) >= 50000 AS emb_keep
+      FROM e, c)
+    SELECT q.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN q.text_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_text_keep,
+           CAST(SUM(CASE WHEN s.emb_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_emb_keep,
+           CAST(SUM(CASE WHEN q.text_keep AND s.emb_keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_joint_keep
+    FROM q JOIN s ON s.vec_id = q.doc_id
+    GROUP BY q.lang
+    """,
+)
+def joint_curation_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation gate: join each document's Gopher-rule verdict
+    with its embedding's CLIP-proxy verdict on the natural key
+    (doc_id = vec_id) and report per-language text/embedding/joint keep
+    counts — the multimodal AND-gate a paired text+embedding corpus ships
+    through. Plan shape at scale: BOTH sides are corpus-sized, so this is
+    the one intentionally-shuffled equi-join in the pipeline family (key
+    co-partitioning, AQE-sized) — the rule battery and cosine scoring
+    stay narrow on their own sides before the join, so only (id, bool)
+    pairs shuffle, never text or vectors."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = text.quality_filter_decision(d).select(
+        "doc_id", F.col("keep").alias("text_keep")
+    )
+    tk = tk.join(d.select("doc_id", "lang"), "doc_id")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ve"),
+    )
+    cent = (
+        e.filter(F.col("label") == 0)
+        .select(F.posexplode("ve").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.round(
+                F.sum(F.floor(F.col("val") * 1_000_000).cast("long"))
+                / (F.count("*") * F.lit(1_000_000.0)),
+                4,
+            ).alias("mv")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s.getField("mv"),
+            ).alias("ce")
+        )
+    )
+    ek = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            (
+                F.floor(
+                    similarity.cosine(F.col("ve"), F.col("ce")) * 1_000_000
+                ).cast("long")
+                >= 50_000
+            ).alias("emb_keep"),
+        )
+    )
+    joined = tk.join(ek, tk.doc_id == ek.vec_id)
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("text_keep").cast("int")).cast("long").alias("n_text_keep"),
+        F.sum(F.col("emb_keep").cast("int")).cast("long").alias("n_emb_keep"),
+        F.sum((F.col("text_keep") & F.col("emb_keep")).cast("int"))
+        .cast("long")
+        .alias("n_joint_keep"),
+    )

@@ -938,3 +938,14 @@ def test_event_path_mining_single_user_shuffle_topk(spark):
         if "windowspecdefinition(" in ln and "user_id" not in ln
     ]
     assert not bad, bad
+
+
+def test_joint_curation_gate_shuffles_only_flags(spark):
+    """The cross-modal join is the one intended corpus×corpus shuffle —
+    but no Exchange may carry text or a vector; only (id, lang, bool)
+    rows cross the wire."""
+    plan = _plan(spark, "pipe_joint_curation_gate")
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln and "ve#" not in ln and "embedding#" not in ln, ln
