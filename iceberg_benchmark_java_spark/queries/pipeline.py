@@ -6316,3 +6316,117 @@ def joint_curation_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_joint_keep"),
     )
+
+
+# --- text-quality vs embedding-score correlation -------------------------------
+@query(
+    "pipe_text_embedding_corr",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(ROUND(ROUND(
+               LEAST(len({_DUCK_TOKENS}) / 100.0, 1.0) * 0.5
+               + LEAST(len(list_filter({_DUCK_TOKENS},
+                   t -> t IN ('the','a','of','and'))) * 1.0
+                   / len({_DUCK_TOKENS}) * 5.0, 1.0) * 0.3
+               + LEAST(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                   / len({_DUCK_TOKENS}) / 8.0, 1.0) * 0.2, 6) * 1000000)
+               AS BIGINT) AS x6
+      FROM documents),
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+          FROM embeddings),
+    m AS (
+      SELECT i AS pos,
+             ROUND(SUM(CAST(FLOOR(ve[i] * 1000000) AS BIGINT))
+                   / (COUNT(*) * 1000000.0), 4) AS mv
+      FROM e, UNNEST(generate_series(1, len(ve))) AS t(i)
+      WHERE label = 0 GROUP BY i),
+    c AS (SELECT list(mv ORDER BY pos) AS ce FROM m),
+    s AS (
+      SELECT vec_id,
+             CAST(FLOOR(
+               list_dot_product(ve, ce)
+               / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce)))
+               * 1000000) AS BIGINT) AS y6
+      FROM e, c),
+    j AS (SELECT q.lang, q.x6, s.y6 FROM q JOIN s ON s.vec_id = q.doc_id),
+    agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x6) AS BIGINT) AS sx, CAST(SUM(y6) AS BIGINT) AS sy,
+             CAST(SUM(x6 * x6) AS BIGINT) AS sxx,
+             CAST(SUM(y6 * y6) AS BIGINT) AS syy,
+             CAST(SUM(x6 * y6) AS BIGINT) AS sxy
+      FROM j GROUP BY lang)
+    SELECT lang, n,
+           ROUND(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+             AS pearson_r
+    FROM agg
+    """,
+)
+def text_embedding_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal audit: per-language Pearson correlation between the
+    text quality score and the embedding's cosine to the reference
+    centroid — 'do my cheap text heuristics agree with the expensive
+    embedding signal?', the calibration check run before swapping one
+    gate for the other at 100 TB. Both scores are quantized to exact
+    1e-6 integers first, so all five moment sums are order-independent
+    BIGINTs; the final r is one double expression written in identical
+    operation order on both engines. Plan shape: two narrow per-side
+    passes, the id equi-join shuffling only (id, lang, int) rows, one
+    lang-keyed combinable aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    q = text.quality_metrics(d).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("quality_score") * 1_000_000, 0).cast("long").alias("x6"),
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ve"),
+    )
+    cent = (
+        e.filter(F.col("label") == 0)
+        .select(F.posexplode("ve").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.round(
+                F.sum(F.floor(F.col("val") * 1_000_000).cast("long"))
+                / (F.count("*") * F.lit(1_000_000.0)),
+                4,
+            ).alias("mv")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s.getField("mv"),
+            ).alias("ce")
+        )
+    )
+    s = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.floor(similarity.cosine(F.col("ve"), F.col("ce")) * 1_000_000)
+        .cast("long")
+        .alias("y6"),
+    )
+    j = q.join(s, q.doc_id == s.vec_id).select("lang", "x6", "y6")
+    agg = j.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x6").cast("long").alias("sx"),
+        F.sum("y6").cast("long").alias("sy"),
+        F.sum(F.col("x6") * F.col("x6")).cast("long").alias("sxx"),
+        F.sum(F.col("y6") * F.col("y6")).cast("long").alias("syy"),
+        F.sum(F.col("x6") * F.col("y6")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    r = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * F.sqrt(nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return agg.select("lang", "n", F.round(r, 4).alias("pearson_r"))
