@@ -6430,3 +6430,144 @@ def text_embedding_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
     )
     return agg.select("lang", "n", F.round(r, 4).alias("pearson_r"))
+
+
+# --- near-dup threshold calibration sweep --------------------------------------
+@query(
+    "pipe_near_dup_threshold_sweep",
+    oracle=f"""
+    WITH {_DUCK_BANDED_CAND},
+    scored AS (
+      SELECT {_duck_cos("ea.ee", "eb.ee")} AS sim
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.vec_a
+      JOIN e eb ON eb.vec_id = c.vec_b)
+    SELECT t.thr, CAST(COUNT(*) FILTER (sim >= t.thr) AS BIGINT) AS n_pairs
+    FROM scored, (VALUES (0.2), (0.4), (0.6), (0.8)) t(thr)
+    GROUP BY t.thr
+    """,
+)
+def near_dup_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold calibration: pair counts at cosine >= 0.2/0.4/
+    0.6/0.8 from ONE banded-candidate pass — the curve an operator reads
+    before committing a dedup threshold at 100 TB (too low = mass
+    deletion, too high = misses). The candidate stage runs once (same
+    banded equi-join as pipe_embedding_near_dup_banded); the sweep is a
+    4-row broadcast against the scored pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs_banded(
+        e.select("vec_id", "embedding"), threshold=0.2, n_bits=8, n_bands=4
+    )
+    thr = spark.createDataFrame([(0.2,), (0.4,), (0.6,), (0.8,)], "thr DOUBLE")
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("sim") >= F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs")
+        )
+    )
+
+
+# --- exact join-size pre-estimate (self-join on a skewed key) -------------------
+@query(
+    "pipe_join_size_estimate",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id),
+    t AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS total_pairs,
+                 CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+    SELECT x.user_id, x.cnt,
+           CAST(x.cnt * x.cnt AS BIGINT) AS pairs,
+           ROUND(x.cnt * x.cnt * 1.0 / t.total_pairs, 6) AS pair_share,
+           t.total_pairs, t.n_rows, t.n_keys
+    FROM (SELECT user_id, cnt FROM c
+          ORDER BY cnt DESC, user_id LIMIT 10) x, t
+    """,
+)
+def join_size_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-size pre-estimate for a user_id self-join (the
+    sessionize/funnel shape): Σ c(k)² per key with the top-10 contributing
+    keys and their share — run BEFORE the join to decide whether the plain
+    shuffle plan survives or the salted twin is needed (companion to
+    pipe_key_skew_profile, which profiles one side; this prices the
+    join). One key aggregate + TakeOrderedAndProject top-10 + broadcast
+    totals; all integers until the shares."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    t = c.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("total_pairs"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    top = c.orderBy(F.desc("cnt"), F.asc("user_id")).limit(10)
+    return top.crossJoin(F.broadcast(t)).select(
+        "user_id",
+        "cnt",
+        (F.col("cnt") * F.col("cnt")).cast("long").alias("pairs"),
+        F.round(
+            (F.col("cnt") * F.col("cnt")) / (F.lit(1.0) * F.col("total_pairs")), 6
+        ).alias("pair_share"),
+        "total_pairs",
+        "n_rows",
+        "n_keys",
+    )
+
+
+# --- per-source quota sampler ----------------------------------------------------
+@query(
+    "pipe_source_quota_sample",
+    oracle="""
+    WITH q AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             GREATEST(CAST(FLOOR(0.3 * COUNT(*)) AS BIGINT), 5) AS quota
+      FROM documents GROUP BY source),
+    r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents),
+    s AS (
+      SELECT r.source, r.doc_id FROM r JOIN q USING (source)
+      WHERE r.rn <= q.quota)
+    SELECT q.source, q.n_docs, q.quota,
+           CAST(COUNT(s.doc_id) AS BIGINT) AS n_sampled,
+           CAST(SUM(list_sum(list_transform(generate_series(1,15), hx ->
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(s.doc_id AS VARCHAR)), hx, 1)) - 1)::BIGINT
+             * (1::BIGINT << (4 * (15 - hx)))))
+             % 1000000007) AS BIGINT) AS sample_checksum
+    FROM q JOIN s ON s.source = q.source
+    GROUP BY q.source, q.n_docs, q.quota
+    """,
+)
+def source_quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling: a variable-k stratified downsample
+    (quota = max(floor(0.3·n), 5) per source) by content-independent hash
+    order — how a mixture plan's allocations actually get EXECUTED
+    deterministically. The per-source summary carries an
+    order-independent checksum of the sampled ids so the exact sample
+    membership is hash-checked, not just its size. One shuffle on the
+    stratum key (window bounded by the stratum), quotas broadcast back."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.greatest(F.floor(0.3 * F.count("*")).cast("long"), F.lit(5)).alias(
+            "quota"
+        ),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    r = d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+    s = r.join(F.broadcast(q), "source").filter(F.col("rn") <= F.col("quota"))
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return s.groupBy("source", "n_docs", "quota").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(h60 % 1_000_000_007).cast("long").alias("sample_checksum"),
+    )

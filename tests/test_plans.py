@@ -949,3 +949,32 @@ def test_joint_curation_gate_shuffles_only_flags(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln and "ve#" not in ln and "embedding#" not in ln, ln
+
+
+def test_threshold_sweep_single_candidate_pass(spark):
+    """The sweep reuses ONE banded candidate join; the 4 thresholds ride a
+    tiny broadcast — no extra corpus passes, no cartesian beyond it."""
+    plan = _plan(spark, "pipe_near_dup_threshold_sweep")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") <= 2  # band explode per side only
+
+
+def test_join_size_estimate_topk_no_window(spark):
+    """Join pricing: one key aggregate + TakeOrderedAndProject; the totals
+    row broadcasts. No window anywhere."""
+    plan = _plan(spark, "pipe_join_size_estimate")
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowExec" not in plan
+
+
+def test_quota_sample_stratum_window_only(spark):
+    """Quota sampling may only window inside the source stratum; quotas
+    arrive via broadcast."""
+    plan = _plan(spark, "pipe_source_quota_sample")
+    assert "BroadcastHashJoin" in plan
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln and "source" not in ln
+    ]
+    assert not bad, bad
