@@ -401,10 +401,18 @@ def plan_asserts(spark, queries, sf_dir: str) -> dict[str, str]:
 
 
 def main() -> int:
-    out_json = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        REPO, "SCALING_r06_pipe.json"
-    )
-    scales = [int(s) for s in sys.argv[2:]] or [10, 32]
+    args = sys.argv[1:]
+    # --only a,b : time just the named roster entries (addendum runs at
+    # expensive scales); dial rows (pq/semantic/prefix/scaled-bits) are
+    # skipped since they belong to the full-roster artifact.
+    only: list[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        args = args[:i] + args[i + 2 :]
+        HEADLINERS[:] = [q for q in HEADLINERS if q in only]
+    out_json = args[0] if args else os.path.join(REPO, "SCALING_r06_pipe.json")
+    scales = [int(s) for s in args[1:]] or [10, 32]
 
     for s in scales:
         gen_pipe_warehouse(os.path.join(REPO, "fixtures", f"pipe_x{s}"), s)
@@ -420,9 +428,10 @@ def main() -> int:
             os.path.join(BASE_DIR, "documents.parquet")
         ).count()
         t1 = time_headliners(spark, queries, BASE_DIR)
-        t_pq_1x = time_pq_adc(spark, BASE_DIR)
-        t_sem_1x = time_semantic_dedup(spark, BASE_DIR, 16)
-        t_pf_1x = time_prefix_filter(spark, BASE_DIR, 3)
+        if only is None:
+            t_pq_1x = time_pq_adc(spark, BASE_DIR)
+            t_sem_1x = time_semantic_dedup(spark, BASE_DIR, 16)
+            t_pf_1x = time_prefix_filter(spark, BASE_DIR, 3)
         asserts1 = plan_asserts(spark, queries, BASE_DIR)
         per_scale: dict[str, dict] = {}
         for s in scales:
@@ -446,6 +455,27 @@ def main() -> int:
             for name in names:
                 ts.update(time_one(spark, queries, d, name))
             asserts_s = plan_asserts(spark, queries, d)
+            if only is not None:
+                per_scale[str(s)] = {
+                    "docs_rows": n_docs,
+                    "data_ratio": round(n_docs / n_docs_1, 3),
+                    "queries": {
+                        q: {
+                            "t_1x_sec": t1[q],
+                            "t_sec": ts.get(q),
+                            "ratio": round(ts[q] / t1[q], 2)
+                            if q in ts and t1[q]
+                            else None,
+                            "plan_asserts_at_scale": asserts_s[q],
+                        }
+                        for q in HEADLINERS
+                    },
+                    "ivf_assignment_stage": asserts_s["ivf_assignment_stage"],
+                    "max_ratio": max(
+                        round(ts[q] / t1[q], 2) for q in ts if t1[q]
+                    ),
+                }
+                continue
             scaled_bits = 8 + max(1, (s - 1).bit_length())
             t_bits = time_banded_scaled_bits(spark, d, scaled_bits)
             t_pq = time_pq_adc(spark, d)
