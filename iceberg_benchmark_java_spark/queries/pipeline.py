@@ -6571,3 +6571,117 @@ def source_quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.sum(h60 % 1_000_000_007).cast("long").alias("sample_checksum"),
     )
+
+
+# --- tokenizer fertility (sub-word pieces per whitespace token) ------------------
+@query(
+    "pipe_tokenizer_fertility",
+    oracle=f"""
+    WITH p AS (
+      SELECT lang,
+             len({_DUCK_TOKENS}) AS n_ws,
+             len(regexp_split_to_array(trim(
+               regexp_replace(regexp_replace(text,
+                 '([a-z])([0-9])', '\\1 \\2', 'g'),
+                 '([0-9])([a-z])', '\\1 \\2', 'g')), '\\s+')) AS n_pieces,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_chars
+      FROM documents)
+    SELECT lang,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_pieces) AS BIGINT) AS pieces,
+           ROUND(SUM(n_pieces) * 1.0 / SUM(n_ws), 4) AS fertility,
+           ROUND(SUM(n_chars) * 1.0 / SUM(n_pieces), 4) AS chars_per_piece
+    FROM p GROUP BY lang
+    """,
+)
+def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: sub-word pieces (letter↔digit
+    boundaries split via two order-fixed regexp passes — the lookaround-free
+    formulation both engines implement identically) per whitespace token,
+    plus characters per piece — the table a tokenizer team reads to spot
+    languages whose vocab under-serves them (fertility ≫ 1 = more compute
+    per word). Zero shuffles before the lang rollup; all-integer sums."""
+    d = load_table(spark, sf_dir, "documents")
+    pieces_txt = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"([a-z])([0-9])", r"$1 $2"),
+        r"([0-9])([a-z])",
+        r"$1 $2",
+    )
+    n_pieces = F.size(F.split(F.trim(pieces_txt), r"\s+"))
+    n_ws = text.token_count(F.col("text"))
+    n_chars = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    return (
+        d.select(
+            "lang",
+            n_ws.alias("n_ws"),
+            n_pieces.alias("n_pieces"),
+            n_chars.alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("n_ws").cast("long").alias("ws_tokens"),
+            F.sum("n_pieces").cast("long").alias("pieces"),
+            F.round(F.sum("n_pieces") / F.sum("n_ws"), 4).alias("fertility"),
+            F.round(F.sum("n_chars") / F.sum("n_pieces"), 4).alias(
+                "chars_per_piece"
+            ),
+        )
+    )
+
+
+# --- winsorized event-value means (robust aggregate family) ---------------------
+@query(
+    "pipe_winsorized_means",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_disc(value, 0.05) AS lo,
+             quantile_disc(value, 0.95) AS hi
+      FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+           CAST(ROUND(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi)
+                              AS DECIMAL(18,4))), 4) AS DOUBLE) AS wsum,
+           CAST(ROUND(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi)
+                              AS DECIMAL(18,4))) / COUNT(*), 4) AS DOUBLE)
+             AS winsorized_mean
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def winsorized_means_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized means per event type: values clamped to their type's
+    exact [p05, p95] (percentile_disc picks real data values on both
+    engines) before a DECIMAL-exact mean — the robust revenue/value
+    aggregate that keeps one fat-finger purchase from moving the daily
+    number; completes the robust-stats family with pipe_events_mad_outliers.
+    One corpus pass per side of a broadcast stats join; decimal fixed
+    point keeps sums order-independent."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    out_of = F.when(
+        (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+    ).otherwise(0)
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(out_of).cast("long").alias("n_clamped"),
+            F.round(F.sum(clamped.cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("wsum"),
+            F.round(
+                F.sum(clamped.cast("decimal(18,4)")) / F.count("*"), 4
+            )
+            .cast("double")
+            .alias("winsorized_mean"),
+        )
+    )
