@@ -6685,3 +6685,73 @@ def winsorized_means_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("winsorized_mean"),
         )
     )
+
+
+# --- last-touch purchase attribution (as-of + tolerance, rolled up) --------------
+@query(
+    "pipe_purchase_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    purch AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT p.event_id, p.ts AS purchase_ts,
+             CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_id END
+               AS click_id,
+             CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.ts END
+               AS click_ts
+      FROM purch p
+      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts)
+    SELECT date_trunc('hour', click_ts) AS click_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(quantile_disc(date_diff('second', click_ts, purchase_ts), 0.5)
+                AS BIGINT) AS p50_latency_sec
+    FROM m GROUP BY 1
+    """,
+)
+def purchase_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase matched to the same user's
+    most recent click within a 1-hour window (operators/asof backward
+    as-of with tolerance — Spark has no ASOF JOIN; the operator composes
+    it as union + ONE running window on user_id), rolled up to
+    conversions per attributed click-hour with exact median click→buy
+    latency (NULL hour = organic/unattributed purchases). The marketing
+    twin of the funnel entries; one user_id shuffle end-to-end."""
+    from ..operators import asof as asof_ops
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    m = asof_ops.asof_join_backward(
+        purch,
+        clicks,
+        key="user_id",
+        ts="ts",
+        payload_cols=["click_id", "click_ts"],
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    lat = (
+        F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("click_ts"))
+    ).cast("long")
+    return (
+        m.select(
+            F.date_trunc("hour", F.col("click_ts")).alias("click_hour"),
+            lat.alias("lat"),
+        )
+        .groupBy("click_hour")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat)")
+            .cast("long")
+            .alias("p50_latency_sec"),
+        )
+    )
