@@ -6755,3 +6755,93 @@ def purchase_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p50_latency_sec"),
         )
     )
+
+
+# --- first-order event-type transition matrix ------------------------------------
+@query(
+    "pipe_event_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    tr AS (
+      SELECT a.event_type AS src, b.event_type AS dst
+      FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1),
+    c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
+    t AS (SELECT src, CAST(SUM(n) AS BIGINT) AS row_total FROM c GROUP BY src)
+    SELECT c.src, c.dst, c.n, ROUND(c.n * 1.0 / t.row_total, 6) AS p
+    FROM c JOIN t USING (src)
+    """,
+)
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types (per-user
+    order by ts with event_id tiebreak): counts and row-normalized
+    probabilities — the 25-cell navigation model behind the trigram path
+    miner. One user_id shuffle (lead() inside the per-user window), one
+    (src,dst) combinable aggregate, row totals broadcast back."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type", 1).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    c = tr.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    t = c.groupBy("src").agg(F.sum("n").alias("row_total"))
+    return c.join(F.broadcast(t), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") / F.col("row_total"), 6).alias("p"),
+    )
+
+
+# --- multimodal referential audit (documents <-> embeddings) ---------------------
+@query(
+    "pipe_doc_embedding_audit",
+    oracle="""
+    WITH j AS (
+      SELECT d.doc_id, e.vec_id, d.lang
+      FROM documents d FULL JOIN embeddings e ON e.vec_id = d.doc_id)
+    SELECT
+      CAST(COUNT(*) FILTER (doc_id IS NOT NULL AND vec_id IS NOT NULL)
+           AS BIGINT) AS n_paired,
+      CAST(COUNT(*) FILTER (vec_id IS NULL) AS BIGINT) AS docs_missing_vec,
+      CAST(COUNT(*) FILTER (doc_id IS NULL) AS BIGINT) AS vecs_missing_doc,
+      CAST(COUNT(DISTINCT CASE WHEN vec_id IS NULL THEN lang END) AS BIGINT)
+        AS langs_affected
+    FROM j
+    """,
+)
+def doc_embedding_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal referential audit: full-outer join of the text and
+    embedding sides on the natural key — paired rows, docs without a
+    vector, vectors without a doc, and how many languages the gaps touch.
+    The parity check a paired-modality corpus runs after every embedding
+    backfill (the cross-modal cousin of pipe_referential_audit's FK
+    orphan scan). One key equi-join; only ids and lang cross the wire."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    j = d.join(e, d.doc_id == e.vec_id, "full")
+    return j.agg(
+        F.sum(
+            (F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull()).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_paired"),
+        F.sum(F.col("vec_id").isNull().cast("int"))
+        .cast("long")
+        .alias("docs_missing_vec"),
+        F.sum(F.col("doc_id").isNull().cast("int"))
+        .cast("long")
+        .alias("vecs_missing_doc"),
+        F.countDistinct(
+            F.when(F.col("vec_id").isNull(), F.col("lang"))
+        ).alias("langs_affected"),
+    )
