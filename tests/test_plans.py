@@ -978,3 +978,38 @@ def test_quota_sample_stratum_window_only(spark):
         if "windowspecdefinition(" in ln and "source" not in ln
     ]
     assert not bad, bad
+
+
+def test_purchase_attribution_single_user_shuffle(spark):
+    """Attribution = the as-of union + ONE running window on user_id; no
+    unpartitioned window, no cartesian."""
+    plan = _plan(spark, "pipe_purchase_attribution")
+    assert "CartesianProduct" not in plan
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln and "user_id" not in ln
+    ]
+    assert not bad, bad
+
+
+def test_event_transitions_per_user_window_only(spark):
+    """Transition matrix: lead() strictly inside the per-user window; row
+    totals broadcast."""
+    plan = _plan(spark, "pipe_event_transitions")
+    assert "BroadcastHashJoin" in plan
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln and "user_id" not in ln
+    ]
+    assert not bad, bad
+
+
+def test_doc_embedding_audit_slim_join(spark):
+    """The parity audit joins only (id, lang) projections — no text or
+    vector column may reach the join's exchanges."""
+    plan = _plan(spark, "pipe_doc_embedding_audit")
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln and "embedding#" not in ln, ln
