@@ -6845,3 +6845,137 @@ def doc_embedding_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("vec_id").isNull(), F.col("lang"))
         ).alias("langs_affected"),
     )
+
+
+# --- duplicate-group size histogram ----------------------------------------------
+@query(
+    "pipe_dup_group_histogram",
+    oracle=f"""
+    WITH dg AS (
+      SELECT md5(text) AS k, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM documents GROUP BY 1),
+    fp AS (
+      SELECT {_DUCK_FP} AS k, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM documents GROUP BY 1)
+    SELECT 'exact' AS method, sz AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM dg WHERE sz > 1 GROUP BY sz
+    UNION ALL
+    SELECT 'fingerprint', sz, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(sz) AS BIGINT)
+    FROM fp WHERE sz > 1 GROUP BY sz
+    """,
+)
+def dup_group_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group size histogram for the exact-digest and
+    normalized-fingerprint methods: how many groups of size 2, 3, … exist
+    and how many docs they hold — 'are my dups pairs or families?', which
+    decides whether keep-one dedup recovers 50% or 90% of the duplicated
+    mass. Two digest aggregates + a size rollup; nothing pairwise."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def hist(key, name):
+        g = d.select(key.alias("k")).groupBy("k").agg(F.count("*").alias("sz"))
+        return (
+            g.filter(F.col("sz") > 1)
+            .groupBy("sz")
+            .agg(F.count("*").alias("n_groups"), F.sum("sz").alias("n_docs"))
+            .select(
+                F.lit(name).alias("method"),
+                F.col("sz").alias("group_size"),
+                "n_groups",
+                F.col("n_docs").cast("long").alias("n_docs"),
+            )
+        )
+
+    return hist(F.md5(F.col("text")), "exact").unionAll(
+        hist(text.fingerprint(F.col("text")), "fingerprint")
+    )
+
+
+# --- per-method dedup savings estimate ---------------------------------------------
+@query(
+    "pipe_dedup_savings",
+    oracle=f"""
+    WITH {_DUCK_MINHASH_BANDS},
+    cand AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+    dg AS (SELECT doc_id, md5(text) AS k FROM documents),
+    ge AS (SELECT k, MIN(doc_id) AS mn FROM dg GROUP BY k),
+    f_exact AS (SELECT doc_id FROM dg JOIN ge USING (k) WHERE doc_id <> mn),
+    fp AS (SELECT doc_id, {_DUCK_FP} AS k FROM documents),
+    gf AS (SELECT k, MIN(doc_id) AS mn FROM fp GROUP BY k),
+    f_fp AS (SELECT doc_id FROM fp JOIN gf USING (k) WHERE doc_id <> mn),
+    flags AS (
+      SELECT doc_id, 'exact' AS m FROM f_exact
+      UNION ALL SELECT doc_id, 'fingerprint' FROM f_fp
+      UNION ALL SELECT doc_id, 'minhash' FROM cand),
+    toks AS (SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
+                    n_chars FROM documents),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS corpus_tokens FROM toks)
+    SELECT f.m AS method,
+           CAST(COUNT(*) AS BIGINT) AS docs_dropped,
+           CAST(SUM(t.n_tok) AS BIGINT) AS tokens_dropped,
+           CAST(SUM(t.n_chars) AS BIGINT) AS chars_dropped,
+           ROUND(SUM(t.n_tok) * 1.0 / tot.corpus_tokens, 6) AS token_share
+    FROM flags f JOIN toks t USING (doc_id), tot
+    GROUP BY f.m, tot.corpus_tokens
+    """,
+)
+def dedup_savings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-method dedup savings: the docs each method would drop
+    (keep-min for digest methods, LSH-candidate greater member for
+    MinHash) priced in documents, tokens, characters, and share of corpus
+    tokens — the number that actually decides which dedup tier is worth
+    its compute at 100 TB. Flag sets are each method's existing scale
+    path; pricing is one doc_id-keyed join against per-doc token counts
+    plus a broadcast total."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def _flag(df, key, name):
+        keyed = df.select("doc_id", key.alias("k"))
+        grp = keyed.groupBy("k").agg(F.min("doc_id").alias("mn"))
+        return (
+            keyed.join(grp, "k")
+            .filter(F.col("doc_id") != F.col("mn"))
+            .select("doc_id", F.lit(name).alias("m"))
+        )
+
+    f_mh = (
+        dedup.minhash_lsh_candidates(d, n=3)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit("minhash").alias("m"))
+    )
+    flags = (
+        _flag(d, F.md5(F.col("text")), "exact")
+        .unionAll(_flag(d, text.fingerprint(F.col("text")), "fingerprint"))
+        .unionAll(f_mh)
+    )
+    toks = d.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_tok"),
+        "n_chars",
+    )
+    tot = toks.agg(F.sum("n_tok").cast("long").alias("corpus_tokens"))
+    return (
+        flags.join(toks, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("m").alias("method"), "corpus_tokens")
+        .agg(
+            F.count("*").alias("docs_dropped"),
+            F.sum("n_tok").cast("long").alias("tokens_dropped"),
+            F.sum("n_chars").cast("long").alias("chars_dropped"),
+            F.round(F.sum("n_tok") / F.col("corpus_tokens"), 6).alias(
+                "token_share"
+            ),
+        )
+        .select(
+            "method", "docs_dropped", "tokens_dropped", "chars_dropped",
+            "token_share",
+        )
+    )
