@@ -6979,3 +6979,87 @@ def dedup_savings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share",
         )
     )
+
+
+# --- session duration / depth distribution ----------------------------------------
+@query(
+    "pipe_session_duration_stats",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+    seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM seq),
+    per AS (
+      SELECT user_id, session_id,
+             CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+               AS duration_sec,
+             CAST(COUNT(*) AS BIGINT) AS depth
+      FROM sess GROUP BY user_id, session_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(quantile_disc(duration_sec, 0.5) AS BIGINT) AS p50_duration,
+           CAST(quantile_disc(duration_sec, 0.95) AS BIGINT) AS p95_duration,
+           CAST(quantile_disc(depth, 0.5) AS BIGINT) AS p50_depth,
+           CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS bounce_sessions,
+           ROUND(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS bounce_rate
+    FROM per
+    """,
+)
+def session_duration_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session engagement profile over the 30-minute-gap sessionization:
+    exact p50/p95 duration, median depth, and bounce rate (single-event
+    sessions) — the summary a product team reads daily, and at pipeline
+    scale the health check that a sessionizer change didn't silently
+    shift the distribution. One user_id shuffle feeds both windows; the
+    session rollup and the global percentile aggregate are combinable."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_s = F.when(
+        gap.isNull() | (gap > 30 * 60), 1
+    ).otherwise(0)
+    seq = e.select("user_id", "ts", "event_id", new_s.alias("new_session"))
+    sess_id = F.sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per = (
+        seq.select("user_id", "ts", sess_id.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            (
+                F.max(F.col("ts").cast("timestamp").cast("long"))
+                - F.min(F.col("ts").cast("timestamp").cast("long"))
+            ).alias("duration_sec"),
+            F.count("*").alias("depth"),
+        )
+    )
+    bounce = F.sum(F.when(F.col("depth") == 1, 1).otherwise(0))
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY duration_sec)")
+        .cast("long")
+        .alias("p50_duration"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY duration_sec)")
+        .cast("long")
+        .alias("p95_duration"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY depth)")
+        .cast("long")
+        .alias("p50_depth"),
+        bounce.cast("long").alias("bounce_sessions"),
+        F.round(bounce / F.count("*"), 6).alias("bounce_rate"),
+    )
