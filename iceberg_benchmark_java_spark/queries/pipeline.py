@@ -7063,3 +7063,75 @@ def session_duration_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounce.cast("long").alias("bounce_sessions"),
         F.round(bounce / F.count("*"), 6).alias("bounce_rate"),
     )
+
+
+# --- embedding-norm outlier gate ----------------------------------------------------
+@query(
+    "pipe_embedding_norm_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             CAST(FLOOR(sqrt(list_dot_product(
+               CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+               * 1000000) AS BIGINT) AS n6
+      FROM embeddings),
+    med AS (SELECT quantile_disc(n6, 0.5) AS med FROM e),
+    mad AS (SELECT quantile_disc(ABS(e.n6 - med.med), 0.5) AS mad
+            FROM e, med)
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN ABS(e.n6 - med.med) > 3 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           med.med AS median_norm_fp, mad.mad AS mad_fp
+    FROM e, med, mad
+    GROUP BY e.label, med.med, mad.mad
+    """,
+)
+def embedding_norm_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health gate: vectors whose L2 norm sits more than 3 MADs
+    from the corpus median (norms quantized to exact 1e-6 BIGINTs, so the
+    robust stats and the 3×MAD test are all-integer) — the cheap detector
+    for truncated/zeroed/double-scaled vectors after an embedding
+    backfill, reported per label. One narrow norm pass, two global
+    percentile aggregates broadcast back; no vector ever shuffles."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.floor(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("n6"),
+    )
+    med = e.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n6)").alias("med")
+    )
+    dev = e.crossJoin(F.broadcast(med)).select(
+        "label", "n6", "med", F.abs(F.col("n6") - F.col("med")).alias("dv")
+    )
+    mad = dev.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dv)").alias("mad")
+    )
+    out = F.when(F.col("dv") > 3 * F.col("mad"), 1).otherwise(0)
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .groupBy("label", "med", "mad")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(out).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_outliers",
+            F.col("med").alias("median_norm_fp"),
+            F.col("mad").alias("mad_fp"),
+        )
+    )
