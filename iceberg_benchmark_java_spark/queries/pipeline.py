@@ -7135,3 +7135,148 @@ def embedding_norm_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad").alias("mad_fp"),
         )
     )
+
+
+# --- mergeable shard statistics (incremental-ingest contract) -----------------------
+@query(
+    "pipe_mergeable_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT {_DUCK_DOC_HEX15} % 8 AS shard,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok
+      FROM documents),
+    per AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(n_tok) AS BIGINT) AS s,
+             CAST(SUM(n_tok * n_tok) AS BIGINT) AS ss,
+             CAST(MIN(n_tok) AS BIGINT) AS mn,
+             CAST(MAX(n_tok) AS BIGINT) AS mx
+      FROM t GROUP BY shard),
+    merged AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS c, CAST(SUM(s) AS BIGINT) AS s,
+             CAST(SUM(ss) AS BIGINT) AS ss, CAST(MIN(mn) AS BIGINT) AS mn,
+             CAST(MAX(mx) AS BIGINT) AS mx
+      FROM per),
+    direct AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(n_tok) AS BIGINT) AS s,
+             CAST(SUM(n_tok * n_tok) AS BIGINT) AS ss,
+             CAST(MIN(n_tok) AS BIGINT) AS mn, CAST(MAX(n_tok) AS BIGINT) AS mx
+      FROM t)
+    SELECT m.c AS merged_count, d.c AS direct_count,
+           m.s AS merged_sum, d.s AS direct_sum,
+           m.ss AS merged_sumsq, d.ss AS direct_sumsq,
+           m.mn AS merged_min, d.mn AS direct_min,
+           m.mx AS merged_max, d.mx AS direct_max,
+           (m.c = d.c AND m.s = d.s AND m.ss = d.ss
+            AND m.mn = d.mn AND m.mx = d.mx) AS merge_exact
+    FROM merged m, direct d
+    """,
+)
+def mergeable_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ingest contract, verified in-query: per-shard
+    (count, sum, sum-of-squares, min, max) partials merged across 8 hash
+    shards must equal the direct whole-corpus aggregate EXACTLY — true
+    only because every statistic is a BIGINT semigroup (this is why the
+    engine's running statistics are integer moments, never float means).
+    A 100 TB pipeline ingests shard-by-shard and merges; this entry is
+    the proof the merge loses nothing. Two aggregation trees over one
+    scan lineage, final 1×1 comparison row."""
+    d = load_table(spark, sf_dir, "documents")
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    t = d.select(
+        (h60 % 8).alias("shard"),
+        text.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    per = t.groupBy("shard").agg(
+        F.count("*").alias("c"),
+        F.sum("n_tok").alias("s"),
+        F.sum(F.col("n_tok") * F.col("n_tok")).alias("ss"),
+        F.min("n_tok").alias("mn"),
+        F.max("n_tok").alias("mx"),
+    )
+    merged = per.agg(
+        F.sum("c").cast("long").alias("c"),
+        F.sum("s").cast("long").alias("s"),
+        F.sum("ss").cast("long").alias("ss"),
+        F.min("mn").cast("long").alias("mn"),
+        F.max("mx").cast("long").alias("mx"),
+    )
+    direct = t.agg(
+        F.count("*").alias("c"),
+        F.sum("n_tok").cast("long").alias("s"),
+        F.sum(F.col("n_tok") * F.col("n_tok")).cast("long").alias("ss"),
+        F.min("n_tok").cast("long").alias("mn"),
+        F.max("n_tok").cast("long").alias("mx"),
+    )
+    m, dd = merged.alias("m"), direct.alias("d")
+    return m.crossJoin(F.broadcast(dd)).select(
+        F.col("m.c").alias("merged_count"),
+        F.col("d.c").alias("direct_count"),
+        F.col("m.s").alias("merged_sum"),
+        F.col("d.s").alias("direct_sum"),
+        F.col("m.ss").alias("merged_sumsq"),
+        F.col("d.ss").alias("direct_sumsq"),
+        F.col("m.mn").alias("merged_min"),
+        F.col("d.mn").alias("direct_min"),
+        F.col("m.mx").alias("merged_max"),
+        F.col("d.mx").alias("direct_max"),
+        (
+            (F.col("m.c") == F.col("d.c"))
+            & (F.col("m.s") == F.col("d.s"))
+            & (F.col("m.ss") == F.col("d.ss"))
+            & (F.col("m.mn") == F.col("d.mn"))
+            & (F.col("m.mx") == F.col("d.mx"))
+        ).alias("merge_exact"),
+    )
+
+
+# --- ANN top-1 ranking margin --------------------------------------------------------
+@query(
+    "pipe_ann_ranking_margin",
+    oracle=f"""
+    WITH {_DUCK_ANN_BASE},
+    s AS (
+      SELECT query_id, vec_id,
+             ROUND(list_dot_product(qe, ee)
+                   / (sqrt(list_dot_product(qe, qe))
+                      * sqrt(list_dot_product(ee, ee))), 6) AS sim
+      FROM q, e WHERE query_id <> vec_id),
+    r AS (
+      SELECT query_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rnk
+      FROM s)
+    SELECT a.query_id,
+           a.sim AS top1_sim, b.sim AS top2_sim,
+           ROUND(a.sim - b.sim, 6) AS margin
+    FROM r a JOIN r b ON b.query_id = a.query_id AND a.rnk = 1 AND b.rnk = 2
+    """,
+)
+def ann_ranking_margin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN stability margin: per query, the cosine gap between the exact
+    top-1 and top-2 neighbors — queries with near-zero margin are the
+    ones where ANY approximate index (LSH/IVF/PQ/SQ8) can legitimately
+    flip ranks, so recall dips there are expected rather than bugs. The
+    eval-side companion to the recall entries (same 10-query eval slice,
+    same broadcast-query scoring shape)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    topk = similarity.cosine_topk_bruteforce(
+        e.select("vec_id", "embedding"), queries_df, k=2
+    )
+    a = topk.filter(F.col("rnk") == 1).select(
+        "query_id", F.col("sim").alias("top1_sim")
+    )
+    b = topk.filter(F.col("rnk") == 2).select(
+        "query_id", F.col("sim").alias("top2_sim")
+    )
+    return a.join(b, "query_id").select(
+        "query_id",
+        "top1_sim",
+        "top2_sim",
+        F.round(F.col("top1_sim") - F.col("top2_sim"), 6).alias("margin"),
+    )
