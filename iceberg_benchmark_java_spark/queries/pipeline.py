@@ -7280,3 +7280,73 @@ def ann_ranking_margin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top2_sim",
         F.round(F.col("top1_sim") - F.col("top2_sim"), 6).alias("margin"),
     )
+
+
+# --- sampler bias audit (sample vs corpus stratum shares) ----------------------------
+@query(
+    "pipe_sampler_bias_audit",
+    oracle="""
+    WITH r AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents),
+    samp AS (SELECT lang FROM r WHERE rn <= 20),
+    cs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_corpus
+           FROM documents GROUP BY lang),
+    ss AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sample
+           FROM samp GROUP BY lang),
+    t AS (SELECT (SELECT SUM(n_corpus) FROM cs) AS tc,
+                 (SELECT SUM(n_sample) FROM ss) AS ts)
+    SELECT cs.lang, cs.n_corpus, COALESCE(ss.n_sample, 0) AS n_sample,
+           ROUND(cs.n_corpus * 1.0 / t.tc, 6) AS corpus_share,
+           ROUND(COALESCE(ss.n_sample, 0) * 1.0 / t.ts, 6) AS sample_share,
+           ROUND(COALESCE(ss.n_sample, 0) * 1.0 / t.ts
+                 - cs.n_corpus * 1.0 / t.tc, 6) AS share_delta
+    FROM cs LEFT JOIN ss USING (lang), t
+    """,
+)
+def sampler_bias_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampler bias audit: the stratified sampler's per-language share vs
+    the corpus share (a fixed-k-per-stratum sampler deliberately
+    over-represents small strata — this table quantifies by how much, so
+    the eval-set consumer can reweight). Share deltas in 6dp fixed
+    arithmetic; corpus pass + the existing sampler machinery + broadcast
+    totals."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    samp = (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("lang")
+    )
+    cs = d.groupBy("lang").agg(F.count("*").alias("n_corpus"))
+    ss = samp.groupBy("lang").agg(F.count("*").alias("n_sample"))
+    t = cs.agg(F.sum("n_corpus").alias("tc")).crossJoin(
+        ss.agg(F.sum("n_sample").alias("ts"))
+    )
+    return (
+        cs.join(ss, "lang", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_corpus",
+            F.coalesce(F.col("n_sample"), F.lit(0)).alias("n_sample"),
+            F.round(F.col("n_corpus") / (F.lit(1.0) * F.col("tc")), 6).alias(
+                "corpus_share"
+            ),
+            F.round(
+                F.coalesce(F.col("n_sample"), F.lit(0))
+                / (F.lit(1.0) * F.col("ts")),
+                6,
+            ).alias("sample_share"),
+            F.round(
+                F.coalesce(F.col("n_sample"), F.lit(0))
+                / (F.lit(1.0) * F.col("ts"))
+                - F.col("n_corpus") / (F.lit(1.0) * F.col("tc")),
+                6,
+            ).alias("share_delta"),
+        )
+    )
