@@ -1013,3 +1013,38 @@ def test_doc_embedding_audit_slim_join(spark):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "text#" not in ln and "embedding#" not in ln, ln
+
+
+def test_session_duration_user_window_only(spark):
+    plan = _plan(spark, "pipe_session_duration_stats")
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln and "user_id" not in ln
+    ]
+    assert not bad, bad
+
+
+def test_norm_outliers_no_vector_shuffle(spark):
+    """Norms are computed in the scan projection; only (label, n6) style
+    rows may reach an Exchange."""
+    plan = _plan(spark, "pipe_embedding_norm_outliers")
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "embedding#" not in ln, ln
+
+
+def test_mergeable_stats_no_window_no_cartesian(spark):
+    plan = _plan(spark, "pipe_mergeable_stats")
+    assert "WindowExec" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sampler_bias_stratum_window_only(spark):
+    plan = _plan(spark, "pipe_sampler_bias_audit")
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln and "lang" not in ln
+    ]
+    assert not bad, bad
