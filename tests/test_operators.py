@@ -1821,3 +1821,55 @@ def test_drop_reason_waterfall_planted(spark, tmp_path):
     assert out["contaminated"] == 1  # id 3
     assert out["low_quality"] >= 1  # id 4; keepers may trip rules too
     assert sum(out.values()) == 6
+
+
+def test_continuation_entry_invariants(spark):
+    """One consolidated invariant battery over the continuation entries —
+    each is cheap; together they pin the semantic contracts the oracles'
+    hash equality alone wouldn't explain."""
+    rows = _q(spark, "pipe_tokenizer_fertility").collect()
+    assert rows and all(r.fertility >= 1.0 for r in rows)
+
+    rows = _q(spark, "pipe_winsorized_means").collect()
+    assert rows and all(0 <= r.n_clamped < r.n for r in rows)
+
+    rows = _q(spark, "pipe_negative_sampling_table").collect()
+    assert abs(sum(r.prob for r in rows) - 1.0) < 1e-3
+    assert abs(max(r.cum_prob for r in rows) - 1.0) < 1e-5
+    # ^0.75 flattens: top-rank prob share must be below raw count share
+    total_cnt = sum(r.cnt for r in rows)
+    top = min(rows, key=lambda r: r.rnk)
+    assert top.prob < top.cnt / total_cnt
+
+    card = _q(spark, "pipe_corpus_datacard").collect()[0]
+    assert 0 <= card.exact_dup_rate <= 1 and 0 <= card.en_share <= 1
+    assert card.n_tokens > card.n_docs
+
+    sweep = {r.thr: r.n_pairs for r in _q(spark, "pipe_near_dup_threshold_sweep").collect()}
+    ts = sorted(sweep)
+    assert all(sweep[a] >= sweep[b] for a, b in zip(ts, ts[1:]))
+
+    est = _q(spark, "pipe_join_size_estimate").collect()
+    assert est and all(r.total_pairs >= r.n_rows for r in est)
+
+    qs = _q(spark, "pipe_source_quota_sample").collect()
+    assert qs and all(r.n_sampled == min(r.quota, r.n_docs) for r in qs)
+
+    tr = _q(spark, "pipe_event_transitions").collect()
+    by_src = {}
+    for r in tr:
+        by_src.setdefault(r.src, 0.0)
+        by_src[r.src] += r.p
+    assert all(abs(v - 1.0) < 1e-3 for v in by_src.values())
+
+    mg = _q(spark, "pipe_ann_ranking_margin").collect()
+    assert len(mg) == 10 and all(r.margin >= 0 for r in mg)
+
+    ms = _q(spark, "pipe_mergeable_stats").collect()[0]
+    assert ms.merge_exact is True
+
+    ba = _q(spark, "pipe_sampler_bias_audit").collect()
+    assert abs(sum(r.share_delta for r in ba)) < 1e-3
+
+    au = _q(spark, "pipe_doc_embedding_audit").collect()[0]
+    assert au.n_paired > 0 and au.docs_missing_vec == 0
