@@ -144,22 +144,47 @@ def main() -> None:
         name: (corpus_fixture_scale() if name.startswith("corpus_") else sf_val)
         for name in HEADLINE
     }
+    full = {
+        "metric": "headline_total_wall_sec_noop_sink",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "probe": {
+            "query": "corpus_tpch_q01",
+            "runs": probe_runs,
+            "best": min(probe_runs),
+        },
+        "failed": failed,
+        "query_sf": scales,
+        "sf": sf_val,
+    }
+    # Full payload goes to a committed sidecar file; stdout carries ONE
+    # compact line. The driver keeps only a ~2 kB tail of stdout, so the
+    # full 4.5 kB payload never parsed (BENCH_r0{4,5,6}.json all show
+    # "parsed": null). Compact = totals + probe + failure count + top-10
+    # slowest per-query bests + pointer — everything a round-over-round
+    # grader needs, well under 1 kB.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_latest.json"
+    )
+    with open(local_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     line = json.dumps(
         {
             "metric": "headline_total_wall_sec_noop_sink",
             "value": total,
             "unit": "sec",
-            "queries": timings,
-            "runs": runs,
-            "probe": {
-                "query": "corpus_tpch_q01",
-                "runs": probe_runs,
-                "best": min(probe_runs),
-            },
-            "failed": failed,
-            "query_sf": scales,
+            "queries": top10,
+            "n_queries": len(timings),
+            "probe": min(probe_runs),
+            "n_failed": len(failed),
+            "full": "BENCH_LOCAL_latest.json",
             "sf": sf_val,
-        }
+        },
+        separators=(",", ":"),
     )
     os.write(real_stdout, line.encode() + b"\n")
     os.close(real_stdout)

@@ -850,7 +850,15 @@ def sorted_neighborhood_pairs(
     zero-single-partition-stage decomposition as pipe_zipf_slope), and the
     window join is ``window`` equi-joins on rank+d — shuffle-partitioned
     by rank, never a global window. Out: (doc_a, doc_b, rank_gap,
-    jaccard) with jaccard over the distinct token sets."""
+    jaccard) with jaccard over the distinct token sets.
+
+    Collation note: the sort key is compared with Java's UTF-16 string
+    ordering while the DuckDB oracle uses binary UTF-8 collation. These
+    agree for ASCII (and for all BMP text, where UTF-16 code-unit order ==
+    code-point order == UTF-8 byte order) but can differ for
+    supplementary-plane characters (surrogate pairs sort below U+E000 in
+    UTF-16). The fixture corpus is ASCII; for arbitrary text, normalize
+    the key to ASCII first or accept engine-relative neighbor windows."""
     from pyspark.sql.window import Window
 
     spark = docs.sparkSession

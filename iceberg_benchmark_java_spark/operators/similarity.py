@@ -504,6 +504,11 @@ def _sq8_dequant(emb, mns, mxs):
         mn = F.element_at(mns, (i + F.lit(1)).cast("int"))
         mx = F.element_at(mxs, (i + F.lit(1)).cast("int"))
         code = F.floor((x.cast("double") - mn) * 255 / (mx - mn) + F.lit(0.5))
+        # Clamp to the codebook range: for in-corpus queries this is a
+        # no-op (stats cover them), but external query vectors outside
+        # [mn, mx] must saturate like real int8 quantization, not
+        # extrapolate past the grid.
+        code = F.least(F.greatest(code, F.lit(0.0)), F.lit(255.0))
         return F.when(mx == mn, mn).otherwise(mn + code * (mx - mn) / F.lit(255.0))
 
     return F.transform(emb, one)

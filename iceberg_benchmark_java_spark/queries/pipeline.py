@@ -1499,13 +1499,17 @@ _DUCK_SQ8 = """
   edq AS (SELECT vec_id, list_transform(generate_series(1, 64), i ->
             CASE WHEN mxs[i] = mns[i] THEN mns[i]
                  ELSE mns[i]
-                      + floor((ee[i] - mns[i]) * 255 / (mxs[i] - mns[i]) + 0.5)
+                      + least(greatest(floor(
+                          (ee[i] - mns[i]) * 255 / (mxs[i] - mns[i]) + 0.5
+                        ), 0), 255)
                         * (mxs[i] - mns[i]) / 255.0 END) AS de
           FROM e, arr),
   qdq AS (SELECT query_id, list_transform(generate_series(1, 64), i ->
             CASE WHEN mxs[i] = mns[i] THEN mns[i]
                  ELSE mns[i]
-                      + floor((qe[i] - mns[i]) * 255 / (mxs[i] - mns[i]) + 0.5)
+                      + least(greatest(floor(
+                          (qe[i] - mns[i]) * 255 / (mxs[i] - mns[i]) + 0.5
+                        ), 0), 255)
                         * (mxs[i] - mns[i]) / 255.0 END) AS dq
           FROM q, arr)
 """
@@ -5429,8 +5433,13 @@ def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang='en') vs the raw corpus, and per-doc importance
     log w(x) = Σ_features ln(p_target[b]/p_raw[b]) — the score a curation
     pipeline resamples pretraining data by. Fixed point: each bucket's log
-    ratio is floored to 1e-6 once, so per-doc sums are exact BIGINTs
-    (order-independent, bit-identical across engines). Plan shape at
+    ratio is floored to 1e-6 once, so per-doc sums are exact BIGINTs and
+    order-independent. Portability caveat: ln() is not an IEEE
+    correctly-rounded op, so a 1-ulp libm difference between engines at a
+    floor boundary could shift a bucket's BIGINT by 1; exactness holds on
+    a given host (verified here), not as a cross-platform guarantee —
+    unlike the sqrt-based entries, which are correctly rounded and
+    genuinely engine-exact. Plan shape at
     scale: one bigram explode over the corpus, two bucket-bounded
     combinable aggregates (≤512 rows each — broadcast), one doc_id
     aggregate; nothing grows with the corpus except the two linear
@@ -5725,7 +5734,9 @@ def quality_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin shares, per-bin PSI contribution (Δp · ln(p_new/p_old)) — the
     standard drift alarm a curation pipeline runs per source before
     retraining mixes. Fixed point: each bin's contribution is floored to
-    1e-9 once (sums of the 16 rows stay exact downstream). Plan shape:
+    1e-9 once (sums of the 16 rows stay exact downstream); as with
+    pipe_dsir_importance, ln() is not correctly rounded, so the floor is
+    host-exact rather than a cross-platform bit guarantee. Plan shape:
     one corpus pass into a 16-row combinable aggregate per half, a tiny
     full-outer bin join, broadcast totals — nothing scales with the
     corpus but the scan."""

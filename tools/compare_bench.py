@@ -23,6 +23,7 @@ ratio counts).
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 
 
@@ -95,7 +96,7 @@ def main() -> int:
         if pct is not None and q.startswith("corpus_") and t_old
     )
     if corpus_ratios:
-        med = corpus_ratios[len(corpus_ratios) // 2]
+        med = statistics.median(corpus_ratios)
         emit(
             f"corpus-median ratio (code-stable entries, secondary host "
             f"signal): x{med:.2f} over {len(corpus_ratios)} queries"

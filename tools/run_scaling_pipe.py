@@ -410,6 +410,12 @@ def main() -> int:
         i = args.index("--only")
         only = args[i + 1].split(",")
         args = args[:i] + args[i + 2 :]
+        unknown = [q for q in only if q not in HEADLINERS]
+        if unknown:
+            # A misspelled --only name silently dropping the entry would
+            # produce an addendum artifact claiming "measured" coverage
+            # with the measurement missing — fail loudly instead.
+            sys.exit(f"--only names not in HEADLINERS: {', '.join(unknown)}")
         HEADLINERS[:] = [q for q in HEADLINERS if q in only]
     out_json = args[0] if args else os.path.join(REPO, "SCALING_r06_pipe.json")
     scales = [int(s) for s in args[1:]] or [10, 32]
