@@ -28,6 +28,47 @@ from pyspark.sql import functions as F
 # --- shared shingling --------------------------------------------------------
 
 
+# Adaptive shingle width: a FIXED width saturates as the corpus grows —
+# with vocab V there are at most V^n distinct n-word shingles, so once the
+# corpus outgrows the shingle space every "rare" shingle has high df and
+# the candidate join degrades toward quadratic (measured: n=3 on the
+# 31-word fixture vocab went x7.5 wall at x10 data while n=5 measured
+# x2.5/x3.3 at x10/x100 — SCALING_r06_containment.json). The dial picks
+# the smallest n in [3, 8] whose shingle space covers the corpus with
+# margin: V^n >= 32 * n_docs. V is clamped to 2^15 so the HUGEINT power
+# in the DuckDB oracle can't overflow (past the clamp, n=3 always wins
+# for any realistic corpus, identically on both sides). Both counts come
+# from ONE plan-build-time probe pass; pure-integer arithmetic keeps the
+# Python and SQL derivations bit-identical.
+SHINGLE_MIN_N = 3
+SHINGLE_MAX_N = 8
+SHINGLE_COVERAGE = 32
+SHINGLE_VOCAB_CLAMP = 32768
+
+
+def adaptive_shingle_width(n_docs: int, vocab_size: int) -> int:
+    """Smallest n in [SHINGLE_MIN_N, SHINGLE_MAX_N] with
+    min(vocab, 2^15)^n >= SHINGLE_COVERAGE * n_docs (else SHINGLE_MAX_N)."""
+    v = min(vocab_size, SHINGLE_VOCAB_CLAMP)
+    for n in range(SHINGLE_MIN_N, SHINGLE_MAX_N + 1):
+        if v**n >= SHINGLE_COVERAGE * n_docs:
+            return n
+    return SHINGLE_MAX_N
+
+
+def corpus_shingle_dial(docs: DataFrame) -> int:
+    """One probe pass over the corpus (doc count + distinct-token count,
+    same tokenization as with_word_shingles) feeding adaptive_shingle_width."""
+    row = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        "doc_id",
+    ).agg(
+        F.countDistinct("tok").alias("v"),
+        F.countDistinct("doc_id").alias("n"),
+    ).collect()[0]
+    return adaptive_shingle_width(int(row["n"]), int(row["v"]))
+
+
 def with_word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Explode each document into its distinct n-word shingles.
 
@@ -501,7 +542,10 @@ def dup_span_coverage(docs: DataFrame, n: int = 8, min_df: int = 2) -> DataFrame
 
 
 def containment_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_df: int | None = None
+    docs: DataFrame,
+    n: int | None = None,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Directed near-containment pairs: |A∩B| / |A| over distinct n-word
     shingles — the asymmetric cousin of Jaccard. A short doc quoted or
@@ -509,11 +553,17 @@ def containment_pairs(
     (the union is dominated by the long doc), so symmetric dedup misses
     exactly the quote/boilerplate-wrapper duplicates this catches.
 
-    Same plan shape and ``max_df`` scale guard as ngram_jaccard_pairs
-    (shingles in more than max_df docs are dropped from both intersection
-    and sizes); pairs are directed (doc_a = the contained side, both
-    orientations emitted when both clear the threshold), doc_a != doc_b.
+    The default shingle width ADAPTS to the corpus (``corpus_shingle_dial``:
+    one probe pass at plan-build time; n=3 at fixture scale, wider once the
+    corpus outgrows the V^n shingle space) so the candidate join stays
+    df-bounded at 100 TB instead of saturating. Same plan shape and
+    ``max_df`` scale guard as ngram_jaccard_pairs (shingles in more than
+    max_df docs are dropped from both intersection and sizes); pairs are
+    directed (doc_a = the contained side, both orientations emitted when
+    both clear the threshold), doc_a != doc_b.
     """
+    if n is None:
+        n = corpus_shingle_dial(docs)
     sh = with_word_shingles(docs, n)
     if max_df is not None:
         rare = (
@@ -729,7 +779,10 @@ def bloom_prefilter_contamination(
 
 
 def prefix_filter_pairs(
-    docs: DataFrame, n: int = 3, tau_num: int = 1, tau_den: int = 2
+    docs: DataFrame,
+    n: int | None = None,
+    tau_num: int = 1,
+    tau_den: int = 2,
 ) -> DataFrame:
     """Set-similarity join with prefix filtering (PPJoin family, Xiao et
     al. 2008): all document pairs whose n-shingle-set Jaccard >= tau
@@ -754,14 +807,18 @@ def prefix_filter_pairs(
     The dial: prefix filtering presumes rare shingles EXIST — when the
     corpus outgrows the shingle space (|vocab|^n distinct shingles), even
     the rarest prefix shingle's df grows linearly in the corpus and the
-    candidate join quadratically. Widen ``n`` with log_vocab(corpus) to
-    keep prefix df flat (measured: tools/run_scaling_pipe.py's
-    prefix_filter_scaled_n row), exactly as LSH widens its bit width.
+    candidate join quadratically. The default width therefore ADAPTS
+    (``corpus_shingle_dial``: one probe pass, n grows with
+    log_vocab(corpus) — measured as the healthy dial by
+    tools/run_scaling_pipe.py's prefix_filter_scaled_n row), exactly as
+    LSH widens its bit width.
 
     Out: doc_a, doc_b, n_a, n_b, n_common, jaccard (6dp).
     """
     from pyspark.sql.window import Window
 
+    if n is None:
+        n = corpus_shingle_dial(docs)
     sh = with_word_shingles(docs, n=n)
     df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (
@@ -922,7 +979,10 @@ def sorted_neighborhood_pairs(
 
 
 def ppjoin_pairs(
-    docs: DataFrame, n: int = 3, tau_num: int = 1, tau_den: int = 2
+    docs: DataFrame,
+    n: int | None = None,
+    tau_num: int = 1,
+    tau_den: int = 2,
 ) -> DataFrame:
     """PPJoin proper (Xiao et al. 2008): prefix filtering PLUS the length
     and positional filters, one algorithmic tier above
@@ -951,6 +1011,8 @@ def ppjoin_pairs(
     """
     from pyspark.sql.window import Window
 
+    if n is None:
+        n = corpus_shingle_dial(docs)
     sh = with_word_shingles(docs, n=n)
     df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (

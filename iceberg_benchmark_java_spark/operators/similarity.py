@@ -304,8 +304,38 @@ def cosine_topk_ivf(
     )
 
 
+# Adaptive sign-LSH sizing: keep expected bucket occupancy at the level
+# the base fixture measured as healthy (BANDED_BASE_VECTORS vectors over
+# 2^BANDED_BASE_BITS buckets ≈ 8 vectors/bucket). In-bucket pair counts
+# are quadratic in occupancy, so a FIXED bit width saturates as the corpus
+# grows (measured: n_bits=8 went x43.3 wall at x32 data and unmeasurable
+# at x100, while 8+ceil(log2(N/N0)) bits measured x2.9/x5.45 —
+# SCALING_r06_pipe.json / _x100.json). The dial is derived from ONE
+# count() at plan-build time; integer shift arithmetic keeps the Python
+# and DuckDB-oracle derivations bit-identical.
+BANDED_BASE_VECTORS = 2000
+BANDED_BASE_BITS = 8
+BANDED_MAX_BITS = 16  # 4 bands x 16 bits = the full 64-dim embedding
+
+
+def adaptive_sign_bits(
+    n_vectors: int,
+    base_n: int = BANDED_BASE_VECTORS,
+    base_bits: int = BANDED_BASE_BITS,
+    max_bits: int = BANDED_MAX_BITS,
+) -> int:
+    """Smallest ``base_bits + e`` with base_n * 2**e >= n_vectors, capped
+    at ``max_bits`` — i.e. double the bucket count every time the corpus
+    doubles past the base size, so per-bucket occupancy (and hence
+    candidate-pair cost per bucket) stays constant."""
+    e = 0
+    while (base_n << e) < n_vectors:
+        e += 1
+    return min(max_bits, base_bits + e)
+
+
 def cosine_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.25, n_bits: int = 8
+    embeddings: DataFrame, threshold: float = 0.25, n_bits: int | None = None
 ) -> DataFrame:
     """Embedding-cosine near-duplicate candidates: self-join restricted to
     the sign-LSH bucket, exact cosine inside, keep pairs ≥ threshold.
@@ -313,10 +343,13 @@ def cosine_near_dup_pairs(
     The dedup twin of ``cosine_topk_lsh``: instead of per-query top-k it
     yields all high-similarity pairs (vec_id < vec_id2 canonical order) for
     a downstream keep-one policy. At 100 TB: one shuffle on the bucket key;
-    within-bucket pair counts are quadratic in bucket size, so raise
-    ``n_bits`` (more, smaller buckets) as the corpus grows, or band over
+    within-bucket pair counts are quadratic in bucket size, so the default
+    bucket width ADAPTS to the corpus (``adaptive_sign_bits`` — one
+    count() at plan-build time keeps occupancy constant); band over
     multiple sign-bit slices for recall like MinHash-LSH.
     """
+    if n_bits is None:
+        n_bits = adaptive_sign_bits(embeddings.count())
     a = embeddings.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -352,7 +385,7 @@ def sign_bucket_band(emb: Column, band: int, n_bits: int = 8) -> Column:
 def cosine_near_dup_pairs_banded(
     embeddings: DataFrame,
     threshold: float = 0.25,
-    n_bits: int = 8,
+    n_bits: int | None = None,
     n_bands: int = 4,
 ) -> DataFrame:
     """Multi-band sign-LSH near-duplicate pairs: candidates are the UNION
@@ -366,9 +399,14 @@ def cosine_near_dup_pairs_banded(
     self-join (the vectors do NOT fan out ×n_bands); exact re-rank joins the
     embedding back by vec_id. One equi-join on (band_idx, bucket) + one
     distinct + two key joins — no all-pairs stage. Per-bucket pair counts
-    stay quadratic in bucket size, so at 100 TB raise n_bits and n_bands
-    together (smaller buckets, recall recovered by the union over bands).
+    stay quadratic in bucket size, so the default bit width ADAPTS to the
+    corpus size (``adaptive_sign_bits``: one count() at plan-build time,
+    buckets double as the corpus doubles — measured x2.9 wall at x32 data
+    / x5.45 at x100 vs x43.3 / unmeasurable for a fixed 8-bit dial);
+    recall lost to narrower buckets is recovered by the union over bands.
     """
+    if n_bits is None:
+        n_bits = adaptive_sign_bits(embeddings.count())
     slim = embeddings.select(
         "vec_id",
         F.explode(

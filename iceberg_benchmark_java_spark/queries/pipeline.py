@@ -35,6 +35,37 @@ _DUCK_SHINGLES = f"""
   )
 """
 
+# Adaptive shingle width, the oracle half of dedup.adaptive_shingle_width:
+# smallest n in [3,8] with min(vocab, 2^15)^n >= 32 * n_docs. Clamped-HUGEINT
+# integer powers on both sides — bit-identical derivations by construction.
+_DUCK_SHINGLE_DIAL = """
+    vstats AS (
+      SELECT CAST(LEAST(COUNT(DISTINCT t.x), 32768) AS HUGEINT) AS v,
+             CAST(COUNT(DISTINCT words.doc_id) AS HUGEINT) AS n
+      FROM words, UNNEST(w) t(x)),
+    dial AS (
+      SELECT COALESCE(MIN(t.nn), 8) AS sn
+      FROM (VALUES (3),(4),(5),(6),(7),(8)) t(nn), vstats
+      WHERE CASE t.nn
+              WHEN 3 THEN v*v*v
+              WHEN 4 THEN v*v*v*v
+              WHEN 5 THEN v*v*v*v*v
+              WHEN 6 THEN v*v*v*v*v*v
+              WHEN 7 THEN v*v*v*v*v*v*v
+              ELSE v*v*v*v*v*v*v*v END >= 32 * n)
+"""
+
+# _DUCK_SHINGLES with the adaptive width: same words CTE, shingle span sn.
+_DUCK_SHINGLES_ADAPTIVE = f"""
+  words AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+  {_DUCK_SHINGLE_DIAL},
+  sh AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i : i + sn - 1], ' ') AS shingle
+    FROM words, dial,
+         UNNEST(generate_series(1, GREATEST(len(w) - (sn - 1), 1))) AS t(i)
+  )
+"""
+
 # 60-bit hex→int parse (matches Spark's conv(substr(md5(w),1,15),16,10)).
 _DUCK_HEX15 = (
     "list_sum(list_transform(generate_series(1,15), i -> "
@@ -775,13 +806,25 @@ def ann_probe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- embedding-cosine near-duplicate pairs -----------------------------------
+# Adaptive sign-LSH bit width, the oracle half of similarity.adaptive_sign_bits:
+# smallest 8+e with 2000*2^e >= count(embeddings), capped at 16. Integer shift
+# arithmetic on both sides — bit-identical derivations by construction.
+_DUCK_NB = """nb AS (
+      SELECT LEAST(16, 8 + COALESCE(MIN(t.e), 8)) AS bits
+      FROM generate_series(0, 40) t(e),
+           (SELECT COUNT(*) AS n FROM embeddings) c
+      WHERE 2000 * (1::BIGINT << t.e) >= c.n)"""
+
+
 @query(
     "pipe_embedding_near_dup",
-    oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee,
-                 array_to_string(list_transform(CAST(embedding AS DOUBLE[])[1:8],
+    oracle=f"""
+    WITH {_DUCK_NB},
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee,
+                 array_to_string(list_transform(
+                   list_slice(CAST(embedding AS DOUBLE[]), 1, nb.bits),
                    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-               FROM embeddings)
+               FROM embeddings, nb)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_dot_product(a.ee, b.ee)
                  / (sqrt(list_dot_product(a.ee, a.ee))
@@ -796,19 +839,27 @@ def ann_probe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs ≥ 0.25 cosine within a sign-LSH
     bucket (canonical vec_a < vec_b order) — the ANN-side dedup path
-    alongside MinHash/SimHash text dedup."""
+    alongside MinHash/SimHash text dedup. Bucket width adapts to the
+    corpus (adaptive_sign_bits: one count() at plan-build time; 8 bits at
+    fixture scale, +1 bit per corpus doubling past 2000 vectors) so
+    in-bucket pair cost stays constant at 100 TB."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs(e.select("vec_id", "embedding"))
 
 
 # --- multi-band sign-LSH near-dup (recall-recovering banding) ----------------
-_DUCK_BANDED_CAND = """
+# Band width is the same adaptive dial as the single-band path (_DUCK_NB):
+# at fixture scale (<= 2000 vectors) it evaluates to the historical 8 bits,
+# at x100 warehouse scale to 15 — the registered entry IS the scale-safe plan.
+_DUCK_BANDED_CAND = f"""
+    {_DUCK_NB},
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
     bands AS (
       SELECT vec_id, t.b AS band_idx,
-             array_to_string(list_transform(ee[t.b*8+1 : t.b*8+8],
+             array_to_string(list_transform(
+               list_slice(ee, t.b*nb.bits+1, t.b*nb.bits+nb.bits),
                x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-      FROM e, UNNEST(generate_series(0, 3)) AS t(b)
+      FROM e, nb, UNNEST(generate_series(0, 3)) AS t(b)
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -831,14 +882,19 @@ _DUCK_BANDED_CAND = """
     """,
 )
 def embedding_near_dup_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-band sign-LSH near-dup: 4 bands × 8 sign bits, union of
-    same-bucket candidates (band 0 = the single-band bucket, so candidates
-    strictly contain pipe_embedding_near_dup's), exact cosine ≥ 0.25 inside.
-    Only (vec_id, band_idx, bucket) rows enter the self-join — vectors
-    rejoin by key for the re-rank."""
+    """Multi-band sign-LSH near-dup: 4 bands × adaptive-width sign slices,
+    union of same-bucket candidates (band 0 = the single-band bucket, so
+    candidates strictly contain pipe_embedding_near_dup's), exact cosine
+    ≥ 0.25 inside. Only (vec_id, band_idx, bucket) rows enter the
+    self-join — vectors rejoin by key for the re-rank. The band width is
+    adaptive_sign_bits(count) — 8 bits at fixture scale, +1 per corpus
+    doubling past 2000 vectors (cap 16, i.e. 4 bands cover the full
+    64-dim vector) — so the REGISTERED entry is the measured scale-safe
+    plan (x2.9 wall at x32, x5.45 at x100 vs x43.3/unmeasurable at a
+    fixed 8-bit dial, SCALING_r06_pipe.json)."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs_banded(
-        e.select("vec_id", "embedding"), threshold=0.25, n_bits=8, n_bands=4
+        e.select("vec_id", "embedding"), threshold=0.25, n_bands=4
     )
 
 
@@ -902,10 +958,10 @@ def near_dup_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
     )
     paths = {
-        "single": similarity.cosine_near_dup_pairs(e, threshold=0.25, n_bits=8)
+        "single": similarity.cosine_near_dup_pairs(e, threshold=0.25)
         .select("vec_a", "vec_b"),
         "banded": similarity.cosine_near_dup_pairs_banded(
-            e, threshold=0.25, n_bits=8, n_bands=4
+            e, threshold=0.25, n_bands=4
         ).select("vec_a", "vec_b"),
     }
     n_exact = exact.agg(F.count("*").alias("n_exact_pairs"))
@@ -1141,12 +1197,14 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embedding-space dedup clusters (CC over cosine pairs) -------------------
 @query(
     "pipe_embedding_clusters",
-    oracle="""
-    WITH RECURSIVE e AS (
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_NB},
+    e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee,
-             array_to_string(list_transform(CAST(embedding AS DOUBLE[])[1:8],
+             array_to_string(list_transform(
+               list_slice(CAST(embedding AS DOUBLE[]), 1, nb.bits),
                x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-      FROM embeddings),
+      FROM embeddings, nb),
     pairs AS (
       SELECT a.vec_id AS va, b.vec_id AS vb
       FROM e a JOIN e b USING (bucket)
@@ -2582,13 +2640,8 @@ def dup_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- directed containment near-dup pairs -------------------------------------
 @query(
     "pipe_containment_pairs",
-    oracle="""
-    WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-                   FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-      FROM words, UNNEST(generate_series(1, GREATEST(len(w) - 2, 1))) AS t(i)
-    ),
+    oracle=f"""
+    WITH {_DUCK_SHINGLES_ADAPTIVE},
     shf AS (
       SELECT doc_id, shingle FROM sh
       WHERE shingle IN (SELECT shingle FROM sh
@@ -2611,12 +2664,18 @@ def dup_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed near-containment pairs |A∩B|/|A| >= 0.5 over distinct
-    3-word shingles (operators/dedup.containment_pairs, max_df=100 scale
-    guard) — catches a short doc quoted/wrapped inside a longer one, which
-    symmetric Jaccard misses because the union is dominated by the long
-    side. Same bounded self-join shape as pipe_ngram_jaccard_pairs."""
+    adaptive-width word shingles (operators/dedup.containment_pairs,
+    max_df=100 scale guard) — catches a short doc quoted/wrapped inside a
+    longer one, which symmetric Jaccard misses because the union is
+    dominated by the long side. Shingle width is corpus_shingle_dial's
+    smallest n in [3,8] with vocab^n >= 32*n_docs (n=3 at fixture scale;
+    n=5 on the x10..x100 scaling warehouses, the dial measured at
+    x2.5/x3.3 wall vs x7.5+ for fixed n=3 —
+    SCALING_r06_containment.json), so the REGISTERED entry is the
+    scale-safe plan. Same bounded self-join shape as
+    pipe_ngram_jaccard_pairs."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.containment_pairs(d, n=3, threshold=0.5, max_df=100)
+    return dedup.containment_pairs(d, threshold=0.5, max_df=100)
 
 
 # --- SCD Type-2 history from an event log ------------------------------------
@@ -4581,7 +4640,7 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipe_prefix_filter_pairs",
     oracle=f"""
-    WITH {_DUCK_SHINGLES},
+    WITH {_DUCK_SHINGLES_ADAPTIVE},
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS c
@@ -4598,18 +4657,22 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def prefix_filter_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin-style prefix-filtered set-similarity join at Jaccard >= 1/2
-    over 3-shingle sets (dedup.prefix_filter_pairs). The THIRD candidate-
-    generation mechanism next to MinHash-LSH (probabilistic) and the
-    df-guarded shingle join (pipe_ngram_jaccard_pairs): prefix filtering
-    is EXACT — the rarest (1-tau) fraction of each doc's shingles, under
-    the global (df, shingle) order, provably covers every qualifying
-    pair, so the oracle is the plain brute-force Jaccard join and
-    equality is the losslessness theorem, not an approximation check.
-    Exact integer threshold test (3*common >= n_a+n_b), no float
-    boundary."""
+    over adaptive-width shingle sets (dedup.prefix_filter_pairs). The
+    THIRD candidate-generation mechanism next to MinHash-LSH
+    (probabilistic) and the df-guarded shingle join
+    (pipe_ngram_jaccard_pairs): prefix filtering is EXACT — the rarest
+    (1-tau) fraction of each doc's shingles, under the global
+    (df, shingle) order, provably covers every qualifying pair, so the
+    oracle is the plain brute-force Jaccard join and equality is the
+    losslessness theorem, not an approximation check. Exact integer
+    threshold test (3*common >= n_a+n_b), no float boundary. Shingle
+    width is corpus_shingle_dial's (n=3 at fixture scale, n=5 on the
+    scaling warehouses) — prefix filtering presumes rare shingles EXIST,
+    so the width must grow with log_vocab(corpus); the registered entry
+    is the production dial the r6 prefix_filter_scaled_n row measured."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.prefix_filter_pairs(
-        d.select("doc_id", "text"), n=3, tau_num=1, tau_den=2
+        d.select("doc_id", "text"), tau_num=1, tau_den=2
     )
 
 
@@ -6031,7 +6094,7 @@ def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipe_ppjoin_pairs",
     oracle=f"""
-    WITH {_DUCK_SHINGLES},
+    WITH {_DUCK_SHINGLES_ADAPTIVE},
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS c
@@ -6047,7 +6110,7 @@ def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ppjoin_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full PPJoin at Jaccard >= 1/2 over 3-shingle sets
+    """Full PPJoin at Jaccard >= 1/2 over adaptive-width shingle sets
     (dedup.ppjoin_pairs): prefix filtering plus the exact-integer length
     and positional filters. Same brute-force oracle as
     pipe_prefix_filter_pairs — equality IS the losslessness theorem for
@@ -6055,7 +6118,7 @@ def ppjoin_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verification (the dominant cost at 100 TB), measured in
     tests/test_operators.py::test_ppjoin_candidates_subset."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.ppjoin_pairs(d.select("doc_id", "text"), n=3, tau_num=1, tau_den=2)
+    return dedup.ppjoin_pairs(d.select("doc_id", "text"), tau_num=1, tau_den=2)
 
 
 # --- per-doc drop-reason waterfall ---------------------------------------------
@@ -6467,7 +6530,7 @@ def near_dup_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-row broadcast against the scored pairs."""
     e = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.cosine_near_dup_pairs_banded(
-        e.select("vec_id", "embedding"), threshold=0.2, n_bits=8, n_bands=4
+        e.select("vec_id", "embedding"), threshold=0.2, n_bands=4
     )
     thr = spark.createDataFrame([(0.2,), (0.4,), (0.6,), (0.8,)], "thr DOUBLE")
     return (

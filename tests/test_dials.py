@@ -1,0 +1,83 @@
+"""Adaptive candidate-generation dials: Python/SQL derivation equivalence.
+
+The registered near-dup entries derive their dials (sign-LSH bit width,
+shingle width) from corpus counts at plan-build time, and the DuckDB
+oracles re-derive the SAME dial in SQL. These tests pin the two
+derivations to each other over a wide range of corpus sizes — a drift
+here would silently change which plan the oracle models.
+No SparkSession needed: the derivations are pure integer arithmetic.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from iceberg_benchmark_java_spark.operators.dedup import (
+    SHINGLE_MAX_N,
+    adaptive_shingle_width,
+)
+from iceberg_benchmark_java_spark.operators.similarity import (
+    BANDED_MAX_BITS,
+    adaptive_sign_bits,
+)
+
+# SQL mirrors of the oracle fragments (pipeline._DUCK_NB /
+# _DUCK_SHINGLE_DIAL) with the corpus counts injected as literals.
+_NB_SQL = """
+SELECT LEAST(16, 8 + COALESCE(MIN(t.e), 8)) AS bits
+FROM generate_series(0, 40) t(e), (SELECT {n}::BIGINT AS n) c
+WHERE 2000 * (1::BIGINT << t.e) >= c.n
+"""
+
+_DIAL_SQL = """
+WITH vstats AS (SELECT CAST(LEAST({v}, 32768) AS HUGEINT) AS v,
+                       CAST({n} AS HUGEINT) AS n)
+SELECT COALESCE(MIN(t.nn), 8) AS sn
+FROM (VALUES (3),(4),(5),(6),(7),(8)) t(nn), vstats
+WHERE CASE t.nn
+        WHEN 3 THEN v*v*v
+        WHEN 4 THEN v*v*v*v
+        WHEN 5 THEN v*v*v*v*v
+        WHEN 6 THEN v*v*v*v*v*v
+        WHEN 7 THEN v*v*v*v*v*v*v
+        ELSE v*v*v*v*v*v*v*v END >= 32 * n
+"""
+
+
+def test_adaptive_sign_bits_values():
+    assert adaptive_sign_bits(0) == 8
+    assert adaptive_sign_bits(500) == 8  # fixture scale: historical dial
+    assert adaptive_sign_bits(2000) == 8
+    assert adaptive_sign_bits(2001) == 9  # first doubling
+    assert adaptive_sign_bits(64000) == 13  # x32 warehouse
+    assert adaptive_sign_bits(200000) == 15  # x100 warehouse
+    assert adaptive_sign_bits(10**9) == BANDED_MAX_BITS  # 4x16 = all 64 dims
+
+
+def test_adaptive_shingle_width_values():
+    assert adaptive_shingle_width(500, 31) == 3  # fixture: historical dial
+    assert adaptive_shingle_width(5000, 31) == 4
+    assert adaptive_shingle_width(50_000, 31) == 5  # x10 warehouse
+    assert adaptive_shingle_width(500_000, 31) == 5  # x100 warehouse
+    assert adaptive_shingle_width(10**12, 2) == SHINGLE_MAX_N  # degenerate
+    # huge vocab: n=3 always suffices (clamp keeps SQL overflow-free)
+    assert adaptive_shingle_width(10**9, 10**6) == 3
+
+
+@pytest.mark.parametrize(
+    "n", [0, 1, 499, 500, 1999, 2000, 2001, 4000, 4001, 63999, 64000,
+          64001, 200000, 10**7, 10**12]
+)
+def test_sign_bits_matches_duckdb(n):
+    got = duckdb.sql(_NB_SQL.format(n=n)).fetchone()[0]
+    assert got == adaptive_sign_bits(n), f"n_vectors={n}"
+
+
+@pytest.mark.parametrize("v", [1, 2, 31, 100, 32768, 10**6])
+@pytest.mark.parametrize(
+    "n", [1, 500, 5000, 50_000, 500_000, 10**8, 10**12]
+)
+def test_shingle_width_matches_duckdb(v, n):
+    got = duckdb.sql(_DIAL_SQL.format(v=v, n=n)).fetchone()[0]
+    assert got == adaptive_shingle_width(n, v), f"vocab={v} n_docs={n}"

@@ -51,14 +51,13 @@ HEADLINERS = [
     "pipe_bloom_decontamination",
     "pipe_boilerplate_removal",
     "pipe_textrank_keywords",
-    # round-6 second-half additions. pipe_prefix_filter_pairs is NOT here:
-    # at fixed shingle width n=3 this warehouse SATURATES the shingle space
-    # (31-word vocab -> 31^3~30k possible shingles vs millions of rows, so
-    # every "rare" prefix shingle has df in the hundreds and the candidate
-    # join grows quadratically in df) — a corpus-profile artifact, not a
-    # plan defect; the prefix_filter_scaled_n row below measures the
-    # production dial (shingle width grows with the corpus), exactly like
-    # banded_scaled_bits for LSH.
+    # Since round 7, pipe_prefix_filter_pairs (like pipe_containment_pairs
+    # and pipe_embedding_near_dup_banded above) is REGISTERED with the
+    # corpus-size-adaptive dial (dedup.corpus_shingle_dial /
+    # similarity.adaptive_sign_bits), so the roster measures the
+    # production configuration directly; the *_fixed_* rows below retain
+    # the fixed-dial saturation demonstration at small scales.
+    "pipe_prefix_filter_pairs",
     "pipe_bm25_topk",
     "pipe_bpe_encode",
     "pipe_typo_pairs",
@@ -445,20 +444,13 @@ def main() -> int:
             n_docs = spark.read.parquet(
                 os.path.join(d, "documents.parquet")
             ).count()
-            # Above 32x, skip the FIXED-8-bit banded timing: its in-bucket
-            # pair count grows quadratically (measured x41 at 32x, exactly
-            # as the operator docstring predicts for an un-widened LSH) and
-            # re-demonstrating it at 100x costs ~N^2 minutes for no new
-            # information; the scaled-bits row below is the production
-            # configuration and is always measured.
-            skip_fixed_banded = s > 32
-            names = [
-                q
-                for q in HEADLINERS
-                if not (skip_fixed_banded and q == "pipe_embedding_near_dup_banded")
-            ]
+            # Since round 7 the registered banded/containment/prefix
+            # entries carry the adaptive dial, so the full roster is
+            # measured at every scale — the quadratic fixed-dial blowup
+            # that used to force a skip above 32x lives only in the
+            # *_fixed_* demonstration rows (capped at 10x).
             ts = {}
-            for name in names:
+            for name in HEADLINERS:
                 ts.update(time_one(spark, queries, d, name))
             asserts_s = plan_asserts(spark, queries, d)
             if only is not None:
@@ -482,20 +474,36 @@ def main() -> int:
                     ),
                 }
                 continue
-            scaled_bits = 8 + max(1, (s - 1).bit_length())
-            t_bits = time_banded_scaled_bits(spark, d, scaled_bits)
             t_pq = time_pq_adc(spark, d)
             scaled_k = 16 * s
             t_sem = time_semantic_dedup(spark, d, scaled_k)
-            scaled_n = 4 if s <= 10 else 5
-            t_pf = time_prefix_filter(spark, d, scaled_n)
+            # Fixed-dial demonstration rows (the saturation the adaptive
+            # defaults exist to prevent), capped at 10x — beyond that the
+            # fixed dials grow quadratically (measured x43 at 32x / DNF at
+            # 100x, SCALING_r06_pipe.json) and re-demonstrating costs
+            # hours for no new information.
+            fixed_rows = {}
+            if s <= 10:
+                t_bits8 = time_banded_scaled_bits(spark, d, 8)
+                t_pf3 = time_prefix_filter(spark, d, 3)
+                fixed_rows = {
+                    "banded_near_dup_fixed_8bits": {
+                        "n_bits": 8,
+                        "t_1x_sec": t1["pipe_embedding_near_dup_banded"],
+                        "t_sec": t_bits8,
+                        "ratio": round(
+                            t_bits8 / t1["pipe_embedding_near_dup_banded"], 2
+                        ),
+                    },
+                    "prefix_filter_fixed_n3": {
+                        "shingle_n": 3,
+                        "t_1x_sec": t_pf_1x,
+                        "t_sec": t_pf3,
+                        "ratio": round(t_pf3 / t_pf_1x, 2),
+                    },
+                }
             per_scale[str(s)] = {
-                "prefix_filter_scaled_n": {
-                    "shingle_n": scaled_n,
-                    "t_1x_sec_n3": t_pf_1x,
-                    "t_sec": t_pf,
-                    "ratio": round(t_pf / t_pf_1x, 2),
-                },
+                **fixed_rows,
                 "semantic_dedup_scaled_k": {
                     "n_centroids": scaled_k,
                     "t_1x_sec_k16": t_sem_1x,
@@ -506,21 +514,6 @@ def main() -> int:
                     "t_1x_sec": t_pq_1x,
                     "t_sec": t_pq,
                     "ratio": round(t_pq / t_pq_1x, 2),
-                },
-                # the LSH-width dial doing its job: with FIXED 8-bit
-                # buckets, in-bucket candidate pairs grow quadratically in
-                # the data (a parameterization property, not a plan defect
-                # — at 100 TB n_bits widens with log2(corpus), exactly as
-                # measured here); the *_scaled_bits row re-times the same
-                # operator with n_bits = 8 + ceil(log2(scale)) so bucket
-                # occupancy stays ~constant.
-                "banded_near_dup_scaled_bits": {
-                    "n_bits": scaled_bits,
-                    "t_1x_sec_8bits": t1["pipe_embedding_near_dup_banded"],
-                    "t_sec": t_bits,
-                    "ratio": round(
-                        t_bits / t1["pipe_embedding_near_dup_banded"], 2
-                    ),
                 },
                 "docs_rows": n_docs,
                 "data_ratio": round(n_docs / n_docs_1, 3),
@@ -539,23 +532,14 @@ def main() -> int:
                 "max_ratio": max(
                     round(ts[q] / t1[q], 2) for q in ts if t1[q]
                 ),
-                # max ratio with the banded near-dup taken at its
-                # scale-appropriate n_bits (the production setting): the
-                # fixed-8-bit row above is kept to SHOW the quadratic
-                # in-bucket growth the dial exists to prevent.
+                # max ratio over the production dials: the registered
+                # roster entries (now adaptive by default) plus the
+                # scaled-k semantic-dedup row; fixed-dial demo rows are
+                # excluded — they exist to SHOW the saturation the
+                # adaptive defaults prevent.
                 "max_ratio_scaled_dials": max(
-                    [
-                        round(ts[q] / t1[q], 2)
-                        for q in ts
-                        if t1[q] and q != "pipe_embedding_near_dup_banded"
-                    ]
-                    + [
-                        round(
-                            t_bits / t1["pipe_embedding_near_dup_banded"], 2
-                        ),
-                        round(t_sem / t_sem_1x, 2),
-                        round(t_pf / t_pf_1x, 2),
-                    ]
+                    [round(ts[q] / t1[q], 2) for q in ts if t1[q]]
+                    + [round(t_sem / t_sem_1x, 2)]
                 ),
             }
     finally:
