@@ -66,6 +66,8 @@ HEADLINE = [
     # BENCH_DELTA_r06):
     "pipe_dsir_importance",
     "pipe_dedup_method_agreement",
+    # round-7 additions (new computation, disclosed in BENCH_DELTA_r07):
+    "pipe_semantic_dedup_two_level",
     # Verbatim reference corpus headliners (fixtures/ warehouse, fixed
     # scale): the marquee TPC-DS shapes named in the round-1 review plus
     # two verbatim TPC-H texts. These time the reference's own SQL files

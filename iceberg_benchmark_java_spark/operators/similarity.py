@@ -165,8 +165,103 @@ def nearest_centroid(
     )
 
 
+# Flat assignment scores every vector against ALL k centroids — O(N·k)
+# FLOPs, which turns quadratic when k scales with the corpus
+# (k ~ N/target_cluster_size, the SemDeDup dial: measured x26.4 wall at
+# x32 data for the scaled-k cell, SCALING_r06_pipe.json). Above this
+# threshold ivf_assignments switches to the two-level route (coarse
+# ~sqrt(k) cells -> fine argmax within the cell): O(N·sqrt(k)) FLOPs,
+# same broadcast-fold plan shape, no corpus shuffle either way.
+TWO_LEVEL_THRESHOLD = 32
+
+
+def two_level_assignments(
+    embeddings: DataFrame, n_centroids: int = 64, refine_iters: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level IVF assignment (the IMI/coarse-quantizer trick): seed
+    ``ceil(sqrt(k))`` coarse cells, map each of the k fine centroids to
+    its nearest coarse cell (k×sqrt(k) — tiny), then assign each corpus
+    vector by (1) argmax over the NONEMPTY coarse cells and (2) argmax
+    over only the fine centroids living in that cell. Per-vector cost
+    drops from k dot products to ~2·sqrt(k), which is what keeps k ∝ N
+    affordable (total FLOPs O(N·sqrt(k)) instead of O(N·k)).
+
+    Approximation note: a vector whose true nearest fine centroid lives
+    in a different coarse cell gets its within-cell best instead — the
+    standard IVF trade, deterministic here (6dp-rounded cosine, ties to
+    the lowest id at both levels) and modeled exactly by the DuckDB
+    oracle of pipe_semantic_dedup_two_level.
+
+    Plan shape: both centroid tables collapse to broadcast arrays; the
+    coarse argmax is a map-side fold; the fine argmax is a broadcast
+    equi-join on coarse_id + a fold over that cell's centroid array.
+    No shuffle of the corpus at any point. Returns (fine centroids,
+    assignments) with the same schema as the flat path.
+    """
+    import math
+
+    fine = seed_centroids(embeddings, n_centroids)
+    if refine_iters:
+        fine = kmeans_refine(embeddings, fine, n_iters=refine_iters)
+    k_c = math.isqrt(max(n_centroids - 1, 0)) + 1  # ceil(sqrt(k))
+    coarse = seed_centroids(embeddings, k_c).select(
+        F.col("cent_id").alias("coarse_id"), F.col("c_emb").alias("co_emb")
+    )
+    # fine centroid -> nearest coarse cell (k x sqrt(k), broadcast fold)
+    f2c = nearest_centroid(
+        fine.select(
+            F.col("cent_id").alias("fine_id"), F.col("c_emb").alias("embedding")
+        ),
+        coarse.select(
+            F.col("coarse_id").alias("cent_id"), F.col("co_emb").alias("c_emb")
+        ),
+    ).select(
+        F.col("fine_id"),
+        F.col("embedding").alias("f_emb"),
+        F.col("cent_id").alias("coarse_id"),
+    )
+    # cell membership: coarse_id -> cent_id-sorted array of fine centroids
+    cells = f2c.groupBy("coarse_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("fine_id").alias("cent_id"),
+                    F.col("f_emb").alias("c_emb"),
+                )
+            )
+        ).alias("_cell")
+    )
+    # vectors -> nearest NONEMPTY coarse cell (a cell no fine centroid
+    # mapped to can never win: it has no candidates to offer)
+    nonempty = coarse.join(cells.select("coarse_id"), "coarse_id")
+    v_coarse = nearest_centroid(
+        embeddings.select("vec_id", "embedding"),
+        nonempty.select(
+            F.col("coarse_id").alias("cent_id"), F.col("co_emb").alias("c_emb")
+        ),
+    ).withColumnRenamed("cent_id", "coarse_id")
+    scored = F.transform(
+        F.col("_cell"),
+        lambda c: F.struct(
+            F.round(cosine(F.col("embedding"), c.getField("c_emb")), SIM_SCALE).alias(
+                "csim"
+            ),
+            (-c.getField("cent_id")).alias("neg_cent_id"),
+        ),
+    )
+    assignments = (
+        v_coarse.join(F.broadcast(cells), "coarse_id")
+        .withColumn("cent_id", -F.array_max(scored).getField("neg_cent_id"))
+        .select("vec_id", "embedding", "cent_id")
+    )
+    return fine, assignments
+
+
 def ivf_assignments(
-    embeddings: DataFrame, n_centroids: int = 16, refine_iters: int = 0
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    refine_iters: int = 0,
+    two_level: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: deterministic centroids + nearest-centroid
     assignment.
@@ -175,12 +270,20 @@ def ivf_assignments(
     distance-aware, deterministic); ``refine_iters > 0`` runs that many
     distributed Lloyd's iterations (:func:`kmeans_refine`) before
     assignment. Assignment is argmax cosine, ties to the lowest cent_id.
+    With ``two_level=None`` the assignment route is chosen by k: flat
+    O(N·k) fold up to TWO_LEVEL_THRESHOLD centroids, the
+    :func:`two_level_assignments` O(N·sqrt(k)) route above it — the
+    switch that keeps the k ∝ N SemDeDup dial affordable.
 
     At 100 TB: centroids are a broadcast single-row array; assignment is a
-    single O(N×C) map-side fold (no shuffle of the corpus); the assignment
-    would be persisted as a partition column so queries prune to probed
-    lists. Returns (centroids, assignments).
+    map-side fold (no shuffle of the corpus); the assignment would be
+    persisted as a partition column so queries prune to probed lists.
+    Returns (centroids, assignments).
     """
+    if two_level is None:
+        two_level = n_centroids > TWO_LEVEL_THRESHOLD
+    if two_level:
+        return two_level_assignments(embeddings, n_centroids, refine_iters)
     centroids = seed_centroids(embeddings, n_centroids)
     if refine_iters:
         centroids = kmeans_refine(embeddings, centroids, n_iters=refine_iters)

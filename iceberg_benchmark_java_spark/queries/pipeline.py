@@ -4416,6 +4416,78 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SemDeDup via two-level IVF assignment (the k ∝ N scale path) ------------
+# Oracle half of similarity.two_level_assignments at n_centroids=64
+# (6 seed bits), coarse cells = ceil(sqrt(64)) = 8 (3 bits): fine and
+# coarse sign-orthant seedings, fine->coarse argmax, vector->nonempty-
+# coarse argmax, fine argmax WITHIN the assigned cell — every argmax
+# 6dp-rounded with lowest-id ties, exactly as the Spark folds compute.
+# The SemDeDup tail is the SAME _SEMDEDUP_FINAL as the flat entry, so the
+# keep-rule logic can never drift between the two.
+_DUCK_TWO_LEVEL_ASSIGN = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+    fb AS (SELECT vec_id, array_to_string(list_transform(ee[1:6],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket FROM e),
+    cent0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY b.bucket) AS INTEGER) - 1 AS cent_id,
+             e2.ee AS ce
+      FROM (SELECT bucket, MIN(vec_id) AS vec_id FROM fb GROUP BY bucket) b
+      JOIN e e2 USING (vec_id)),
+    cb AS (SELECT vec_id, array_to_string(list_transform(ee[1:3],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket FROM e),
+    coarse AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY b.bucket) AS INTEGER) - 1 AS coarse_id,
+             e2.ee AS co
+      FROM (SELECT bucket, MIN(vec_id) AS vec_id FROM cb GROUP BY bucket) b
+      JOIN e e2 USING (vec_id)),
+    f2c AS (
+      SELECT cent_id, coarse_id FROM (
+        SELECT f.cent_id, c.coarse_id,
+               ROW_NUMBER() OVER (PARTITION BY f.cent_id
+                 ORDER BY {_duck_cos("f.ce", "c.co")} DESC, c.coarse_id) AS rn
+        FROM cent0 f, coarse c) x WHERE rn = 1),
+    vc AS (
+      SELECT vec_id, coarse_id FROM (
+        SELECT e.vec_id, c.coarse_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos("e.ee", "c.co")} DESC, c.coarse_id) AS rn
+        FROM e CROSS JOIN (
+          SELECT co2.* FROM coarse co2
+          JOIN (SELECT DISTINCT coarse_id FROM f2c) ne USING (coarse_id)
+        ) c) x WHERE rn = 1),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, f.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos("e.ee", "f.ce")} DESC, f.cent_id) AS rn
+        FROM e
+        JOIN vc USING (vec_id)
+        JOIN f2c ON f2c.coarse_id = vc.coarse_id
+        JOIN cent0 f ON f.cent_id = f2c.cent_id) x WHERE rn = 1)
+"""
+
+
+@query(
+    "pipe_semantic_dedup_two_level",
+    oracle=_DUCK_TWO_LEVEL_ASSIGN + _SEMDEDUP_FINAL,
+)
+def semantic_dedup_two_level_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the TWO-LEVEL IVF assignment
+    (similarity.two_level_assignments, k=64 > TWO_LEVEL_THRESHOLD):
+    coarse sqrt(k) cells -> fine argmax within the cell, O(N·sqrt(k))
+    assignment FLOPs instead of the flat O(N·k) — the route that keeps
+    the SemDeDup k ∝ N dial affordable (flat scaled-k measured x26.4
+    wall at x32 data, SCALING_r06_pipe.json). The oracle models the
+    two-level route EXACTLY (including the within-cell-only argmax and
+    nonempty-cell restriction), so this entry proves the approximation
+    is deterministic, not just fast; the keep-rule tail is shared with
+    pipe_semantic_dedup's oracle verbatim."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        e.select("vec_id", "embedding"), n_centroids=64, threshold=0.2
+    )
+
+
 # --- HyperLogLog distinct sketch (mergeable registers) -----------------------
 _HLL_M = 64  # p=6
 _HLL_ALPHA = 0.709  # alpha_64

@@ -276,6 +276,26 @@ def test_decontamination_broadcasts_eval_side(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_two_level_assignment_no_corpus_shuffle(spark):
+    """Two-level IVF assignment (k > TWO_LEVEL_THRESHOLD): both argmax
+    levels must stay map-side broadcast folds — no shuffle of the corpus
+    on vec_id, no per-vector window, no cartesian. This is the plan
+    contract that makes the k ∝ N SemDeDup dial O(N·sqrt(k))."""
+    from iceberg_benchmark_java_spark.catalog import load_table
+    from iceberg_benchmark_java_spark.operators.similarity import (
+        TWO_LEVEL_THRESHOLD,
+        ivf_assignments,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    assert TWO_LEVEL_THRESHOLD < 64
+    _, assign = ivf_assignments(e, n_centroids=64)
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(vec_id" not in plan
+    assert "windowspecdefinition(vec_id" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_banded_near_dup_equijoin_no_vector_fanout(spark):
     """Multi-band near-dup: the candidate stage must be an equi-join on
     (band_idx, bucket) — no cartesian/BNLJ — and the embedding vectors must

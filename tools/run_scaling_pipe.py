@@ -79,6 +79,11 @@ HEADLINERS = [
     # dedup scale paths plus a flag self-join.
     "pipe_dsir_importance",
     "pipe_dedup_method_agreement",
+    # round-7 addition: SemDeDup routed through the two-level IVF
+    # assignment (k=64 > TWO_LEVEL_THRESHOLD) — O(N*sqrt(k)) FLOPs; the
+    # semantic_dedup_scaled_k row below measures the same route at
+    # k = 16*scale.
+    "pipe_semantic_dedup_two_level",
 ]
 
 EXACT_DUP_RATE = 0.002
@@ -269,11 +274,13 @@ def time_pq_adc(spark, sf_dir: str) -> float:
 
 
 def time_semantic_dedup(spark, sf_dir: str, n_centroids: int) -> float:
-    """Time SemDeDup with an explicit centroid count. The registered query
+    """Time SemDeDup with an explicit centroid count. The flat entry
     fixes n_centroids=16; at scale the within-cluster pair stage is
     quadratic in cluster OCCUPANCY, so the production setting grows k with
     the corpus (k ~ N / target_cluster_size) to hold occupancy flat —
-    this row measures exactly that dial, mirroring banded_scaled_bits."""
+    this row measures exactly that dial at k = 16*scale, which routes
+    through the two-level assignment (k > TWO_LEVEL_THRESHOLD) since
+    round 7, dropping assignment FLOPs from O(N*k) to O(N*sqrt(k))."""
     from iceberg_benchmark_java_spark.operators.similarity import (
         semantic_dedup,
     )
@@ -388,14 +395,15 @@ def plan_asserts(spark, queries, sf_dir: str) -> dict[str, str]:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
         "vec_id", "embedding"
     )
-    _, assign = ivf_assignments(emb, n_centroids=16)
-    ap = plan_of(assign)
-    errs = []
-    if "Exchange hashpartitioning(vec_id" in ap:
-        errs.append("corpus shuffled on vec_id")
-    if "windowspecdefinition(vec_id" in ap:
-        errs.append("per-vector window argmax")
-    results["ivf_assignment_stage"] = "pass" if not errs else "; ".join(errs)
+    for label, k in (("ivf_assignment_stage", 16), ("ivf_two_level_stage", 64)):
+        _, assign = ivf_assignments(emb, n_centroids=k)
+        ap = plan_of(assign)
+        errs = []
+        if "Exchange hashpartitioning(vec_id" in ap:
+            errs.append("corpus shuffled on vec_id")
+        if "windowspecdefinition(vec_id" in ap:
+            errs.append("per-vector window argmax")
+        results[label] = "pass" if not errs else "; ".join(errs)
     return results
 
 
@@ -469,6 +477,7 @@ def main() -> int:
                         for q in HEADLINERS
                     },
                     "ivf_assignment_stage": asserts_s["ivf_assignment_stage"],
+                    "ivf_two_level_stage": asserts_s["ivf_two_level_stage"],
                     "max_ratio": max(
                         round(ts[q] / t1[q], 2) for q in ts if t1[q]
                     ),
@@ -529,6 +538,7 @@ def main() -> int:
                     for q in HEADLINERS
                 },
                 "ivf_assignment_stage": asserts_s["ivf_assignment_stage"],
+                "ivf_two_level_stage": asserts_s["ivf_two_level_stage"],
                 "max_ratio": max(
                     round(ts[q] / t1[q], 2) for q in ts if t1[q]
                 ),
@@ -564,9 +574,10 @@ def main() -> int:
                 if v["plan_asserts_at_scale"] != "pass"
             }
             | {
-                "ivf_assignment_stage"
+                lbl
                 for s in per_scale.values()
-                if s["ivf_assignment_stage"] != "pass"
+                for lbl in ("ivf_assignment_stage", "ivf_two_level_stage")
+                if s[lbl] != "pass"
             }
         ),
     }
