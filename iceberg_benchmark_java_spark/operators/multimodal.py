@@ -595,20 +595,28 @@ def image_block_hash(media: DataFrame) -> DataFrame:
 
 
 def phash_near_dup_pairs(
-    hashes: DataFrame, max_hamming: int = 6, n_bands: int = 4
+    hashes: DataFrame, max_hamming: int = 6, n_bands: int | None = None
 ) -> DataFrame:
     """Near-duplicate image pairs by banded Hamming join over the 64-bit
     perceptual hash: split each hash into ``n_bands`` contiguous bands and
     equi-join per band (two images within Hamming distance n_bands-1 share
     at least one exact band by pigeonhole — so for max_hamming < n_bands
-    the blocking is lossless; beyond that it is the standard recall
+    the blocking is LOSSLESS; beyond that it is the standard recall
     trade), union the candidates, then verify exact Hamming distance
-    JVM-side (zip_with over the bit chars). The pair space never
-    materializes: candidates come from equi-joins on 16-bit band keys —
-    the same blocked shape as SimHash near-pairs (dedup.simhash_*), here
-    fed by REAL pixel content. Out: (media_a, media_b, hamming)."""
+    JVM-side (zip_with over the bit chars). The default
+    ``n_bands = max_hamming + 1`` therefore guarantees losslessness at
+    the requested radius (bits the integer division leaves uncovered
+    only help: differences there never spend a band); pass a smaller
+    ``n_bands`` explicitly to trade recall for fewer/larger band keys —
+    pipe_image_near_dup_recall MEASURES that trade against the exact
+    pair set. The pair space never materializes: candidates come from
+    equi-joins on short band keys — the same blocked shape as SimHash
+    near-pairs (dedup.simhash_*), here fed by REAL pixel content.
+    Out: (media_a, media_b, hamming)."""
     from pyspark.sql import functions as F  # local: keep module header lean
 
+    if n_bands is None:
+        n_bands = max_hamming + 1
     bits = 64
     band_w = bits // n_bands
     h = hashes.select("media_id", "phash")

@@ -3244,6 +3244,123 @@ def image_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_near_dup_pairs(hashes, max_hamming=3, n_bands=4)
 
 
+# --- image near-dup pair recall (banded blocking vs the exact pair set) ------
+def _duck_ham64(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, 64), i -> "
+        f"CASE WHEN substr({a}, i, 1) <> substr({b}, i, 1) "
+        f"THEN 1 ELSE 0 END)) AS INTEGER)"
+    )
+
+
+@query(
+    "pipe_image_near_dup_recall",
+    oracle=f"""
+    WITH {_DUCK_PHASH},
+    hp AS (SELECT media_id, phash FROM ph),
+    exact AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b
+      FROM hp a JOIN hp b ON a.media_id < b.media_id
+      WHERE {_duck_ham64("a.phash", "b.phash")} <= 6),
+    b4 AS (
+      SELECT media_id, phash, b, substr(phash, b * 16 + 1, 16) AS band_key
+      FROM hp, UNNEST(generate_series(0, 3)) AS t(b)),
+    c4 AS (
+      SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+      FROM b4 a JOIN b4 b
+        ON a.b = b.b AND a.band_key = b.band_key AND a.media_id < b.media_id
+      WHERE {_duck_ham64("a.phash", "b.phash")} <= 6),
+    b7 AS (
+      SELECT media_id, phash, b, substr(phash, b * 9 + 1, 9) AS band_key
+      FROM hp, UNNEST(generate_series(0, 6)) AS t(b)),
+    c7 AS (
+      SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+      FROM b7 a JOIN b7 b
+        ON a.b = b.b AND a.band_key = b.band_key AND a.media_id < b.media_id
+      WHERE {_duck_ham64("a.phash", "b.phash")} <= 6),
+    methods AS (
+      SELECT 'banded4' AS method, media_a, media_b FROM c4
+      UNION ALL
+      SELECT 'banded7' AS method, media_a, media_b FROM c7),
+    hits AS (
+      SELECT m.method, CAST(COUNT(*) AS BIGINT) AS n_found
+      FROM methods m JOIN exact x
+        ON m.media_a = x.media_a AND m.media_b = x.media_b
+      GROUP BY m.method)
+    SELECT lbl.method,
+           CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+           CAST(COALESCE(h.n_found, 0) AS BIGINT) AS n_found,
+           ROUND(CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 1.0
+                 ELSE COALESCE(h.n_found, 0) * 1.0
+                      / (SELECT COUNT(*) FROM exact) END, 6) AS recall
+    FROM (SELECT 'banded4' AS method UNION ALL SELECT 'banded7' AS method) lbl
+    LEFT JOIN hits h ON h.method = lbl.method
+    """,
+)
+def image_near_dup_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup PAIR recall of banded pHash blocking against the
+    exact all-pairs Hamming<=6 set (eval-only brute force at fixture
+    scale) — the image twin of pipe_near_dup_recall. 'banded7' is
+    phash_near_dup_pairs' DEFAULT n_bands = max_hamming+1 = 7
+    configuration, lossless by pigeonhole (recall 1.0 is the THEOREM
+    this entry re-proves on data); 'banded4' is the 4x16-bit dial,
+    lossless only to distance 3 — its measured recall at radius 6 is
+    the trade an operator accepts for fewer/larger band keys at 100 TB.
+    Fingerprints come from REAL decoded pixel content (image_block_hash);
+    everything downstream touches only the 64-char hash strings."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    hashes = multimodal.image_block_hash(multimodal.synthesize_textured_ppm(d))
+    h = hashes.select("media_id", "phash")
+    a = h.toDF("media_a", "ph_a")
+    b = h.toDF("media_b", "ph_b")
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("ph_a"), ""),
+                F.split(F.col("ph_b"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda d_: d_,
+        )
+    )
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("media_a") < F.col("media_b"))
+        .filter(ham.cast("int") <= 6)
+        .select("media_a", "media_b")
+    )
+    paths = {
+        "banded4": multimodal.phash_near_dup_pairs(
+            hashes, max_hamming=6, n_bands=4
+        ).select("media_a", "media_b"),
+        "banded7": multimodal.phash_near_dup_pairs(hashes, max_hamming=6).select(
+            "media_a", "media_b"
+        ),
+    }
+    n_exact = exact.agg(F.count("*").alias("n_exact_pairs"))
+    parts = []
+    for method, df in paths.items():
+        found = df.join(exact, ["media_a", "media_b"]).agg(
+            F.count("*").alias("n_found")
+        )
+        parts.append(
+            found.crossJoin(F.broadcast(n_exact)).select(
+                F.lit(method).alias("method"),
+                "n_exact_pairs",
+                "n_found",
+                F.round(
+                    F.when(F.col("n_exact_pairs") == 0, F.lit(1.0)).otherwise(
+                        F.col("n_found") / F.col("n_exact_pairs")
+                    ),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    return parts[0].unionAll(parts[1])
+
+
 # --- sorted-neighborhood blocking (the pre-LSH classic) ----------------------
 @query(
     "pipe_sorted_neighborhood",
