@@ -916,9 +916,6 @@ def sorted_neighborhood_pairs(
     supplementary-plane characters (surrogate pairs sort below U+E000 in
     UTF-16). The fixture corpus is ASCII; for arbitrary text, normalize
     the key to ASCII first or accept engine-relative neighbor windows."""
-    from pyspark.sql.window import Window
-
-    spark = docs.sparkSession
     toks = F.array_sort(
         F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
     )
@@ -927,32 +924,11 @@ def sorted_neighborhood_pairs(
         F.substring(F.array_join(toks, " "), 1, key_len).alias("snm_key"),
         toks.alias("toks"),
     )
-    try:  # "auto" is a legal value under some AQE configs
-        n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
-    except ValueError:
-        n_parts = 32
-    srt = (
-        base.repartitionByRange(
-            n_parts, F.col("snm_key").asc(), F.col("doc_id").asc()
-        )
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    pc = srt.groupBy("pid").agg(F.count("*").alias("pn"))
-    a, b = pc.alias("a"), pc.alias("b")
-    offsets = (
-        a.join(F.broadcast(b), F.col("b.pid") < F.col("a.pid"), "left")
-        .groupBy(F.col("a.pid").alias("pid"))
-        .agg(F.coalesce(F.sum("b.pn"), F.lit(0)).alias("off"))
-    )
-    w_in = Window.partitionBy("pid").orderBy(F.asc("snm_key"), F.asc("doc_id"))
-    ranked = (
-        srt.withColumn("r_in", F.row_number().over(w_in))
-        .join(F.broadcast(offsets), "pid")
-        .select(
-            (F.col("r_in") + F.col("off")).alias("rnk"), "doc_id", "toks"
-        )
-    )
+    from .scale import global_rank
+
+    ranked = global_rank(
+        base, F.col("snm_key").asc(), F.col("doc_id").asc()
+    ).select("rnk", "doc_id", "toks")
     left = ranked.select(
         F.col("rnk").alias("rnk_a"),
         F.col("doc_id").alias("d_a"),

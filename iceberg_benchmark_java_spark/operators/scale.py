@@ -125,6 +125,54 @@ def salted_join(
     return probe.join(build, [*on, SALT_COL], how).drop(SALT_COL)
 
 
+def global_rank(df: DataFrame, *order: Column) -> DataFrame:
+    """Dense global 1-based rank WITHOUT a single-partition window — the
+    partition-offset (zipWithIndex) decomposition, shared by the SNM
+    blocking key sort (dedup.sorted_neighborhood_pairs) and the Zipf
+    vocabulary rank (pipe_zipf_slope):
+
+    1. range-repartition on the total order (each range partition holds a
+       contiguous rank span, bounded at ~N/partitions rows),
+    2. row_number WITHIN each range partition (window partitioned by
+       spark_partition_id — never the whole frame on one task),
+    3. add each partition's broadcast offset = count of rows in earlier
+       ranges (a triangular self-join over the tiny per-partition counts).
+
+    The sorted frame is localCheckpoint'd once so the counts branch and
+    the rank branch read the SAME materialized partitioning — otherwise
+    the two branches could range-sample differently and offsets would
+    lie. ``order`` must be a total order (add a unique tiebreak column)
+    or equal rows get arbitrary-but-consistent distinct ranks. Appends
+    column ``rnk``; zero single-partition stages (plan-asserted in
+    tests/test_plans.py for both call sites)."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    try:  # "auto" is a legal value under some AQE configs
+        n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
+    except ValueError:
+        n_parts = 32
+    srt = (
+        df.repartitionByRange(n_parts, *order)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    pc = srt.groupBy("pid").agg(F.count("*").alias("pn"))
+    a, b = pc.alias("a"), pc.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.pn"), F.lit(0)).alias("off"))
+    )
+    w_in = Window.partitionBy("pid").orderBy(*order)
+    return (
+        srt.withColumn("r_in", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("rnk", F.col("r_in") + F.col("off"))
+        .drop("pid", "r_in", "off")
+    )
+
+
 def quantile_buckets(
     df: DataFrame, col: str, n_buckets: int = 4, relative_error: float = 0.01
 ) -> DataFrame:

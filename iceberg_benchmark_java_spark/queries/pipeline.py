@@ -2453,37 +2453,20 @@ def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint'd once so both the counts branch and the rank branch
     read the SAME materialized partitioning — zero single-partition
     stages (asserted in test_plans.py)."""
+    from ..operators.scale import global_rank
+
     d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
     )
-    try:  # "auto" is a legal value under some AQE configs
-        n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 2)
-    except ValueError:
-        n_parts = 32
-    srt = (
-        freq.repartitionByRange(n_parts, F.col("cnt").desc(), F.col("term").asc())
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    pc = srt.groupBy("pid").agg(F.count("*").alias("pn"))
-    a, b = pc.alias("a"), pc.alias("b")
-    offsets = (
-        a.join(F.broadcast(b), F.col("b.pid") < F.col("a.pid"), "left")
-        .groupBy(F.col("a.pid").alias("pid"))
-        .agg(F.coalesce(F.sum("b.pn"), F.lit(0)).alias("off"))
-    )
-    w_in = Window.partitionBy("pid").orderBy(F.desc("cnt"), F.asc("term"))
     quant = lambda c: F.floor(F.log(c) * 1_000_000).cast("long")  # noqa: E731
-    ranked = (
-        srt.withColumn("r_in", F.row_number().over(w_in))
-        .join(F.broadcast(offsets), "pid")
-        .select(
-            quant((F.col("r_in") + F.col("off")).cast("double")).alias("xq"),
-            quant(F.col("cnt")).alias("yq"),
-        )
+    ranked = global_rank(
+        freq, F.col("cnt").desc(), F.col("term").asc()
+    ).select(
+        quant(F.col("rnk").cast("double")).alias("xq"),
+        quant(F.col("cnt")).alias("yq"),
     )
     s = ranked.agg(
         F.count("*").alias("n"),
