@@ -474,6 +474,7 @@ def test_connected_components_long_chain_converges(spark):
     assert {r.cluster_id for r in out} == {0}
 
 
+@pytest.mark.medium
 def test_connected_components_batched_check_same_clusters(spark):
     """Batched convergence checking (check_every > 1) must yield exactly the
     per-round-checked assignments — labels are monotone, so a clean k-round
@@ -1457,6 +1458,7 @@ def test_phash_uniform_image_all_zero_bits():
     assert got is not None and got[2] == "0" * 64
 
 
+@pytest.mark.medium
 def test_image_near_dup_planted_and_blocking_lossless(spark):
     """The textured fixture family has genuine dup structure: docs with
     equal (doc_id%16, dims, doc_id%5) yield Hamming-0 pairs, and the

@@ -63,6 +63,7 @@ def test_quartiles_scale_has_no_window(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+@pytest.mark.medium
 def test_no_python_udf_in_relational_queries(spark):
     """The §2-B inventory must stay JVM-side (no BatchEvalPython /
     ArrowEvalPython nodes)."""
@@ -146,6 +147,7 @@ def test_minhash_single_shuffle_signature(spark):
     assert plan.count("Exchange hashpartitioning(doc_id") == 1
 
 
+@pytest.mark.medium
 def test_partitioned_warehouse_prunes(spark, tmp_path):
     """The partitioned-layout axis: a month-filtered scan over the
     partitioned warehouse must prune partitions (PartitionFilters) and

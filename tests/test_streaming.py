@@ -113,6 +113,7 @@ def test_sessionize_stream_emits_sessions(spark, stream_source_dir):
     assert stream_events == batch_events
 
 
+@pytest.mark.medium
 def test_enrich_stream_to_parquet_exactly_once(spark, stream_source_dir, tmp_path):
     """File-sink ingestion: streamed enrichment equals the batch plan, and
     a restart from the same checkpoint adds nothing (exactly-once)."""
@@ -264,6 +265,7 @@ def _write_event_file(spark, source_dir: str, seq: int, rows: list) -> None:
     os.utime(Path(source_dir) / f"batch-{seq:03d}.parquet", (base + seq, base + seq))
 
 
+@pytest.mark.medium
 def test_hourly_aggregate_stream_late_data_watermark(spark, tmp_path):
     """Late-data contract of hourly_aggregate_stream (2h watermark):
     out-of-order events still above the watermark are aggregated exactly
@@ -331,6 +333,7 @@ def test_hourly_aggregate_stream_late_data_watermark(spark, tmp_path):
         assert batch[hour] == n
 
 
+@pytest.mark.medium
 def test_dedup_stream_late_data_watermark(spark, tmp_path):
     """Late-data contract of dedup_events_stream (2h watermark): a
     re-delivered id still within the watermark is dropped as a duplicate;
@@ -374,6 +377,7 @@ def test_dedup_stream_late_data_watermark(spark, tmp_path):
     assert sorted(ids) == [1, 2, 3, 4, 9], f"got {sorted(ids)}"
 
 
+@pytest.mark.medium
 def test_sessionize_event_time_closes_on_watermark(spark, tmp_path):
     """Event-time sessionizer: sessions close when the WATERMARK passes
     last-event + gap — no wall-clock waiting, deterministic under replay.
@@ -438,6 +442,7 @@ def test_sessionize_event_time_closes_on_watermark(spark, tmp_path):
     assert closed == {(1, 0): 1, (1, 1): 1, (2, 0): 1, (2, 1): 0}
 
 
+@pytest.mark.medium
 def test_sessionize_event_time_matches_batch(spark, stream_source_dir, tmp_path):
     """Event-time sessionizer equals the batch sessionization on real
     fixture events once the watermark passes every session's close timer:
@@ -554,6 +559,7 @@ def test_dedup_against_corpus_stream(spark, tmp_path):
     assert got == [1001, 1003]
 
 
+@pytest.mark.medium
 def test_sessionize_event_time_timeout_then_return(spark, tmp_path):
     """A user who RETURNS after an event-time timeout closed their session
     must continue numbering at session_id+1 — the timeout tombstone keeps
@@ -615,6 +621,7 @@ def test_sessionize_event_time_timeout_then_return(spark, tmp_path):
     assert closed == {(1, 0): 1, (1, 1): 0, (3, 0): 1, (3, 1): 0}, closed
 
 
+@pytest.mark.medium
 def test_click_purchase_join_late_data(spark, tmp_path):
     """Interval-join late-data contract: an out-of-order purchase that is
     still ABOVE the watermark joins its click exactly as in batch; one that
@@ -685,6 +692,7 @@ def test_click_purchase_join_late_data(spark, tmp_path):
     assert pairs == [(1, 101), (3, 103)], pairs
 
 
+@pytest.mark.medium
 def test_sessionize_buffered_handles_cross_batch_disorder(spark, tmp_path):
     """The buffer-until-watermark sessionizer must produce batch-identical
     sessions when a user's events arrive OUT OF ORDER ACROSS micro-batches
@@ -745,6 +753,7 @@ def test_sessionize_buffered_handles_cross_batch_disorder(spark, tmp_path):
     assert got == {(1, 0): 2, (1, 1): 2, (2, 0): 2, (2, 1): 1}, got
 
 
+@pytest.mark.medium
 def test_click_purchase_left_outer_emits_unconverted(spark, tmp_path):
     """Left-outer interval join: a click with no purchase in its horizon is
     emitted exactly once with null purchase columns, but only after the
@@ -834,6 +843,7 @@ def test_sliding_aggregate_stream_matches_batch(spark, stream_source_dir):
     assert not missing, f"{len(missing)} windows disagree, e.g. {list(missing.items())[:2]}"
 
 
+@pytest.mark.medium
 def test_sliding_aggregate_stream_late_data_watermark(spark, tmp_path):
     """Late-data contract of the hopping-window stream (2h watermark), same
     one-batch filter-watermark-lag timeline as the hourly test: the 00:30
@@ -893,6 +903,7 @@ def test_sliding_aggregate_stream_late_data_watermark(spark, tmp_path):
     assert all(w < f"{d} 12:00:00" for w in got)
 
 
+@pytest.mark.medium
 def test_interval_join_late_data_watermark(spark, tmp_path):
     """Late-data contract of click_purchase_join_stream (2h watermark,
     60min horizon): out-of-order click/purchase pairs still above the
@@ -972,6 +983,7 @@ def test_interval_join_late_data_watermark(spark, tmp_path):
     assert got == batch
 
 
+@pytest.mark.medium
 def test_session_window_stream_matches_batch(spark, tmp_path):
     """The NATIVE session_window function is one code path for batch and
     stream: streamed in append mode with a 2h watermark plus a far-future
