@@ -79,11 +79,15 @@ HEADLINERS = [
     # dedup scale paths plus a flag self-join.
     "pipe_dsir_importance",
     "pipe_dedup_method_agreement",
-    # round-7 addition: SemDeDup routed through the two-level IVF
-    # assignment (k=64 > TWO_LEVEL_THRESHOLD) — O(N*sqrt(k)) FLOPs; the
-    # semantic_dedup_scaled_k row below measures the same route at
-    # k = 16*scale.
-    "pipe_semantic_dedup_two_level",
+    # pipe_semantic_dedup_two_level is NOT here: the registered entry is
+    # a fixed-k=64 CORRECTNESS proof of the two-level assignment route
+    # (oracle models the route exactly), and at fixed k SemDeDup's
+    # within-cluster pair stage grows quadratically with the corpus BY
+    # DESIGN (occupancy ~ N/k — the very reason the production dial is
+    # k ~ N; measured x15 wall at x10 before removal). The production
+    # configuration — k = 16*scale routed through the two-level
+    # assignment — is measured by the semantic_dedup_scaled_k row below
+    # at every scale.
 ]
 
 EXACT_DUP_RATE = 0.002
