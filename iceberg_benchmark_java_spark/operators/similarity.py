@@ -174,6 +174,31 @@ def nearest_centroid(
 # same broadcast-fold plan shape, no corpus shuffle either way.
 TWO_LEVEL_THRESHOLD = 32
 
+# Adaptive centroid count for SemDeDup-style clustering: k doubles with
+# the corpus past the base size so cluster OCCUPANCY (and hence the
+# within-cluster quadratic pair stage) stays flat — the k ∝ N dial from
+# Abbas et al., made affordable by the two-level assignment. Powers of
+# two only, so the DuckDB oracle can derive the same k (and both seeding
+# bit widths) with integer shift arithmetic.
+SEMDEDUP_BASE_VECTORS = 2000
+SEMDEDUP_BASE_BITS = 6  # k = 64 at base scale
+SEMDEDUP_MAX_BITS = 16
+
+
+def adaptive_centroids(
+    n_vectors: int,
+    base_n: int = SEMDEDUP_BASE_VECTORS,
+    base_bits: int = SEMDEDUP_BASE_BITS,
+    max_bits: int = SEMDEDUP_MAX_BITS,
+) -> int:
+    """k = 2**min(max_bits, base_bits + e) with the smallest e such that
+    base_n * 2**e >= n_vectors — the same doubling schedule as
+    adaptive_sign_bits, expressed as a centroid count."""
+    e = 0
+    while (base_n << e) < n_vectors:
+        e += 1
+    return 1 << min(max_bits, base_bits + e)
+
 
 def two_level_assignments(
     embeddings: DataFrame, n_centroids: int = 64, refine_iters: int = 0
@@ -198,12 +223,15 @@ def two_level_assignments(
     No shuffle of the corpus at any point. Returns (fine centroids,
     assignments) with the same schema as the flat path.
     """
-    import math
-
     fine = seed_centroids(embeddings, n_centroids)
     if refine_iters:
         fine = kmeans_refine(embeddings, fine, n_iters=refine_iters)
-    k_c = math.isqrt(max(n_centroids - 1, 0)) + 1  # ceil(sqrt(k))
+    # ~sqrt(k) coarse cells, derived from k's bit length rather than a
+    # float sqrt so the DuckDB oracle reproduces it with pure integer
+    # arithmetic (for k = 2^b this is 2^ceil(b/2) — within sqrt(2) of
+    # sqrt(k), which only nudges the coarse/fine cost split).
+    bits_f = max(n_centroids, 2) - 1
+    k_c = 1 << ((bits_f.bit_length() + 1) // 2)
     coarse = seed_centroids(embeddings, k_c).select(
         F.col("cent_id").alias("coarse_id"), F.col("c_emb").alias("co_emb")
     )
@@ -831,7 +859,9 @@ def pq_adc_topk(
 
 
 def semantic_dedup(
-    embeddings: DataFrame, n_centroids: int = 16, threshold: float = 0.2
+    embeddings: DataFrame,
+    n_centroids: int | None = 16,
+    threshold: float = 0.2,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the corpus with the deterministic IVF path, then WITHIN each cluster
@@ -846,9 +876,14 @@ def semantic_dedup(
     self-join on cent_id, quadratic ONLY in cluster size — n_centroids is
     the dial that scales with the corpus (k ~ N/target_cluster_size) to
     keep in-cluster occupancy flat, exactly like the LSH n_bits dial.
+    ``n_centroids=None`` applies that dial: k = adaptive_centroids(count)
+    (64 at base scale, doubling with the corpus), which routes through
+    the two-level assignment so total FLOPs stay O(N·sqrt(k)).
 
     Out: vec_id, cent_id, cent_sim, n_dup_partners, keep.
     """
+    if n_centroids is None:
+        n_centroids = adaptive_centroids(embeddings.count())
     centroids, assign = ivf_assignments(embeddings, n_centroids)
     cs = assign.join(F.broadcast(centroids), "cent_id").select(
         "vec_id",

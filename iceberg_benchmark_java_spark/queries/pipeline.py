@@ -4517,24 +4517,37 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SemDeDup via two-level IVF assignment (the k ∝ N scale path) ------------
-# Oracle half of similarity.two_level_assignments at n_centroids=64
-# (6 seed bits), coarse cells = ceil(sqrt(64)) = 8 (3 bits): fine and
-# coarse sign-orthant seedings, fine->coarse argmax, vector->nonempty-
-# coarse argmax, fine argmax WITHIN the assigned cell — every argmax
-# 6dp-rounded with lowest-id ties, exactly as the Spark folds compute.
-# The SemDeDup tail is the SAME _SEMDEDUP_FINAL as the flat entry, so the
-# keep-rule logic can never drift between the two.
+# Oracle half of similarity.two_level_assignments at the ADAPTIVE
+# centroid count (similarity.adaptive_centroids: k = 2^min(16, 6+e),
+# smallest e with 2000*2^e >= count — 64 at fixture scale), coarse cells
+# = 2^ceil(log2(k)/2): fine and coarse sign-orthant seedings,
+# fine->coarse argmax, vector->nonempty-coarse argmax, fine argmax
+# WITHIN the assigned cell — every argmax 6dp-rounded with lowest-id
+# ties, exactly as the Spark folds compute; both bit widths derived with
+# the same integer shift arithmetic as the Python side. The SemDeDup
+# tail is the SAME _SEMDEDUP_FINAL as the flat entry, so the keep-rule
+# logic can never drift between the two.
 _DUCK_TWO_LEVEL_ASSIGN = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
-    fb AS (SELECT vec_id, array_to_string(list_transform(ee[1:6],
-             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket FROM e),
+    bt AS (
+      SELECT LEAST(16, 6 + COALESCE(MIN(t.e), 10)) AS bf,
+             (LEAST(16, 6 + COALESCE(MIN(t.e), 10)) + 1) // 2 AS bc
+      FROM generate_series(0, 40) t(e),
+           (SELECT COUNT(*) AS n FROM embeddings) c
+      WHERE 2000 * (1::BIGINT << t.e) >= c.n),
+    fb AS (SELECT vec_id, array_to_string(list_transform(
+             list_slice(ee, 1, bt.bf),
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM e, bt),
     cent0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY b.bucket) AS INTEGER) - 1 AS cent_id,
              e2.ee AS ce
       FROM (SELECT bucket, MIN(vec_id) AS vec_id FROM fb GROUP BY bucket) b
       JOIN e e2 USING (vec_id)),
-    cb AS (SELECT vec_id, array_to_string(list_transform(ee[1:3],
-             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket FROM e),
+    cb AS (SELECT vec_id, array_to_string(list_transform(
+             list_slice(ee, 1, bt.bc),
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM e, bt),
     coarse AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY b.bucket) AS INTEGER) - 1 AS coarse_id,
              e2.ee AS co
@@ -4572,19 +4585,21 @@ _DUCK_TWO_LEVEL_ASSIGN = f"""
     oracle=_DUCK_TWO_LEVEL_ASSIGN + _SEMDEDUP_FINAL,
 )
 def semantic_dedup_two_level_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the TWO-LEVEL IVF assignment
-    (similarity.two_level_assignments, k=64 > TWO_LEVEL_THRESHOLD):
-    coarse sqrt(k) cells -> fine argmax within the cell, O(N·sqrt(k))
-    assignment FLOPs instead of the flat O(N·k) — the route that keeps
-    the SemDeDup k ∝ N dial affordable (flat scaled-k measured x26.4
-    wall at x32 data, SCALING_r06_pipe.json). The oracle models the
-    two-level route EXACTLY (including the within-cell-only argmax and
-    nonempty-cell restriction), so this entry proves the approximation
-    is deterministic, not just fast; the keep-rule tail is shared with
+    """SemDeDup at the PRODUCTION dial: adaptive centroid count
+    (similarity.adaptive_centroids — k = 64 at fixture scale, doubling
+    with the corpus so cluster occupancy and hence the within-cluster
+    pair stage stay flat) routed through the TWO-LEVEL IVF assignment
+    (k > TWO_LEVEL_THRESHOLD: coarse ~sqrt(k) cells -> fine argmax
+    within the cell, O(N·sqrt(k)) assignment FLOPs instead of the flat
+    O(N·k) that measured x26.4 wall at x32 data in r6). The oracle
+    models BOTH dials exactly — the integer-shift k derivation and the
+    two-level route (within-cell-only argmax, nonempty-cell
+    restriction) — so this entry proves the approximation is
+    deterministic, not just fast; the keep-rule tail is shared with
     pipe_semantic_dedup's oracle verbatim."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(
-        e.select("vec_id", "embedding"), n_centroids=64, threshold=0.2
+        e.select("vec_id", "embedding"), n_centroids=None, threshold=0.2
     )
 
 

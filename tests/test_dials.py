@@ -19,6 +19,7 @@ from iceberg_benchmark_java_spark.operators.dedup import (
 )
 from iceberg_benchmark_java_spark.operators.similarity import (
     BANDED_MAX_BITS,
+    adaptive_centroids,
     adaptive_sign_bits,
 )
 
@@ -72,6 +73,27 @@ def test_adaptive_shingle_width_values():
 def test_sign_bits_matches_duckdb(n):
     got = duckdb.sql(_NB_SQL.format(n=n)).fetchone()[0]
     assert got == adaptive_sign_bits(n), f"n_vectors={n}"
+
+
+# SQL mirror of the pipe_semantic_dedup_two_level oracle's bt CTE.
+_KBITS_SQL = """
+SELECT LEAST(16, 6 + COALESCE(MIN(t.e), 10)) AS bf,
+       (LEAST(16, 6 + COALESCE(MIN(t.e), 10)) + 1) // 2 AS bc
+FROM generate_series(0, 40) t(e), (SELECT {n}::BIGINT AS n) c
+WHERE 2000 * (1::BIGINT << t.e) >= c.n
+"""
+
+
+@pytest.mark.parametrize(
+    "n", [0, 500, 2000, 2001, 20000, 64000, 200000, 10**7, 10**13]
+)
+def test_adaptive_centroids_matches_duckdb(n):
+    bf, bc = duckdb.sql(_KBITS_SQL.format(n=n)).fetchone()
+    k = adaptive_centroids(n)
+    assert k == 1 << bf, f"n={n}: k={k} vs SQL 2^{bf}"
+    # the coarse width the Spark two-level route derives from k
+    bits_f = max(k, 2) - 1
+    assert (bits_f.bit_length() + 1) // 2 == bc, f"n={n}"
 
 
 @pytest.mark.parametrize("v", [1, 2, 31, 100, 32768, 10**6])

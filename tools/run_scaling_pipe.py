@@ -79,15 +79,16 @@ HEADLINERS = [
     # dedup scale paths plus a flag self-join.
     "pipe_dsir_importance",
     "pipe_dedup_method_agreement",
-    # pipe_semantic_dedup_two_level is NOT here: the registered entry is
-    # a fixed-k=64 CORRECTNESS proof of the two-level assignment route
-    # (oracle models the route exactly), and at fixed k SemDeDup's
-    # within-cluster pair stage grows quadratically with the corpus BY
-    # DESIGN (occupancy ~ N/k — the very reason the production dial is
-    # k ~ N; measured x15 wall at x10 before removal). The production
-    # configuration — k = 16*scale routed through the two-level
-    # assignment — is measured by the semantic_dedup_scaled_k row below
-    # at every scale.
+    # round-7: SemDeDup at the production dial — ADAPTIVE k
+    # (similarity.adaptive_centroids, k doubles with the corpus so
+    # cluster occupancy stays flat) routed through the two-level
+    # assignment (O(N*sqrt(k)) FLOPs). An earlier fixed-k=64 form of
+    # this entry measured x15 wall at x10 (occupancy ~ N/k makes the
+    # pair stage quadratic at fixed k — the very motivation for k ~ N);
+    # the registered adaptive form is the scale-safe plan. The
+    # semantic_dedup_scaled_k row below measures the k = 16*scale
+    # schedule through the same route.
+    "pipe_semantic_dedup_two_level",
 ]
 
 EXACT_DUP_RATE = 0.002
