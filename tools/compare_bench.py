@@ -46,8 +46,17 @@ def main() -> int:
         except BrokenPipeError:
             pass  # piped through head — keep building the --out report
 
-    old = json.loads(open(args[0]).read().strip().splitlines()[-1])
-    new = json.loads(open(args[1]).read().strip().splitlines()[-1])
+    def load(path: str) -> dict:
+        # bench emitted one-line files historically; BENCH_LOCAL_* files
+        # are now pretty-printed JSON — accept both.
+        text = open(path).read().strip()
+        try:
+            return json.loads(text)
+        except json.JSONDecodeError:
+            return json.loads(text.splitlines()[-1])
+
+    old = load(args[0])
+    new = load(args[1])
     threshold = float(args[2]) if len(args) > 2 else 25.0
     emit(f"# bench delta: {args[0]} -> {args[1]} (threshold {threshold}%)")
     # probe-based host-noise ratio: how much the fixed, code-stable query
