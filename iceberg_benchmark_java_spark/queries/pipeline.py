@@ -4603,6 +4603,85 @@ def semantic_dedup_two_level_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ANN recall through the two-level assignment (speed dial's quality) ------
+@query(
+    "pipe_ann_two_level_recall",
+    oracle=f"""
+    {_DUCK_TWO_LEVEL_ASSIGN},
+    q AS (SELECT vec_id AS query_id, ee AS qe FROM e WHERE vec_id < 10),
+    bs AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {_duck_cos("qe", "ee")} DESC, vec_id) AS rn
+      FROM q, e WHERE query_id <> vec_id),
+    btop AS (SELECT query_id, vec_id FROM bs WHERE rn <= 5),
+    probes AS (
+      SELECT query_id, cent_id FROM (
+        SELECT q.query_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_duck_cos("qe", "c.ce")} DESC, c.cent_id) AS rn
+        FROM q, cent0 c) x WHERE rn <= 8),
+    itop AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY {_duck_cos("q.qe", "e2.ee")} DESC, a.vec_id) AS rn
+        FROM probes p
+        JOIN assign a USING (cent_id)
+        JOIN q ON q.query_id = p.query_id
+        JOIN e e2 ON e2.vec_id = a.vec_id
+        WHERE p.query_id <> a.vec_id) x WHERE rn <= 5),
+    hits AS (
+      SELECT i.query_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM itop i JOIN btop b
+        ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+      GROUP BY 1)
+    SELECT q.query_id, COALESCE(h.n, 0) / 5.0 AS recall_at_5
+    FROM q LEFT JOIN hits h USING (query_id)
+    """,
+)
+def ann_two_level_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of IVF search over the TWO-LEVEL assignment (adaptive k,
+    n_probe=8) against the exact brute-force top-5 — the quality half of
+    the two-level speed dial. Two approximations compose here: probed
+    lists miss neighbors assigned elsewhere (the classic IVF recall
+    trade, measured by pipe_ann_probe_sweep), and the two-level
+    assignment itself may place a vector in a different list than the
+    flat argmax would (a vector's true nearest fine centroid can live in
+    a coarse cell it wasn't routed to). This entry measures the COMPOSED
+    effect, so an operator adopting the O(N·sqrt(k)) assignment at 100 TB
+    knows the recall price alongside the x26.4 -> x10.4 assignment
+    speedup (SCALING_r07 artifacts). Oracle reuses the two-level
+    assignment CTE verbatim — no drift possible vs
+    pipe_semantic_dedup_two_level."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    k_cents = similarity.adaptive_centroids(e.count())
+    brute = similarity.cosine_topk_bruteforce(e, q, k=5).select(
+        "query_id", "vec_id"
+    )
+    ivf = similarity.cosine_topk_ivf(
+        e, q, k=5, n_centroids=k_cents, n_probe=8
+    ).select("query_id", "vec_id")
+    hits = (
+        ivf.join(brute, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
 # --- HyperLogLog distinct sketch (mergeable registers) -----------------------
 _HLL_M = 64  # p=6
 _HLL_ALPHA = 0.709  # alpha_64
