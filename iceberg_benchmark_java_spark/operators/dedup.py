@@ -110,9 +110,18 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_df: int | None = None
+    docs: DataFrame,
+    n: int | None = None,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by n-word-shingle Jaccard similarity.
+
+    The default shingle width ADAPTS to the corpus
+    (``corpus_shingle_dial``): at a fixed width, corpus growth past the
+    V^n shingle space pushes every shingle's df over ``max_df`` and the
+    guard silently empties the result — the dial keeps rare shingles
+    existing, so the guard removes only genuinely-common ones.
 
     |A∩B| via shingle self-join, |A|,|B| via per-doc counts; J rounded to
     6dp for cross-engine determinism. Pairs restricted to doc_a < doc_b.
@@ -130,6 +139,8 @@ def ngram_jaccard_pairs(
     themselves — an operator-held cache() pins corpus-scale state in
     executor storage for the session lifetime.
     """
+    if n is None:
+        n = corpus_shingle_dial(docs)
     sh = with_word_shingles(docs, n)
     if max_df is not None:
         rare = (

@@ -119,7 +119,7 @@ def fingerprint_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipe_ngram_jaccard_pairs",
     oracle=f"""
-    WITH {_DUCK_SHINGLES},
+    WITH {_DUCK_SHINGLES_ADAPTIVE},
     shf AS (
       SELECT doc_id, shingle FROM sh
       WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100)
@@ -138,13 +138,18 @@ def fingerprint_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-word-shingle Jaccard near-dup pairs via shingle self-join
-    (|A∩B| aggregation — no O(n²) materialization before the threshold).
-    max_df=100 drops corpus-common shingles before the self-join — the
-    bound that keeps the join linear-ish at 100 TB (VERDICT r1 scale fix);
-    the oracle applies the identical document-frequency cutoff."""
+    """Adaptive-width word-shingle Jaccard near-dup pairs via shingle
+    self-join (|A∩B| aggregation — no O(n²) materialization before the
+    threshold). max_df=100 drops corpus-common shingles before the
+    self-join — the bound that keeps the join linear-ish at 100 TB
+    (VERDICT r1 scale fix). The shingle width is corpus_shingle_dial's
+    (n=3 at fixture scale): at a FIXED width, corpus growth past the
+    V^n shingle space pushes EVERY shingle's df over max_df and the
+    guard silently empties the result — a recall collapse rather than a
+    perf blowup, fixed by the same dial as containment/prefix-filter.
+    The oracle applies the identical dial and df cutoff."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=100)
+    return dedup.ngram_jaccard_pairs(d, threshold=0.2, max_df=100)
 
 
 # --- MinHash + LSH candidates ------------------------------------------------
