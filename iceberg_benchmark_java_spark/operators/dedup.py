@@ -22,6 +22,8 @@ the DuckDB oracles bit-for-bit.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -56,9 +58,27 @@ def adaptive_shingle_width(n_docs: int, vocab_size: int) -> int:
     return SHINGLE_MAX_N
 
 
+# The dial probe is an eager Spark job at plan-BUILD time; composite
+# queries (e.g. pipe_dedup_method_agreement builds several shingle
+# operators over the same corpus) must pay it once, not per operator.
+# Keyed on DataFrame identity (weak — dropped with the DataFrame), which
+# is exactly the reuse pattern of a composite query passing one loaded
+# table into several operators.
+_DIAL_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def corpus_shingle_dial(docs: DataFrame) -> int:
     """One probe pass over the corpus (doc count + distinct-token count,
-    same tokenization as with_word_shingles) feeding adaptive_shingle_width."""
+    same tokenization as with_word_shingles) feeding
+    adaptive_shingle_width. Memoized per input DataFrame object, so a
+    composite query building several shingle operators over the same
+    loaded table runs the probe job once."""
+    try:
+        return _DIAL_CACHE[docs]
+    except (KeyError, TypeError):
+        pass
     row = docs.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
         "doc_id",
@@ -66,7 +86,12 @@ def corpus_shingle_dial(docs: DataFrame) -> int:
         F.countDistinct("tok").alias("v"),
         F.countDistinct("doc_id").alias("n"),
     ).collect()[0]
-    return adaptive_shingle_width(int(row["n"]), int(row["v"]))
+    n = adaptive_shingle_width(int(row["n"]), int(row["v"]))
+    try:
+        _DIAL_CACHE[docs] = n
+    except TypeError:
+        pass  # unhashable/un-weakref-able DataFrame impl — skip the cache
+    return n
 
 
 def with_word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:

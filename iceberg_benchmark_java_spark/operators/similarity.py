@@ -21,10 +21,35 @@ HigherOrderFunctions, whole-stage codegen'd).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SIM_SCALE = 6
+
+# Adaptive dials (sign bits, centroid count) derive from ONE corpus count
+# at plan-build time — an eager Spark job. Memoized per DataFrame object
+# so composite queries building several adaptive operators over the same
+# loaded table pay the probe once (weak keys: entries die with the DF).
+_COUNT_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def corpus_count(df: DataFrame) -> int:
+    """df.count() memoized per DataFrame object — the shared probe for
+    every adaptive dial in this module."""
+    try:
+        return _COUNT_CACHE[df]
+    except (KeyError, TypeError):
+        pass
+    n = df.count()
+    try:
+        _COUNT_CACHE[df] = n
+    except TypeError:
+        pass
+    return n
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -204,7 +229,9 @@ def two_level_assignments(
     embeddings: DataFrame, n_centroids: int = 64, refine_iters: int = 0
 ) -> tuple[DataFrame, DataFrame]:
     """Two-level IVF assignment (the IMI/coarse-quantizer trick): seed
-    ``ceil(sqrt(k))`` coarse cells, map each of the k fine centroids to
+    ``2**ceil(b/2)`` coarse cells for k = 2**b — within sqrt(2)·sqrt(k),
+    derived with integer bit arithmetic so the DuckDB oracle reproduces
+    it exactly — map each of the k fine centroids to
     its nearest coarse cell (k×sqrt(k) — tiny), then assign each corpus
     vector by (1) argmax over the NONEMPTY coarse cells and (2) argmax
     over only the fine centroids living in that cell. Per-vector cost
@@ -302,6 +329,14 @@ def ivf_assignments(
     O(N·k) fold up to TWO_LEVEL_THRESHOLD centroids, the
     :func:`two_level_assignments` O(N·sqrt(k)) route above it — the
     switch that keeps the k ∝ N SemDeDup dial affordable.
+
+    .. warning:: the auto-route CHANGES RESULTS past the threshold: the
+       two-level path is an approximation (within-cell-only argmax — a
+       vector whose true nearest fine centroid lives in another coarse
+       cell gets its within-cell best instead). Callers that need exact
+       flat assignment at k > TWO_LEVEL_THRESHOLD must pass
+       ``two_level=False`` explicitly; every in-repo registered entry
+       models the approximate route in its oracle.
 
     At 100 TB: centroids are a broadcast single-row array; assignment is a
     map-side fold (no shuffle of the corpus); the assignment would be
@@ -480,7 +515,7 @@ def cosine_near_dup_pairs(
     multiple sign-bit slices for recall like MinHash-LSH.
     """
     if n_bits is None:
-        n_bits = adaptive_sign_bits(embeddings.count())
+        n_bits = adaptive_sign_bits(corpus_count(embeddings))
     a = embeddings.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -537,7 +572,7 @@ def cosine_near_dup_pairs_banded(
     recall lost to narrower buckets is recovered by the union over bands.
     """
     if n_bits is None:
-        n_bits = adaptive_sign_bits(embeddings.count())
+        n_bits = adaptive_sign_bits(corpus_count(embeddings))
     slim = embeddings.select(
         "vec_id",
         F.explode(
@@ -883,7 +918,7 @@ def semantic_dedup(
     Out: vec_id, cent_id, cent_sim, n_dup_partners, keep.
     """
     if n_centroids is None:
-        n_centroids = adaptive_centroids(embeddings.count())
+        n_centroids = adaptive_centroids(corpus_count(embeddings))
     centroids, assign = ivf_assignments(embeddings, n_centroids)
     cs = assign.join(F.broadcast(centroids), "cent_id").select(
         "vec_id",

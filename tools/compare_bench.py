@@ -59,6 +59,19 @@ def main() -> int:
     new = load(args[1])
     threshold = float(args[2]) if len(args) > 2 else 25.0
     emit(f"# bench delta: {args[0]} -> {args[1]} (threshold {threshold}%)")
+    # Compact bench lines (the stdout format: scalar probe + top-10-slowest
+    # queries + a "full" pointer) would silently gate only 10 queries and
+    # crash the probe block below — insist on the BENCH_LOCAL sidecar.
+    for label, payload, path in (("old", old, args[0]), ("new", new, args[1])):
+        if "full" in payload or (
+            "probe" in payload and not isinstance(payload["probe"], dict)
+        ):
+            emit(
+                f"ERROR: {label} file {path} is a compact bench line "
+                f"(scalar probe / top-10 queries only); pass its full "
+                f"sidecar instead: {payload.get('full', 'BENCH_LOCAL_*.json')}"
+            )
+            return 2
     # probe-based host-noise ratio: how much the fixed, code-stable query
     # moved between the two runs (1.0 = no host shift / probe absent)
     probe_ratio = 1.0
