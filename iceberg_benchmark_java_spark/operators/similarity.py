@@ -893,10 +893,27 @@ def pq_adc_topk(
     )
 
 
+# Occupancy bound for SemDeDup's within-cluster pair stage. The pair
+# self-join is quadratic in CLUSTER SIZE, and k ∝ N keeps occupancy flat
+# only until SEMDEDUP_MAX_BITS caps k = 65,536 — past the cap (and under
+# orthant skew before it) individual clusters grow with the corpus and
+# the pair stage turns quadratic again (measured x33.3 wall at x100,
+# SCALING_r07_semdedup_addendum.json). Clusters above the bound are
+# re-split by sign-orthant on the dimensions AFTER the seeding bits
+# (the same deterministic re-seed geometry seed_centroids uses, applied
+# within the oversize cell): each doubling of occupancy past the bound
+# adds one split bit, so expected sub-cell size stays ≤ the bound at any
+# corpus size. Pairs across sub-cells of an oversize cluster are no
+# longer compared — the measured recall trade that replaces the cliff.
+SEMDEDUP_OCC_BOUND = 64
+SEMDEDUP_SPLIT_MAX_E = 24  # bound * 2^24 ≈ 10^9 members — beyond any cell
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     n_centroids: int | None = 16,
     threshold: float = 0.2,
+    occupancy_bound: int | None = SEMDEDUP_OCC_BOUND,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the corpus with the deterministic IVF path, then WITHIN each cluster
@@ -915,6 +932,16 @@ def semantic_dedup(
     (64 at base scale, doubling with the corpus), which routes through
     the two-level assignment so total FLOPs stay O(N·sqrt(k)).
 
+    ``occupancy_bound`` (default 64) bounds the pair stage itself:
+    clusters with more than bound members are deterministically sub-split
+    by the sign-orthant of the ``e`` dimensions following the seeding
+    bits, with ``e`` the smallest integer where occ <= bound·2^e — so the
+    expected sub-cell size stays ≤ bound even when k hits its cap or a
+    cluster is orthant-skewed. ε-neighborhoods (and hence the keep rule)
+    are then scoped to the sub-cell: a recall trade, made deterministic
+    (pure integer derivation, same on the DuckDB oracle side) instead of
+    a scale cliff. ``None`` disables the bound (exact paper semantics).
+
     Out: vec_id, cent_id, cent_sim, n_dup_partners, keep.
     """
     if n_centroids is None:
@@ -928,20 +955,64 @@ def semantic_dedup(
             "cent_sim"
         ),
     )
+    if occupancy_bound:
+        # per-cluster split width: #caps [bound*2^0 .. bound*2^24] below
+        # the cluster's occupancy = smallest e with occ <= bound*2^e.
+        # k rows total — broadcast back onto the members.
+        bits_f = max(1, (max(n_centroids, 2) - 1).bit_length())
+        caps = F.array(
+            *[
+                F.lit(occupancy_bound << i)
+                for i in range(SEMDEDUP_SPLIT_MAX_E + 1)
+            ]
+        )
+        occ = (
+            assign.groupBy("cent_id")
+            .agg(F.count("*").alias("_occ"))
+            .select(
+                "cent_id",
+                F.size(F.filter(caps, lambda c: c < F.col("_occ"))).alias(
+                    "_e"
+                ),
+            )
+        )
+        # sub-key = signs of dims [bits_f+1 .. bits_f+e] (1-based) — the
+        # dims AFTER the seeding bits, which cluster members correlate on.
+        # Slice truncates past the embedding's end identically in Spark
+        # and DuckDB, so the key degrades deterministically if dims run
+        # out. e = 0 (cluster within bound) → empty key → no split.
+        sub_bits = F.transform(
+            F.slice(F.col("embedding"), F.lit(bits_f + 1), F.col("_e")),
+            lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0")),
+        )
+        cs = (
+            cs.join(F.broadcast(occ), "cent_id")
+            .withColumn(
+                "sub_key",
+                F.when(F.col("_e") <= 0, F.lit("")).otherwise(
+                    F.array_join(sub_bits, "")
+                ),
+            )
+            .drop("_e")
+        )
+    else:
+        cs = cs.withColumn("sub_key", F.lit(""))
     x = cs.select(
         "cent_id",
+        "sub_key",
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
         F.col("cent_sim").alias("sa"),
     )
     y = cs.select(
         "cent_id",
+        "sub_key",
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
         F.col("cent_sim").alias("sb"),
     )
     pr = (
-        x.join(y, "cent_id")
+        x.join(y, ["cent_id", "sub_key"])
         .filter(F.col("va") != F.col("vb"))
         .filter(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= threshold)
     )
@@ -963,7 +1034,7 @@ def semantic_dedup(
         .cast("long")
         .alias("n_dup_partners"),
         (F.coalesce(F.col("n_better"), F.lit(0)) == 0).alias("keep"),
-    )
+    )  # sub_key is internal: dropped by the explicit projection
 
 
 def gram_matrix(embeddings: DataFrame) -> DataFrame:

@@ -4478,18 +4478,47 @@ def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SemDeDup-style semantic dedup -------------------------------------------
-_SEMDEDUP_FINAL = f"""
-    , cs AS (
+def _semdedup_final(off_expr: str) -> str:
+    """SemDeDup keep-rule oracle tail over (e, cent0, assign) CTEs —
+    shared verbatim by the flat and two-level entries so the keep logic
+    can never drift. Models the occupancy bound exactly like
+    similarity.semantic_dedup: per-cluster split width e_bits = #caps
+    [bound·2^0 .. bound·2^24] below the occupancy (smallest e with
+    occ <= bound·2^e, pure integers), sub-key = signs of the e_bits dims
+    after the ``off_expr`` seeding bits, pair stage scoped to
+    (cent_id, sub_key)."""
+    from ..operators.similarity import SEMDEDUP_OCC_BOUND, SEMDEDUP_SPLIT_MAX_E
+
+    caps = ", ".join(
+        str(SEMDEDUP_OCC_BOUND << i) for i in range(SEMDEDUP_SPLIT_MAX_E + 1)
+    )
+    return f"""
+    , occ AS (
+      SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS occ
+      FROM assign GROUP BY cent_id),
+    ex AS (
+      SELECT cent_id,
+             len(list_filter([{caps}]::BIGINT[], c -> c < occ)) AS e_bits
+      FROM occ),
+    cs AS (
       SELECT a.vec_id, a.cent_id, e.ee,
+             CASE WHEN x.e_bits <= 0 THEN ''
+                  ELSE array_to_string(list_transform(
+                    list_slice(e.ee, ({off_expr}) + 1,
+                               ({off_expr}) + x.e_bits),
+                    v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '')
+             END AS sub_key,
              {_duck_cos("e.ee", "c.ce")} AS cent_sim
       FROM assign a
       JOIN e ON a.vec_id = e.vec_id
-      JOIN cent0 c ON a.cent_id = c.cent_id),
+      JOIN cent0 c ON a.cent_id = c.cent_id
+      JOIN ex x ON x.cent_id = a.cent_id),
     pr AS (
       SELECT x.vec_id AS va, x.cent_sim AS sa,
              y.vec_id AS vb, y.cent_sim AS sb
       FROM cs x JOIN cs y
-        ON x.cent_id = y.cent_id AND x.vec_id <> y.vec_id
+        ON x.cent_id = y.cent_id AND x.sub_key = y.sub_key
+       AND x.vec_id <> y.vec_id
       WHERE {_duck_cos("x.ee", "y.ee")} >= 0.2),
     d AS (
       SELECT va AS vec_id,
@@ -4504,17 +4533,20 @@ _SEMDEDUP_FINAL = f"""
 """
 
 
-@query("pipe_semantic_dedup", oracle=_duck_ivf_oracle(0, _SEMDEDUP_FINAL))
+@query("pipe_semantic_dedup", oracle=_duck_ivf_oracle(0, _semdedup_final("4")))
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic dedup over the embedding
     corpus (operators/similarity.semantic_dedup): deterministic IVF
     clustering, within-cluster cosine ε-neighbors (τ=0.2), keep the
     member LEAST similar to its centroid per duplicate group (diversity-
-    preserving keep rule, vec_id ties). The pairwise stage is bounded by
-    cluster occupancy — n_centroids is the corpus-scaling dial, like the
-    LSH bit width. Oracle: the shared IVF CTE template extended with the
-    within-cluster pair/keep logic, so the clustering can never drift
-    from pipe_ann_ivf_topk's."""
+    preserving keep rule, vec_id ties). The pairwise stage is bounded
+    twice: n_centroids is the corpus-scaling dial (like the LSH bit
+    width), and clusters above SEMDEDUP_OCC_BOUND members are
+    deterministically sub-split by post-seeding sign bits so the pair
+    self-join stays ≤ bound² per cell regardless of orthant skew. Oracle:
+    the shared IVF CTE template extended with the occupancy-split +
+    pair/keep logic, so the clustering can never drift from
+    pipe_ann_ivf_topk's."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(
         e.select("vec_id", "embedding"), n_centroids=16, threshold=0.2
@@ -4587,7 +4619,7 @@ _DUCK_TWO_LEVEL_ASSIGN = f"""
 
 @query(
     "pipe_semantic_dedup_two_level",
-    oracle=_DUCK_TWO_LEVEL_ASSIGN + _SEMDEDUP_FINAL,
+    oracle=_DUCK_TWO_LEVEL_ASSIGN + _semdedup_final("SELECT bf FROM bt"),
 )
 def semantic_dedup_two_level_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at the PRODUCTION dial: adaptive centroid count
@@ -4597,11 +4629,13 @@ def semantic_dedup_two_level_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k > TWO_LEVEL_THRESHOLD: coarse ~sqrt(k) cells -> fine argmax
     within the cell, O(N·sqrt(k)) assignment FLOPs instead of the flat
     O(N·k) that measured x26.4 wall at x32 data in r6). The oracle
-    models BOTH dials exactly — the integer-shift k derivation and the
+    models ALL THREE dials exactly — the integer-shift k derivation, the
     two-level route (within-cell-only argmax, nonempty-cell
-    restriction) — so this entry proves the approximation is
-    deterministic, not just fast; the keep-rule tail is shared with
-    pipe_semantic_dedup's oracle verbatim."""
+    restriction), and the SEMDEDUP_OCC_BOUND occupancy split (oversize
+    clusters re-split by post-seeding sign bits so the pair stage stays
+    ≤ bound² per cell past the k = 2^16 cap) — so this entry proves the
+    approximation is deterministic, not just fast; the keep-rule tail is
+    shared with pipe_semantic_dedup's oracle verbatim."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(
         e.select("vec_id", "embedding"), n_centroids=None, threshold=0.2

@@ -103,3 +103,80 @@ def test_adaptive_centroids_matches_duckdb(n):
 def test_shingle_width_matches_duckdb(v, n):
     got = duckdb.sql(_DIAL_SQL.format(v=v, n=n)).fetchone()[0]
     assert got == adaptive_shingle_width(n, v), f"vocab={v} n_docs={n}"
+
+
+# --- SemDeDup occupancy bound: split fires + Spark/SQL equivalence -----------
+# At fixture scale no cluster exceeds SEMDEDUP_OCC_BOUND (max occupancy
+# 43 at sf0.01, k=16), so the registered entries alone never exercise the
+# sub-split. These tests inflate the corpus (x16 replication with offset
+# vec_ids) until clusters DO exceed the bound, then pin the Spark
+# operator to the SAME oracle SQL the registered entry ships, run over an
+# identically-inflated DuckDB view.
+_INFLATE = 16
+_OFFSET = 1_000_000
+
+
+def test_occupancy_split_width_matches_duckdb():
+    from iceberg_benchmark_java_spark.operators.similarity import (
+        SEMDEDUP_OCC_BOUND,
+        SEMDEDUP_SPLIT_MAX_E,
+    )
+
+    caps = ", ".join(
+        str(SEMDEDUP_OCC_BOUND << i) for i in range(SEMDEDUP_SPLIT_MAX_E + 1)
+    )
+    for occ in [1, 63, 64, 65, 128, 129, 344, 4096, 10**9]:
+        got = duckdb.sql(
+            f"SELECT len(list_filter([{caps}]::BIGINT[], c -> c < {occ}))"
+        ).fetchone()[0]
+        # smallest e with occ <= bound * 2^e
+        e = 0
+        while (SEMDEDUP_OCC_BOUND << e) < occ:
+            e += 1
+        assert got == min(e, SEMDEDUP_SPLIT_MAX_E + 1), f"occ={occ}"
+
+
+@pytest.mark.medium
+def test_semantic_dedup_occupancy_split_vs_oracle(spark, duck):
+    """Inflated corpus drives clusters past SEMDEDUP_OCC_BOUND so the
+    sign-bit sub-split actually fires; Spark operator output must equal
+    the registered oracle SQL over the same inflated view."""
+    from pyspark.sql import functions as F
+
+    from tools.check_correctness import compare
+    from iceberg_benchmark_java_spark.operators import similarity
+    from iceberg_benchmark_java_spark.queries.pipeline import (
+        _duck_ivf_oracle,
+        _semdedup_final,
+    )
+    from tests.conftest import SF_SMOKE
+
+    base = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    inflated = base.crossJoin(
+        spark.range(_INFLATE).select(F.col("id").alias("_r"))
+    ).select(
+        (F.col("vec_id") + F.col("_r") * _OFFSET).alias("vec_id"), "embedding"
+    )
+    # the split must actually fire: some cluster past the bound
+    _, assign = similarity.ivf_assignments(inflated, 16)
+    max_occ = (
+        assign.groupBy("cent_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_occ > similarity.SEMDEDUP_OCC_BOUND, (
+        f"test corpus too small to exercise the split (max occ {max_occ})"
+    )
+    sdf = similarity.semantic_dedup(
+        inflated, n_centroids=16, threshold=0.2
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE VIEW embeddings AS
+        SELECT vec_id + r * {_OFFSET} AS vec_id, embedding
+        FROM read_parquet('{SF_SMOKE}/embeddings.parquet'),
+             UNNEST(generate_series(0, {_INFLATE - 1})) t(r)"""
+    )
+    ddf = con.sql(_duck_ivf_oracle(0, _semdedup_final("4"))).df()
+    errs = compare("semantic_dedup_occ_split", sdf, ddf)
+    assert not errs, "; ".join(errs)
