@@ -210,27 +210,49 @@ def gen_pipe_warehouse(out_dir: str, scale: int) -> None:
         f.write(str(scale))
 
 
-def time_one(spark, queries, sf_dir: str, name: str) -> dict[str, float]:
-    best = float("inf")
+def _timed_runs(fn) -> tuple[list[float], float]:
+    """Run fn twice, return (both wall times, min). BOTH runs land in the
+    artifact — a transient-noise cell is then visible in place (one bad
+    run next to a sane one) instead of needing an addendum file, the
+    round-7 lesson (the x13.97 cell corrected post-hoc in
+    SCALING_r07_*_addendum.json)."""
+    runs = []
     for _ in range(2):
         t0 = time.time()
-        queries[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        best = min(best, time.time() - t0)
-    best = round(best, 3)
-    print(f"[scaling-pipe] {sf_dir}: {name} = {best}s", file=sys.stderr)
-    return {name: best}
+        fn()
+        runs.append(round(time.time() - t0, 3))
+    return runs, min(runs)
 
 
-def time_headliners(spark, queries, sf_dir: str) -> dict[str, float]:
-    out: dict[str, float] = {}
+def time_one(
+    spark, queries, sf_dir: str, name: str
+) -> tuple[float, list[float]]:
+    runs, best = _timed_runs(
+        lambda: queries[name](spark, sf_dir)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    print(
+        f"[scaling-pipe] {sf_dir}: {name} = {best}s (runs {runs})",
+        file=sys.stderr,
+    )
+    return best, runs
+
+
+def time_headliners(
+    spark, queries, sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    best: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINERS:
-        out.update(time_one(spark, queries, sf_dir, name))
-    return out
+        best[name], runs[name] = time_one(spark, queries, sf_dir, name)
+    return best, runs
 
 
-def time_banded_scaled_bits(spark, sf_dir: str, n_bits: int) -> float:
+def time_banded_scaled_bits(
+    spark, sf_dir: str, n_bits: int
+) -> tuple[float, list[float]]:
     from iceberg_benchmark_java_spark.operators.similarity import (
         cosine_near_dup_pairs_banded,
     )
@@ -238,22 +260,23 @@ def time_banded_scaled_bits(spark, sf_dir: str, n_bits: int) -> float:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
         "vec_id", "embedding"
     )
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        cosine_near_dup_pairs_banded(
+    runs, best = _timed_runs(
+        lambda: cosine_near_dup_pairs_banded(
             emb, threshold=0.25, n_bits=n_bits, n_bands=4
-        ).write.format("noop").mode("overwrite").save()
-        best = min(best, time.time() - t0)
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     print(
         f"[scaling-pipe] {sf_dir}: banded_scaled_bits(n_bits={n_bits}) = "
-        f"{round(best, 3)}s",
+        f"{best}s (runs {runs})",
         file=sys.stderr,
     )
-    return round(best, 3)
+    return best, runs
 
 
-def time_pq_adc(spark, sf_dir: str) -> float:
+def time_pq_adc(spark, sf_dir: str) -> tuple[float, list[float]]:
     """Time the PQ-ADC path end-to-end (codebook train + encode + score
     top-5 for 10 queries). Training is a one-time corpus aggregation;
     scoring is the broadcast-LUT map-side fold — the row proves the whole
@@ -268,17 +291,22 @@ def time_pq_adc(spark, sf_dir: str) -> float:
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        pq_adc_topk(emb, q, k=5).write.format("noop").mode("overwrite").save()
-        best = min(best, time.time() - t0)
-    best = round(best, 3)
-    print(f"[scaling-pipe] {sf_dir}: pq_adc_topk = {best}s", file=sys.stderr)
-    return best
+    runs, best = _timed_runs(
+        lambda: pq_adc_topk(emb, q, k=5)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    print(
+        f"[scaling-pipe] {sf_dir}: pq_adc_topk = {best}s (runs {runs})",
+        file=sys.stderr,
+    )
+    return best, runs
 
 
-def time_semantic_dedup(spark, sf_dir: str, n_centroids: int) -> float:
+def time_semantic_dedup(
+    spark, sf_dir: str, n_centroids: int
+) -> tuple[float, list[float]]:
     """Time SemDeDup with an explicit centroid count. The flat entry
     fixes n_centroids=16; at scale the within-cluster pair stage is
     quadratic in cluster OCCUPANCY, so the production setting grows k with
@@ -293,22 +321,23 @@ def time_semantic_dedup(spark, sf_dir: str, n_centroids: int) -> float:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
         "vec_id", "embedding"
     )
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        semantic_dedup(
-            emb, n_centroids=n_centroids, threshold=0.2
-        ).write.format("noop").mode("overwrite").save()
-        best = min(best, time.time() - t0)
-    best = round(best, 3)
+    runs, best = _timed_runs(
+        lambda: semantic_dedup(emb, n_centroids=n_centroids, threshold=0.2)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     print(
-        f"[scaling-pipe] {sf_dir}: semantic_dedup(k={n_centroids}) = {best}s",
+        f"[scaling-pipe] {sf_dir}: semantic_dedup(k={n_centroids}) = {best}s "
+        f"(runs {runs})",
         file=sys.stderr,
     )
-    return best
+    return best, runs
 
 
-def time_prefix_filter(spark, sf_dir: str, n: int) -> float:
+def time_prefix_filter(
+    spark, sf_dir: str, n: int
+) -> tuple[float, list[float]]:
     """Time the PPJoin prefix-filter join at an explicit shingle width.
     The registered query fixes n=3; on this synthetic corpus the 31-word
     vocabulary saturates that shingle space as the corpus grows, so the
@@ -321,19 +350,18 @@ def time_prefix_filter(spark, sf_dir: str, n: int) -> float:
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        prefix_filter_pairs(d, n=n).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        best = min(best, time.time() - t0)
-    best = round(best, 3)
+    runs, best = _timed_runs(
+        lambda: prefix_filter_pairs(d, n=n)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     print(
-        f"[scaling-pipe] {sf_dir}: prefix_filter_pairs(n={n}) = {best}s",
+        f"[scaling-pipe] {sf_dir}: prefix_filter_pairs(n={n}) = {best}s "
+        f"(runs {runs})",
         file=sys.stderr,
     )
-    return best
+    return best, runs
 
 
 def plan_asserts(spark, queries, sf_dir: str) -> dict[str, str]:
@@ -445,11 +473,11 @@ def main() -> int:
         n_docs_1 = spark.read.parquet(
             os.path.join(BASE_DIR, "documents.parquet")
         ).count()
-        t1 = time_headliners(spark, queries, BASE_DIR)
+        t1, r1 = time_headliners(spark, queries, BASE_DIR)
         if only is None:
-            t_pq_1x = time_pq_adc(spark, BASE_DIR)
-            t_sem_1x = time_semantic_dedup(spark, BASE_DIR, 16)
-            t_pf_1x = time_prefix_filter(spark, BASE_DIR, 3)
+            t_pq_1x, r_pq_1x = time_pq_adc(spark, BASE_DIR)
+            t_sem_1x, r_sem_1x = time_semantic_dedup(spark, BASE_DIR, 16)
+            t_pf_1x, r_pf_1x = time_prefix_filter(spark, BASE_DIR, 3)
         asserts1 = plan_asserts(spark, queries, BASE_DIR)
         per_scale: dict[str, dict] = {}
         for s in scales:
@@ -462,9 +490,10 @@ def main() -> int:
             # measured at every scale — the quadratic fixed-dial blowup
             # that used to force a skip above 32x lives only in the
             # *_fixed_* demonstration rows (capped at 10x).
-            ts = {}
+            ts: dict[str, float] = {}
+            rs: dict[str, list[float]] = {}
             for name in HEADLINERS:
-                ts.update(time_one(spark, queries, d, name))
+                ts[name], rs[name] = time_one(spark, queries, d, name)
             asserts_s = plan_asserts(spark, queries, d)
             if only is not None:
                 per_scale[str(s)] = {
@@ -473,7 +502,9 @@ def main() -> int:
                     "queries": {
                         q: {
                             "t_1x_sec": t1[q],
+                            "runs_1x": r1[q],
                             "t_sec": ts.get(q),
+                            "runs": rs.get(q),
                             "ratio": round(ts[q] / t1[q], 2)
                             if q in ts and t1[q]
                             else None,
@@ -488,9 +519,9 @@ def main() -> int:
                     ),
                 }
                 continue
-            t_pq = time_pq_adc(spark, d)
+            t_pq, r_pq = time_pq_adc(spark, d)
             scaled_k = 16 * s
-            t_sem = time_semantic_dedup(spark, d, scaled_k)
+            t_sem, r_sem = time_semantic_dedup(spark, d, scaled_k)
             # Fixed-dial demonstration rows (the saturation the adaptive
             # defaults exist to prevent), capped at 10x — beyond that the
             # fixed dials grow quadratically (measured x43 at 32x / DNF at
@@ -498,13 +529,14 @@ def main() -> int:
             # hours for no new information.
             fixed_rows = {}
             if s <= 10:
-                t_bits8 = time_banded_scaled_bits(spark, d, 8)
-                t_pf3 = time_prefix_filter(spark, d, 3)
+                t_bits8, r_bits8 = time_banded_scaled_bits(spark, d, 8)
+                t_pf3, r_pf3 = time_prefix_filter(spark, d, 3)
                 fixed_rows = {
                     "banded_near_dup_fixed_8bits": {
                         "n_bits": 8,
                         "t_1x_sec": t1["pipe_embedding_near_dup_banded"],
                         "t_sec": t_bits8,
+                        "runs": r_bits8,
                         "ratio": round(
                             t_bits8 / t1["pipe_embedding_near_dup_banded"], 2
                         ),
@@ -512,7 +544,9 @@ def main() -> int:
                     "prefix_filter_fixed_n3": {
                         "shingle_n": 3,
                         "t_1x_sec": t_pf_1x,
+                        "runs_1x": r_pf_1x,
                         "t_sec": t_pf3,
+                        "runs": r_pf3,
                         "ratio": round(t_pf3 / t_pf_1x, 2),
                     },
                 }
@@ -521,12 +555,16 @@ def main() -> int:
                 "semantic_dedup_scaled_k": {
                     "n_centroids": scaled_k,
                     "t_1x_sec_k16": t_sem_1x,
+                    "runs_1x": r_sem_1x,
                     "t_sec": t_sem,
+                    "runs": r_sem,
                     "ratio": round(t_sem / t_sem_1x, 2),
                 },
                 "pq_adc_topk": {
                     "t_1x_sec": t_pq_1x,
+                    "runs_1x": r_pq_1x,
                     "t_sec": t_pq,
+                    "runs": r_pq,
                     "ratio": round(t_pq / t_pq_1x, 2),
                 },
                 "docs_rows": n_docs,
@@ -534,7 +572,9 @@ def main() -> int:
                 "queries": {
                     q: {
                         "t_1x_sec": t1[q],
+                        "runs_1x": r1[q],
                         "t_sec": ts.get(q),
+                        "runs": rs.get(q),
                         "ratio": round(ts[q] / t1[q], 2)
                         if q in ts and t1[q]
                         else None,
