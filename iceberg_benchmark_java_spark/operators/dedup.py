@@ -577,6 +577,77 @@ def dup_span_coverage(docs: DataFrame, n: int = 8, min_df: int = 2) -> DataFrame
     )
 
 
+def dup_span_removal(docs: DataFrame, n: int = 8, min_df: int = 2) -> DataFrame:
+    """Exact duplicated-span REMOVAL — the production half of
+    :func:`dup_span_coverage` (Lee et al. 2021, arXiv:2107.06499): where
+    coverage MEASURES the per-doc fraction of token positions covered by
+    cross-document n-grams, this operator EXCISES those positions and
+    emits the cleaned text.
+
+    A token at position p is removed iff some duplicated n-gram starts at
+    a position s with s <= p < s+n in the SAME doc — exactly the
+    positions dup_span_coverage counts, so ``tokens_removed`` here equals
+    that entry's ``covered_tokens`` per doc (reconciliation is
+    pytest-pinned).
+
+    Plan shape: the gram-df stages are shared with coverage (one shuffle
+    keyed by gram); the dup-span starts then aggregate to ONE
+    per-doc sorted array (one shuffle on doc_id — the same key as
+    coverage's window) which joins back to the doc row, and the excision
+    itself is a per-row JVM transform/filter over the token array against
+    that array (no Python, no extra shuffle, nothing cross-doc beyond the
+    gram join). Span counts per doc are bounded by doc length, so the
+    per-row exists() scan is O(n_tok · n_spans) with both factors
+    document-bounded — corpus size never enters.
+
+    Out: doc_id, n_tok, tokens_removed, chars_removed, clean_text
+    (kept tokens joined by single spaces; chars are measured against the
+    same single-space normalization so the two engines agree byte-wise).
+    """
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    g = positional_ngrams(docs, n)
+    dup_grams = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gram")
+    )
+    starts = (
+        g.join(dup_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("start")).alias("_starts"))
+    )
+    base = docs.select("doc_id", words.alias("_w"))
+    joined = base.join(starts, "doc_id", "left").withColumn(
+        "_starts",
+        F.coalesce(F.col("_starts"), F.array().cast("array<bigint>")),
+    )
+    # 1-based position of each token; keep it iff NO dup span covers it
+    kept = F.filter(
+        F.transform(
+            F.col("_w"),
+            lambda tok, i: F.struct(
+                (i + 1).cast("long").alias("pos"), tok.alias("tok")
+            ),
+        ),
+        lambda s: ~F.exists(
+            F.col("_starts"),
+            lambda st: (s.getField("pos") >= st)
+            & (s.getField("pos") < st + F.lit(n)),
+        ),
+    )
+    clean = F.array_join(F.transform(kept, lambda s: s.getField("tok")), " ")
+    return joined.select(
+        "doc_id",
+        F.size("_w").cast("long").alias("n_tok"),
+        (F.size("_w") - F.size(kept)).cast("long").alias("tokens_removed"),
+        (
+            F.length(F.array_join(F.col("_w"), " ")) - F.length(clean)
+        ).cast("long").alias("chars_removed"),
+        clean.alias("clean_text"),
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     n: int | None = None,

@@ -2625,6 +2625,57 @@ def dup_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_span_coverage(d, n=8, min_df=2)
 
 
+# --- cross-doc duplicated-span REMOVAL (the production excision) -------------
+@query(
+    "pipe_dup_span_removal",
+    oracle="""
+    WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                   FROM documents),
+    base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok, w FROM words),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS start,
+             array_to_string(w[i:i+7], ' ') AS gram
+      FROM base, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+      WHERE n_tok >= 8
+    ),
+    dupg AS (SELECT gram FROM g GROUP BY gram
+             HAVING COUNT(DISTINCT doc_id) >= 2),
+    ds AS (SELECT doc_id, start FROM g
+           WHERE gram IN (SELECT gram FROM dupg)),
+    keeppos AS (
+      SELECT b.doc_id, CAST(t.i AS BIGINT) AS pos, b.w[t.i] AS tok
+      FROM base b, UNNEST(generate_series(1, len(b.w))) AS t(i)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ds
+        WHERE ds.doc_id = b.doc_id
+          AND t.i >= ds.start AND t.i < ds.start + 8)
+    ),
+    cleaned AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM keeppos GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tok,
+           b.n_tok - COALESCE(c.n_kept, 0) AS tokens_removed,
+           CAST(len(array_to_string(b.w, ' '))
+                - len(COALESCE(c.clean_text, '')) AS BIGINT) AS chars_removed,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM base b LEFT JOIN cleaned c USING (doc_id)
+    """,
+)
+def dup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span REMOVAL (operators/dedup.dup_span_removal) —
+    the production excision half of pipe_dup_span_coverage (Lee et al.
+    2021): tokens covered by any cross-document 8-gram (df >= 2) are cut
+    and the cleaned text emitted with per-doc tokens/chars removed.
+    tokens_removed reconciles exactly with the coverage entry's
+    covered_tokens (pytest-pinned). Same two shuffles as coverage (gram
+    df, per-doc span aggregation); the excision is a per-row JVM
+    transform/filter against the doc's own span array — nothing
+    cross-doc beyond the existing gram join."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.dup_span_removal(d, n=8, min_df=2)
+
+
 # --- directed containment near-dup pairs -------------------------------------
 @query(
     "pipe_containment_pairs",

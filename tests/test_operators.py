@@ -1875,3 +1875,34 @@ def test_continuation_entry_invariants(spark):
 
     au = _q(spark, "pipe_doc_embedding_audit").collect()[0]
     assert au.n_paired > 0 and au.docs_missing_vec == 0
+
+
+def test_dup_span_removal_planted_and_reconciles(spark):
+    """Excision on the same planted corpus as the coverage test: removed
+    token counts must equal coverage's covered_tokens per doc (the Lee et
+    al. measurement/production reconciliation), and the cleaned text must
+    be exactly the uncovered positions in order."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),        # 8 tok
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),        # = doc 0
+        (2, "alpha beta gamma delta epsilon zeta eta theta xx yy"),  # 10 tok
+        (3, "one two three four five six seven eight"),              # unique
+        (4, "tiny doc under eight tokens"),                          # 5 tok
+        (5, "p1 p2 p3 p4 p5 p6 p7 p8 p9"),                           # 9 tok
+        (6, "p1 p2 p3 p4 p5 p6 p7 p8 p9"),                           # = doc 5
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.dup_span_removal(d, n=8).collect()}
+    cov = {r.doc_id: r for r in dedup.dup_span_coverage(d, n=8).collect()}
+    assert len(out) == 7
+    for i in range(7):
+        assert out[i].tokens_removed == cov[i].covered_tokens, f"doc {i}"
+        assert out[i].n_tok == cov[i].n_tok
+    assert out[0].clean_text == ""  # fully duplicated doc -> excised away
+    assert out[2].clean_text == "xx yy"  # only the shared 8-gram cut
+    assert out[3].clean_text == rows[3][1]  # unique doc untouched
+    assert out[4].clean_text == rows[4][1]  # short doc untouched
+    assert out[5].clean_text == ""  # overlapping spans union to all 9
+    # chars_removed measured against single-space normalization
+    assert out[2].chars_removed == len(rows[2][1]) - len("xx yy")
+    assert out[3].chars_removed == 0

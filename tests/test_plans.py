@@ -1070,3 +1070,24 @@ def test_sampler_bias_stratum_window_only(spark):
         if "windowspecdefinition(" in ln and "lang" not in ln
     ]
     assert not bad, bad
+
+
+def test_dup_span_removal_no_extra_shuffle(spark):
+    """pipe_dup_span_removal: the excision must be a per-row JVM
+    transform/filter against the doc's broadcast-back span array — the
+    only shuffles are the gram-df aggregation and the doc_id span
+    aggregation/join that coverage already pays. No cartesian/BNLJ, no
+    Python eval, no window at all (the excision replaces coverage's
+    interval-union window with a per-row array fold)."""
+    plan = _plan(spark, "pipe_dup_span_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "windowspecdefinition" not in plan
+    # cross-doc exchanges: gram df groupBy + left-semi (gram key), span
+    # groupBy + doc join (doc_id key) — nothing else
+    import re
+    keys = set()
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan):
+        keys.add(m.group(1))
+    assert keys <= {"gram", "doc_id"}, keys

@@ -47,6 +47,9 @@ HEADLINERS = [
     "pipe_ann_ivf_topk",
     "pipe_embedding_near_dup_banded",
     "pipe_dup_span_coverage",
+    # round-8: the excision twin — same gram-df + doc_id-keyed shape as
+    # coverage, plus the per-row JVM excision fold
+    "pipe_dup_span_removal",
     "pipe_containment_pairs",
     "pipe_bloom_decontamination",
     "pipe_boilerplate_removal",
