@@ -481,7 +481,14 @@ def cosine_topk_ivf(
 # and DuckDB-oracle derivations bit-identical.
 BANDED_BASE_VECTORS = 2000
 BANDED_BASE_BITS = 8
-BANDED_MAX_BITS = 16  # 4 bands x 16 bits = the full 64-dim embedding
+# Slice buckets (leading-dim signs) run out of dimensions at 16 bits
+# (4 bands x 16 = all 64 fixture dims); past BANDED_SLICE_MAX_BITS the
+# banded path switches to hash-seeded random-hyperplane projections
+# (sign_bucket_rp — deterministic, oracle-reproducible), which keep
+# doubling bucket counts with the corpus up to BANDED_MAX_BITS = 32
+# (occupancy flat to ~2000·2^24 ≈ 3·10^10 vectors).
+BANDED_SLICE_MAX_BITS = 16
+BANDED_MAX_BITS = 32
 
 
 def adaptive_sign_bits(
@@ -511,8 +518,9 @@ def cosine_near_dup_pairs(
     a downstream keep-one policy. At 100 TB: one shuffle on the bucket key;
     within-bucket pair counts are quadratic in bucket size, so the default
     bucket width ADAPTS to the corpus (``adaptive_sign_bits`` — one
-    count() at plan-build time keeps occupancy constant); band over
-    multiple sign-bit slices for recall like MinHash-LSH.
+    count() at plan-build time keeps occupancy constant, doubling buckets
+    per corpus doubling up to 32 bits); band over multiple sign-bit
+    slices for recall like MinHash-LSH.
     """
     if n_bits is None:
         n_bits = adaptive_sign_bits(corpus_count(embeddings))
@@ -548,6 +556,57 @@ def sign_bucket_band(emb: Column, band: int, n_bits: int = 8) -> Column:
     return F.array_join(bits, "")
 
 
+# Deterministic random-hyperplane sign-LSH (Charikar 2002), fixed-point:
+# hyperplane weights are hash-seeded integers (Knuth multiplicative mix of
+# the flat (band, bit, dim) index, middle bits extracted) and the
+# projection is an exact BIGINT sum of weight × floor(x·1e6) — so the
+# sign, hence the bucket, is bit-identical across engines and
+# partitionings and the DuckDB oracles replay it with pure integer
+# arithmetic. This is what lifts the banded slice route's 16-bit cap:
+# slice bits are LEADING-DIMENSION signs, so 4 bands × 16 bits exhausts
+# the 64 fixture dims; hyperplane bits draw on ALL dims and keep doubling
+# with the corpus indefinitely.
+RP_MULT = 2654435761
+RP_INC = 1013904223
+RP_DIM_STRIDE = 4096  # supports embeddings up to 4096 dims
+RP_BIT_STRIDE = 64  # up to 64 bits per band
+
+
+def _rp_weight(t: Column) -> Column:
+    """Pseudo-random weight in [-65536, 65536) from a flat index: middle
+    bits 16..32 of t*RP_MULT + RP_INC. All-positive BIGINT arithmetic, so
+    shift/mask semantics agree between Spark and DuckDB."""
+    raw = t * F.lit(RP_MULT) + F.lit(RP_INC)
+    return F.shiftright(raw, 16).bitwiseAND(F.lit(131071)) - F.lit(65536)
+
+
+def sign_bucket_rp(emb: Column, band: int, n_bits: int = 8) -> Column:
+    """Random-hyperplane sign bucket: bit j = sign of the fixed-point dot
+    product of the FULL vector with hyperplane (band, j). Unlike
+    :func:`sign_bucket_band` the bit count is not bounded by the
+    dimensionality — the band's hyperplanes are distinct by seeding, not
+    by slicing disjoint dims."""
+
+    def bit(j: Column) -> Column:
+        prods = F.transform(
+            emb,
+            lambda x, i: _rp_weight(
+                (
+                    (F.lit(band) * RP_BIT_STRIDE + j) * RP_DIM_STRIDE + i
+                ).cast("long")
+            )
+            * F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+        )
+        s = F.aggregate(
+            prods, F.lit(0).cast("long"), lambda acc, p: acc + p
+        )
+        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(n_bits - 1)), bit), ""
+    )
+
+
 def cosine_near_dup_pairs_banded(
     embeddings: DataFrame,
     threshold: float = 0.25,
@@ -557,9 +616,13 @@ def cosine_near_dup_pairs_banded(
     """Multi-band sign-LSH near-duplicate pairs: candidates are the UNION
     over ``n_bands`` sign-bit slices of same-bucket pairs (MinHash-LSH's
     banding applied to sign-LSH), deduplicated, then exact-cosine re-ranked
-    against ``threshold``. Because band 0 is exactly the single-band bucket,
-    the candidate set is a superset of :func:`cosine_near_dup_pairs` — the
-    recall-closing move the single-slice path documents.
+    against ``threshold``. Up to BANDED_SLICE_MAX_BITS band 0 is exactly
+    the single-band bucket, so the candidate set is a superset of
+    :func:`cosine_near_dup_pairs` — the recall-closing move the
+    single-slice path documents. Past 16 bits the bands switch to
+    hash-seeded random-hyperplane signs (:func:`sign_bucket_rp`): the
+    superset identity no longer holds, but bucket counts keep doubling
+    with the corpus instead of capping when the slice dims run out.
 
     Scale shape: only (vec_id, band_idx, bucket) rows enter the candidate
     self-join (the vectors do NOT fan out ×n_bands); exact re-rank joins the
@@ -573,6 +636,11 @@ def cosine_near_dup_pairs_banded(
     """
     if n_bits is None:
         n_bits = adaptive_sign_bits(corpus_count(embeddings))
+    # slice buckets while dims last; hash-seeded hyperplanes beyond —
+    # the deterministic rule the oracles mirror (CASE on the bit width)
+    bucket_fn = (
+        sign_bucket_band if n_bits <= BANDED_SLICE_MAX_BITS else sign_bucket_rp
+    )
     slim = embeddings.select(
         "vec_id",
         F.explode(
@@ -580,7 +648,7 @@ def cosine_near_dup_pairs_banded(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        sign_bucket_band(F.col("embedding"), b, n_bits).alias(
+                        bucket_fn(F.col("embedding"), b, n_bits).alias(
                             "bucket"
                         ),
                     )

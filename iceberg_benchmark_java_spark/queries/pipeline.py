@@ -812,13 +812,40 @@ def ann_probe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding-cosine near-duplicate pairs -----------------------------------
 # Adaptive sign-LSH bit width, the oracle half of similarity.adaptive_sign_bits:
-# smallest 8+e with 2000*2^e >= count(embeddings), capped at 16. Integer shift
-# arithmetic on both sides — bit-identical derivations by construction.
+# smallest 8+e with 2000*2^e >= count(embeddings), capped at 32 (past 16
+# the banded path's buckets come from random-hyperplane projections, so
+# dimensionality no longer caps the width). Integer shift arithmetic on
+# both sides — bit-identical derivations by construction.
 _DUCK_NB = """nb AS (
-      SELECT LEAST(16, 8 + COALESCE(MIN(t.e), 8)) AS bits
+      SELECT LEAST(32, 8 + COALESCE(MIN(t.e), 24)) AS bits
       FROM generate_series(0, 40) t(e),
            (SELECT COUNT(*) AS n FROM embeddings) c
       WHERE 2000 * (1::BIGINT << t.e) >= c.n)"""
+
+
+def _duck_rp_bucket(b_expr: str, bits_expr: str, ee: str = "ee") -> str:
+    """DuckDB mirror of similarity.sign_bucket_rp: bit j of band b is the
+    sign of the exact BIGINT sum over dims of
+    weight((b*64 + j)*4096 + dim) * floor(x*1e6), with
+    weight(t) = (((t*2654435761 + 1013904223) >> 16) & 131071) - 65536 —
+    all-positive shift/mask arithmetic, identical on the Spark side."""
+    from ..operators.similarity import (
+        RP_BIT_STRIDE,
+        RP_DIM_STRIDE,
+        RP_INC,
+        RP_MULT,
+    )
+
+    t = (
+        f"(CAST(({b_expr}) * {RP_BIT_STRIDE} + j AS BIGINT)"
+        f" * {RP_DIM_STRIDE} + (i - 1))"
+    )
+    raw = f"({t} * {RP_MULT} + {RP_INC})"
+    w = f"((({raw} >> 16) & 131071) - 65536)"
+    return f"""array_to_string(list_transform(range(0, {bits_expr}), j ->
+      CASE WHEN list_sum(list_transform(range(1, len({ee}) + 1), i ->
+        {w} * CAST(FLOOR({ee}[i] * 1000000) AS BIGINT))) >= 0
+      THEN '1' ELSE '0' END), '')"""
 
 
 @query(
@@ -855,15 +882,21 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multi-band sign-LSH near-dup (recall-recovering banding) ----------------
 # Band width is the same adaptive dial as the single-band path (_DUCK_NB):
 # at fixture scale (<= 2000 vectors) it evaluates to the historical 8 bits,
-# at x100 warehouse scale to 15 — the registered entry IS the scale-safe plan.
+# at x100 warehouse scale to 15 — the registered entry IS the scale-safe
+# plan. Past 16 bits the slice buckets would run out of dims, so the CASE
+# switches to the random-hyperplane kernel — the same deterministic rule
+# as the Spark side (similarity.BANDED_SLICE_MAX_BITS).
 _DUCK_BANDED_CAND = f"""
     {_DUCK_NB},
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
     bands AS (
       SELECT vec_id, t.b AS band_idx,
-             array_to_string(list_transform(
-               list_slice(ee, t.b*nb.bits+1, t.b*nb.bits+nb.bits),
-               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+             CASE WHEN nb.bits <= 16 THEN
+               array_to_string(list_transform(
+                 list_slice(ee, t.b*nb.bits+1, t.b*nb.bits+nb.bits),
+                 x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')
+             ELSE {_duck_rp_bucket("t.b", "nb.bits")}
+             END AS bucket
       FROM e, nb, UNNEST(generate_series(0, 3)) AS t(b)
     ),
     cand AS (
@@ -893,13 +926,57 @@ def embedding_near_dup_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.25 inside. Only (vec_id, band_idx, bucket) rows enter the
     self-join — vectors rejoin by key for the re-rank. The band width is
     adaptive_sign_bits(count) — 8 bits at fixture scale, +1 per corpus
-    doubling past 2000 vectors (cap 16, i.e. 4 bands cover the full
-    64-dim vector) — so the REGISTERED entry is the measured scale-safe
-    plan (x2.9 wall at x32, x5.45 at x100 vs x43.3/unmeasurable at a
-    fixed 8-bit dial, SCALING_r06_pipe.json)."""
+    doubling past 2000 vectors — so the REGISTERED entry is the measured
+    scale-safe plan (x2.9 wall at x32, x5.45 at x100 vs
+    x43.3/unmeasurable at a fixed 8-bit dial, SCALING_r06_pipe.json).
+    Past 16 bits (where 4 band slices would exhaust the 64 dims) the
+    bands switch to deterministic random-hyperplane signs
+    (similarity.sign_bucket_rp, modeled by the oracle's CASE), lifting
+    the former 16-bit cap to 32 — occupancy stays flat to ~3·10^10
+    vectors."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs_banded(
         e.select("vec_id", "embedding"), threshold=0.25, n_bands=4
+    )
+
+
+# --- random-hyperplane banded near-dup (the lifted-dial kernel, pinned) ------
+@query(
+    "pipe_embedding_near_dup_rp",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee
+               FROM embeddings),
+    bands AS (
+      SELECT vec_id, t.b AS band_idx,
+             {_duck_rp_bucket("t.b", "18")} AS bucket
+      FROM e, UNNEST(generate_series(0, 3)) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, {_duck_cos("ea.ee", "eb.ee")} AS sim
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
+    WHERE {_duck_cos("ea.ee", "eb.ee")} >= 0.25
+    """,
+)
+def embedding_near_dup_rp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded near-dup through the RANDOM-HYPERPLANE kernel at a forced
+    18-bit width (> BANDED_SLICE_MAX_BITS, the route the adaptive dial
+    takes past ~2·10^6 vectors): hash-seeded fixed-point hyperplane
+    signs (similarity.sign_bucket_rp — exact BIGINT sums, so buckets are
+    bit-identical across engines), 4 bands, exact cosine ≥ 0.25 re-rank.
+    Registered at fixture scale so the driver's gate hash-checks the
+    lifted-dial kernel itself, not just the slice route the fixture's
+    8-bit dial exercises; the oracle replays the weight mix with pure
+    integer shift/mask arithmetic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs_banded(
+        e.select("vec_id", "embedding"), threshold=0.25, n_bits=18, n_bands=4
     )
 
 

@@ -26,7 +26,7 @@ from iceberg_benchmark_java_spark.operators.similarity import (
 # SQL mirrors of the oracle fragments (pipeline._DUCK_NB /
 # _DUCK_SHINGLE_DIAL) with the corpus counts injected as literals.
 _NB_SQL = """
-SELECT LEAST(16, 8 + COALESCE(MIN(t.e), 8)) AS bits
+SELECT LEAST(32, 8 + COALESCE(MIN(t.e), 24)) AS bits
 FROM generate_series(0, 40) t(e), (SELECT {n}::BIGINT AS n) c
 WHERE 2000 * (1::BIGINT << t.e) >= c.n
 """
@@ -53,7 +53,11 @@ def test_adaptive_sign_bits_values():
     assert adaptive_sign_bits(2001) == 9  # first doubling
     assert adaptive_sign_bits(64000) == 13  # x32 warehouse
     assert adaptive_sign_bits(200000) == 15  # x100 warehouse
-    assert adaptive_sign_bits(10**9) == BANDED_MAX_BITS  # 4x16 = all 64 dims
+    # past 16 bits the banded route switches to random-hyperplane signs
+    # (slice dims exhausted), so the cap is 32 — not dimensionality-bound
+    assert adaptive_sign_bits(2_100_000) == 19  # RP territory
+    assert adaptive_sign_bits(10**9) == 27
+    assert adaptive_sign_bits(10**11) == BANDED_MAX_BITS  # = 32
 
 
 def test_adaptive_shingle_width_values():
@@ -180,3 +184,79 @@ def test_semantic_dedup_occupancy_split_vs_oracle(spark, duck):
     ddf = con.sql(_duck_ivf_oracle(0, _semdedup_final("4"))).df()
     errs = compare("semantic_dedup_occ_split", sdf, ddf)
     assert not errs, "; ".join(errs)
+
+
+@pytest.mark.medium
+def test_banded_rp_route_matches_duckdb(spark):
+    """The lifted dial's route: banded near-dup at a FORCED 20-bit width
+    (> BANDED_SLICE_MAX_BITS, so buckets come from the random-hyperplane
+    kernel) must hash-match the DuckDB replay of the same fixed-point
+    weight mix — proving the >16-bit territory the adaptive dial reaches
+    past ~2M vectors is deterministic, not just available."""
+    from tools.check_correctness import compare
+    from iceberg_benchmark_java_spark.operators.similarity import (
+        cosine_near_dup_pairs_banded,
+    )
+    from iceberg_benchmark_java_spark.queries.pipeline import (
+        _duck_cos,
+        _duck_rp_bucket,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    sdf = cosine_near_dup_pairs_banded(
+        emb, threshold=0.25, n_bits=20, n_bands=4
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    )
+    ddf = con.sql(f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee
+               FROM embeddings),
+    bands AS (
+      SELECT vec_id, t.b AS band_idx,
+             {_duck_rp_bucket("t.b", "20")} AS bucket
+      FROM e, UNNEST(generate_series(0, 3)) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id)
+    SELECT c.vec_a, c.vec_b, {_duck_cos("ea.ee", "eb.ee")} AS sim
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
+    WHERE {_duck_cos("ea.ee", "eb.ee")} >= 0.25
+    """).df()
+    assert len(ddf) > 0, "degenerate test: no RP candidate pairs at 20 bits"
+    errs = compare("banded_rp_20bits", sdf, ddf)
+    assert not errs, "; ".join(errs)
+
+
+def test_rp_bucket_bit_balance():
+    """Hyperplane signs must be roughly balanced per bit (the property
+    that makes each added bit halve expected occupancy): over the fixture
+    corpus no bit of band 0 may be more than 80/20 skewed."""
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_benchmark_java_spark.operators.similarity import (
+        RP_BIT_STRIDE,
+        RP_DIM_STRIDE,
+        RP_INC,
+        RP_MULT,
+    )
+
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    fx = np.floor(X * 1_000_000).astype(np.int64)
+    n, d = fx.shape
+    for j in range(24):
+        t = (0 * RP_BIT_STRIDE + j) * RP_DIM_STRIDE + np.arange(d, dtype=np.int64)
+        w = (((t * RP_MULT + RP_INC) >> 16) & 131071) - 65536
+        frac = ((fx * w).sum(axis=1) >= 0).mean()
+        assert 0.2 <= frac <= 0.8, f"bit {j} skewed: {frac}"

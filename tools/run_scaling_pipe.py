@@ -481,6 +481,10 @@ def main() -> int:
             t_pq_1x, r_pq_1x = time_pq_adc(spark, BASE_DIR)
             t_sem_1x, r_sem_1x = time_semantic_dedup(spark, BASE_DIR, 16)
             t_pf_1x, r_pf_1x = time_prefix_filter(spark, BASE_DIR, 3)
+            # lifted dial: 20 bits > BANDED_SLICE_MAX_BITS routes through
+            # the random-hyperplane kernel — the width the adaptive dial
+            # reaches past ~2M vectors, measured here at every scale
+            t_rp_1x, r_rp_1x = time_banded_scaled_bits(spark, BASE_DIR, 20)
         asserts1 = plan_asserts(spark, queries, BASE_DIR)
         per_scale: dict[str, dict] = {}
         for s in scales:
@@ -525,6 +529,7 @@ def main() -> int:
             t_pq, r_pq = time_pq_adc(spark, d)
             scaled_k = 16 * s
             t_sem, r_sem = time_semantic_dedup(spark, d, scaled_k)
+            t_rp, r_rp = time_banded_scaled_bits(spark, d, 20)
             # Fixed-dial demonstration rows (the saturation the adaptive
             # defaults exist to prevent), capped at 10x — beyond that the
             # fixed dials grow quadratically (measured x43 at 32x / DNF at
@@ -555,6 +560,14 @@ def main() -> int:
                 }
             per_scale[str(s)] = {
                 **fixed_rows,
+                "banded_rp_lifted_20bits": {
+                    "n_bits": 20,
+                    "t_1x_sec": t_rp_1x,
+                    "runs_1x": r_rp_1x,
+                    "t_sec": t_rp,
+                    "runs": r_rp,
+                    "ratio": round(t_rp / t_rp_1x, 2),
+                },
                 "semantic_dedup_scaled_k": {
                     "n_centroids": scaled_k,
                     "t_1x_sec_k16": t_sem_1x,
@@ -598,6 +611,7 @@ def main() -> int:
                 "max_ratio_scaled_dials": max(
                     [round(ts[q] / t1[q], 2) for q in ts if t1[q]]
                     + [round(t_sem / t_sem_1x, 2)]
+                    + [round(t_rp / t_rp_1x, 2)]
                 ),
             }
     finally:
