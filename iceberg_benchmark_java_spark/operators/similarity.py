@@ -166,9 +166,22 @@ def nearest_centroid(
     shuffled all N×C scored rows (a C× shuffle amplification) to pick a
     per-row max that never needed a shuffle at all (plan-asserted in
     tests/test_plans.py).
+
+    Norms are hoisted: each centroid's norm is precomputed into the
+    broadcast struct and the row's norm once per row, so the per-centroid
+    cost is ONE dot-product fold instead of three (dot + both norms —
+    nested-HOF evaluation is the assignment's bottleneck at scale:
+    measured 176 s for the bare two-level assignment at N=200k/k=8192
+    before hoisting). round(dot/(nx*nc), 6) is the SAME arithmetic as
+    round(cosine, 6) — identical operands, identical order — so results
+    and oracles are bit-for-bit unchanged.
     """
-    cent_arr = centroids.agg(
-        F.array_sort(F.collect_list(F.struct("cent_id", "c_emb"))).alias("_cents")
+    cent_arr = centroids.select(
+        "cent_id", "c_emb", _norm(F.col("c_emb")).alias("c_n")
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "c_emb", "c_n"))
+        ).alias("_cents")
     )
     # score each centroid ONCE (one dot product per centroid), then take
     # the struct-lexicographic max of (csim, -cent_id): max csim, ties to
@@ -177,16 +190,19 @@ def nearest_centroid(
     scored = F.transform(
         F.col("_cents"),
         lambda c: F.struct(
-            F.round(cosine(F.col(emb_col), c.getField("c_emb")), SIM_SCALE).alias(
-                "csim"
-            ),
+            F.round(
+                _dot(F.col(emb_col), c.getField("c_emb"))
+                / (F.col("_nx") * c.getField("c_n")),
+                SIM_SCALE,
+            ).alias("csim"),
             (-c.getField("cent_id")).alias("neg_cent_id"),
         ),
     )
     return (
-        df.crossJoin(F.broadcast(cent_arr))
+        df.withColumn("_nx", _norm(F.col(emb_col)))
+        .crossJoin(F.broadcast(cent_arr))
         .withColumn("cent_id", (-F.array_max(scored).getField("neg_cent_id")))
-        .drop("_cents")
+        .drop("_cents", "_nx")
     )
 
 
@@ -275,13 +291,16 @@ def two_level_assignments(
         F.col("embedding").alias("f_emb"),
         F.col("cent_id").alias("coarse_id"),
     )
-    # cell membership: coarse_id -> cent_id-sorted array of fine centroids
+    # cell membership: coarse_id -> cent_id-sorted array of fine
+    # centroids, each carrying its precomputed norm (the same hoisting as
+    # nearest_centroid: one dot fold per fine centroid instead of three)
     cells = f2c.groupBy("coarse_id").agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
                     F.col("fine_id").alias("cent_id"),
                     F.col("f_emb").alias("c_emb"),
+                    _norm(F.col("f_emb")).alias("c_n"),
                 )
             )
         ).alias("_cell")
@@ -298,14 +317,17 @@ def two_level_assignments(
     scored = F.transform(
         F.col("_cell"),
         lambda c: F.struct(
-            F.round(cosine(F.col("embedding"), c.getField("c_emb")), SIM_SCALE).alias(
-                "csim"
-            ),
+            F.round(
+                _dot(F.col("embedding"), c.getField("c_emb"))
+                / (F.col("_nx") * c.getField("c_n")),
+                SIM_SCALE,
+            ).alias("csim"),
             (-c.getField("cent_id")).alias("neg_cent_id"),
         ),
     )
     assignments = (
-        v_coarse.join(F.broadcast(cells), "coarse_id")
+        v_coarse.withColumn("_nx", _norm(F.col("embedding")))
+        .join(F.broadcast(cells), "coarse_id")
         .withColumn("cent_id", -F.array_max(scored).getField("neg_cent_id"))
         .select("vec_id", "embedding", "cent_id")
     )
@@ -975,6 +997,12 @@ def pq_adc_topk(
 # longer compared — the measured recall trade that replaces the cliff.
 SEMDEDUP_OCC_BOUND = 64
 SEMDEDUP_SPLIT_MAX_E = 24  # bound * 2^24 ≈ 10^9 members — beyond any cell
+# Materialize the assignment (localCheckpoint) only when the corpus is
+# big enough that re-running the O(N·sqrt(k)) assignment once per pair
+# side costs more than the materialization round-trip. Below the
+# threshold the pipelined (re-computing) plan is faster — measured at
+# 1x/N=2000: ~5.6 s pipelined vs ~10.5 s checkpointed.
+SEMDEDUP_CHECKPOINT_MIN = 50_000
 
 
 def semantic_dedup(
@@ -1023,10 +1051,23 @@ def semantic_dedup(
             "cent_sim"
         ),
     )
+    # The assignment feeds THREE consumers (both pair sides + the final
+    # projection); without materialization Spark re-runs the O(N·sqrt(k))
+    # assignment fold once per consumer, which dominates at scale
+    # (measured at x100/N=200k: 187 s un-materialized, 104 s
+    # checkpointed). Below the threshold the re-computation is cheaper
+    # than the materialization round-trip, so small corpora keep the
+    # pipelined plan. localCheckpoint is the local-mode stand-in for
+    # what production does anyway: persist the IVF index table once.
+    if corpus_count(embeddings) >= SEMDEDUP_CHECKPOINT_MIN:
+        cs = cs.localCheckpoint(eager=False)
     if occupancy_bound:
         # per-cluster split width: #caps [bound*2^0 .. bound*2^24] below
         # the cluster's occupancy = smallest e with occ <= bound*2^e.
-        # k rows total — broadcast back onto the members.
+        # Occupancy comes from a cent_id-partitioned window — ONE shuffle
+        # keyed like the pair join, no extra assignment-recomputing
+        # branch (a groupBy+join-back formulation re-ran the whole
+        # assignment for the probe: measured 353 s vs 187 s at x100).
         bits_f = max(1, (max(n_centroids, 2) - 1).bit_length())
         caps = F.array(
             *[
@@ -1034,16 +1075,7 @@ def semantic_dedup(
                 for i in range(SEMDEDUP_SPLIT_MAX_E + 1)
             ]
         )
-        occ = (
-            assign.groupBy("cent_id")
-            .agg(F.count("*").alias("_occ"))
-            .select(
-                "cent_id",
-                F.size(F.filter(caps, lambda c: c < F.col("_occ"))).alias(
-                    "_e"
-                ),
-            )
-        )
+        w_occ = Window.partitionBy("cent_id")
         # sub-key = signs of dims [bits_f+1 .. bits_f+e] (1-based) — the
         # dims AFTER the seeding bits, which cluster members correlate on.
         # Slice truncates past the embedding's end identically in Spark
@@ -1054,14 +1086,18 @@ def semantic_dedup(
             lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0")),
         )
         cs = (
-            cs.join(F.broadcast(occ), "cent_id")
+            cs.withColumn("_occ", F.count("*").over(w_occ))
+            .withColumn(
+                "_e",
+                F.size(F.filter(caps, lambda c: c < F.col("_occ"))),
+            )
             .withColumn(
                 "sub_key",
                 F.when(F.col("_e") <= 0, F.lit("")).otherwise(
                     F.array_join(sub_bits, "")
                 ),
             )
-            .drop("_e")
+            .drop("_e", "_occ")
         )
     else:
         cs = cs.withColumn("sub_key", F.lit(""))
