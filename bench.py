@@ -68,6 +68,10 @@ HEADLINE = [
     "pipe_dedup_method_agreement",
     # round-7 additions (new computation, disclosed in BENCH_DELTA_r07):
     "pipe_semantic_dedup_two_level",
+    # round-8 additions (new computation, disclosed in BENCH_DELTA_r08):
+    "pipe_dup_span_removal",
+    "pipe_embedding_near_dup_rp",
+    "pipe_ann_two_level_recall_tuned",
     # Verbatim reference corpus headliners (fixtures/ warehouse, fixed
     # scale): the marquee TPC-DS shapes named in the round-1 review plus
     # two verbatim TPC-H texts. These time the reference's own SQL files
