@@ -579,27 +579,42 @@ def sign_bucket_band(emb: Column, band: int, n_bits: int = 8) -> Column:
 
 
 # Deterministic random-hyperplane sign-LSH (Charikar 2002), fixed-point:
-# hyperplane weights are hash-seeded integers (Knuth multiplicative mix of
-# the flat (band, bit, dim) index, middle bits extracted) and the
-# projection is an exact BIGINT sum of weight × floor(x·1e6) — so the
-# sign, hence the bucket, is bit-identical across engines and
-# partitionings and the DuckDB oracles replay it with pure integer
-# arithmetic. This is what lifts the banded slice route's 16-bit cap:
-# slice bits are LEADING-DIMENSION signs, so 4 bands × 16 bits exhausts
-# the 64 fixture dims; hyperplane bits draw on ALL dims and keep doubling
-# with the corpus indefinitely.
-RP_MULT = 2654435761
-RP_INC = 1013904223
+# hyperplane weights are hash-seeded integers (xorshift-multiply mix of
+# the flat (band, bit, dim) index) and the projection is an exact BIGINT
+# sum of weight × floor(x·1e6) — so the sign, hence the bucket, is
+# bit-identical across engines and partitionings and the DuckDB oracles
+# replay it with pure integer arithmetic. This is what lifts the banded
+# slice route's 16-bit cap: slice bits are LEADING-DIMENSION signs, so
+# 4 bands × 16 bits exhausts the 64 fixture dims; hyperplane bits draw on
+# ALL dims and keep doubling with the corpus indefinitely.
+#
+# The mix MUST be nonlinear in t: a purely multiplicative hash (mid-bits
+# of t·A) makes weight vectors for adjacent bits differ by a
+# near-constant (t offsets by a constant, so t·A does too, modulo
+# carries), which measured 0.99 inter-bit sign correlation and ~15
+# effective bits out of 20 — mega-buckets and a 380× candidate-pair
+# blowup at x100. Two multiply rounds with xor-shift between them break
+# the linearity: measured max inter-bit |corr| 0.27, top bucket
+# occupancy 13 vs 1407 on the same corpus. All intermediates stay below
+# 2^63 (t < 2^22, masked to 31 bits between rounds), so Spark's wrapping
+# and DuckDB's overflow-checked BIGINT agree exactly.
+RP_MULT_1 = 2654435761  # xxhash/Knuth-style odd multipliers
+RP_MULT_2 = 2246822519
+RP_MASK_31 = (1 << 31) - 1
 RP_DIM_STRIDE = 4096  # supports embeddings up to 4096 dims
 RP_BIT_STRIDE = 64  # up to 64 bits per band
 
 
 def _rp_weight(t: Column) -> Column:
-    """Pseudo-random weight in [-65536, 65536) from a flat index: middle
-    bits 16..32 of t*RP_MULT + RP_INC. All-positive BIGINT arithmetic, so
-    shift/mask semantics agree between Spark and DuckDB."""
-    raw = t * F.lit(RP_MULT) + F.lit(RP_INC)
-    return F.shiftright(raw, 16).bitwiseAND(F.lit(131071)) - F.lit(65536)
+    """Pseudo-random weight in [-65536, 65536) from a flat index:
+    h = mask31(t·A1); h ^= h>>15; h = mask31(h·A2); h ^= h>>13;
+    w = (h & 131071) - 65536. All-positive BIGINT arithmetic, so
+    shift/mask/xor semantics agree between Spark and DuckDB."""
+    h = (t * F.lit(RP_MULT_1)).bitwiseAND(F.lit(RP_MASK_31))
+    h = h.bitwiseXOR(F.shiftright(h, 15))
+    h = (h * F.lit(RP_MULT_2)).bitwiseAND(F.lit(RP_MASK_31))
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    return h.bitwiseAND(F.lit(131071)) - F.lit(65536)
 
 
 def sign_bucket_rp(emb: Column, band: int, n_bits: int = 8) -> Column:

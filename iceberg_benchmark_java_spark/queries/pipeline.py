@@ -826,22 +826,28 @@ _DUCK_NB = """nb AS (
 def _duck_rp_bucket(b_expr: str, bits_expr: str, ee: str = "ee") -> str:
     """DuckDB mirror of similarity.sign_bucket_rp: bit j of band b is the
     sign of the exact BIGINT sum over dims of
-    weight((b*64 + j)*4096 + dim) * floor(x*1e6), with
-    weight(t) = (((t*2654435761 + 1013904223) >> 16) & 131071) - 65536 —
-    all-positive shift/mask arithmetic, identical on the Spark side."""
+    weight((b*64 + j)*4096 + dim) * floor(x*1e6), with the xorshift-
+    multiply weight mix (h = mask31(t*A1); h ^= h>>15; h = mask31(h*A2);
+    h ^= h>>13; w = (h & 131071) - 65536) — all-positive shift/mask/xor
+    arithmetic, identical on the Spark side; the nonlinearity is what
+    keeps adjacent hyperplanes decorrelated (similarity.py comment)."""
     from ..operators.similarity import (
         RP_BIT_STRIDE,
         RP_DIM_STRIDE,
-        RP_INC,
-        RP_MULT,
+        RP_MASK_31,
+        RP_MULT_1,
+        RP_MULT_2,
     )
 
     t = (
         f"(CAST(({b_expr}) * {RP_BIT_STRIDE} + j AS BIGINT)"
         f" * {RP_DIM_STRIDE} + (i - 1))"
     )
-    raw = f"({t} * {RP_MULT} + {RP_INC})"
-    w = f"((({raw} >> 16) & 131071) - 65536)"
+    h1 = f"(({t} * {RP_MULT_1}) & {RP_MASK_31})"
+    h2 = f"xor({h1}, {h1} >> 15)"
+    h3 = f"(({h2} * {RP_MULT_2}) & {RP_MASK_31})"
+    h4 = f"xor({h3}, {h3} >> 13)"
+    w = f"(({h4} & 131071) - 65536)"
     return f"""array_to_string(list_transform(range(0, {bits_expr}), j ->
       CASE WHEN list_sum(list_transform(range(1, len({ee}) + 1), i ->
         {w} * CAST(FLOOR({ee}[i] * 1000000) AS BIGINT))) >= 0
@@ -941,11 +947,22 @@ def embedding_near_dup_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- random-hyperplane banded near-dup (the lifted-dial kernel, pinned) ------
+# The corpus is x4-replica-inflated (vec_id + r*10^6): honest 18-bit
+# hyperplane buckets only collide for near-identical vectors (per-bit
+# agreement = 1 - angle/pi, so ~0.6^18 per band for a 0.25-cosine pair)
+# and the base fixture has none — exact replicas guarantee a non-empty,
+# hash-comparable candidate set while exercising the production kernel.
+_RP_INFLATE = 4
+_RP_OFFSET = 1_000_000
+
+
 @query(
     "pipe_embedding_near_dup_rp",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee
-               FROM embeddings),
+    WITH e AS (SELECT vec_id + r * {_RP_OFFSET} AS vec_id,
+                      CAST(embedding AS DOUBLE[]) AS ee
+               FROM embeddings,
+                    UNNEST(generate_series(0, {_RP_INFLATE - 1})) g(r)),
     bands AS (
       SELECT vec_id, t.b AS band_idx,
              {_duck_rp_bucket("t.b", "18")} AS bucket
@@ -967,16 +984,24 @@ def embedding_near_dup_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_rp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded near-dup through the RANDOM-HYPERPLANE kernel at a forced
     18-bit width (> BANDED_SLICE_MAX_BITS, the route the adaptive dial
-    takes past ~2·10^6 vectors): hash-seeded fixed-point hyperplane
-    signs (similarity.sign_bucket_rp — exact BIGINT sums, so buckets are
-    bit-identical across engines), 4 bands, exact cosine ≥ 0.25 re-rank.
-    Registered at fixture scale so the driver's gate hash-checks the
+    takes past ~2·10^6 vectors) over the x4-replica-inflated corpus:
+    hash-seeded fixed-point hyperplane signs (similarity.sign_bucket_rp
+    — exact BIGINT sums through the xorshift-multiply weight mix, so
+    buckets are bit-identical across engines), 4 bands, exact cosine
+    ≥ 0.25 re-rank. Registered so the driver's gate hash-checks the
     lifted-dial kernel itself, not just the slice route the fixture's
     8-bit dial exercises; the oracle replays the weight mix with pure
-    integer shift/mask arithmetic."""
-    e = load_table(spark, sf_dir, "embeddings")
+    integer shift/mask/xor arithmetic over the identically-inflated
+    view."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    inflated = e.crossJoin(
+        spark.range(_RP_INFLATE).select(F.col("id").alias("_r"))
+    ).select(
+        (F.col("vec_id") + F.col("_r") * _RP_OFFSET).alias("vec_id"),
+        "embedding",
+    )
     return similarity.cosine_near_dup_pairs_banded(
-        e.select("vec_id", "embedding"), threshold=0.25, n_bits=18, n_bands=4
+        inflated, threshold=0.25, n_bits=18, n_bands=4
     )
 
 

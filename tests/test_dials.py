@@ -192,7 +192,13 @@ def test_banded_rp_route_matches_duckdb(spark):
     (> BANDED_SLICE_MAX_BITS, so buckets come from the random-hyperplane
     kernel) must hash-match the DuckDB replay of the same fixed-point
     weight mix — proving the >16-bit territory the adaptive dial reaches
-    past ~2M vectors is deterministic, not just available."""
+    past ~2M vectors is deterministic, not just available. The corpus is
+    x4-replica-inflated: honest 20-bit hyperplane buckets only collide
+    for near-identical vectors (per-bit agreement is 1 - angle/pi), and
+    the base fixture has none — exact replicas guarantee a non-empty,
+    hash-comparable candidate set."""
+    from pyspark.sql import functions as F
+
     from tools.check_correctness import compare
     from iceberg_benchmark_java_spark.operators.similarity import (
         cosine_near_dup_pairs_banded,
@@ -203,16 +209,23 @@ def test_banded_rp_route_matches_duckdb(spark):
     )
     from tests.conftest import SF_SMOKE
 
-    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+    base = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
         "vec_id", "embedding"
+    )
+    emb = base.crossJoin(
+        spark.range(4).select(F.col("id").alias("_r"))
+    ).select(
+        (F.col("vec_id") + F.col("_r") * _OFFSET).alias("vec_id"), "embedding"
     )
     sdf = cosine_near_dup_pairs_banded(
         emb, threshold=0.25, n_bits=20, n_bands=4
     ).toPandas()
     con = duckdb.connect()
     con.execute(
-        f"CREATE VIEW embeddings AS SELECT * FROM "
-        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+        f"""CREATE VIEW embeddings AS
+        SELECT vec_id + r * {_OFFSET} AS vec_id, embedding
+        FROM read_parquet('{SF_SMOKE}/embeddings.parquet'),
+             UNNEST(generate_series(0, 3)) t(r)"""
     )
     ddf = con.sql(f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee
@@ -237,26 +250,47 @@ def test_banded_rp_route_matches_duckdb(spark):
     assert not errs, "; ".join(errs)
 
 
-def test_rp_bucket_bit_balance():
-    """Hyperplane signs must be roughly balanced per bit (the property
-    that makes each added bit halve expected occupancy): over the fixture
-    corpus no bit of band 0 may be more than 80/20 skewed."""
+def test_rp_bucket_bit_balance_and_decorrelation():
+    """Hyperplane signs must be roughly balanced per bit (each added bit
+    halves expected occupancy) AND pairwise decorrelated — the first
+    (multiplicative-only) weight mix was balanced per bit yet 0.99
+    inter-bit correlated, because t·A for adjacent bits differs by a
+    near-constant: buckets had ~15 effective bits of entropy and the
+    x100 candidate stage blew up 380×. The xorshift rounds exist to
+    break exactly that, so both properties are pinned here."""
     import numpy as np
     import pandas as pd
 
     from iceberg_benchmark_java_spark.operators.similarity import (
         RP_BIT_STRIDE,
         RP_DIM_STRIDE,
-        RP_INC,
-        RP_MULT,
+        RP_MASK_31,
+        RP_MULT_1,
+        RP_MULT_2,
     )
+
+    def wmix(t):
+        h = (t * RP_MULT_1) & RP_MASK_31
+        h = h ^ (h >> 15)
+        h = (h * RP_MULT_2) & RP_MASK_31
+        h = h ^ (h >> 13)
+        return (h & 131071) - 65536
 
     emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
     X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     fx = np.floor(X * 1_000_000).astype(np.int64)
     n, d = fx.shape
+    bits = np.zeros((n, 24), dtype=np.float64)
     for j in range(24):
-        t = (0 * RP_BIT_STRIDE + j) * RP_DIM_STRIDE + np.arange(d, dtype=np.int64)
-        w = (((t * RP_MULT + RP_INC) >> 16) & 131071) - 65536
-        frac = ((fx * w).sum(axis=1) >= 0).mean()
+        t = (0 * RP_BIT_STRIDE + j) * RP_DIM_STRIDE + np.arange(
+            d, dtype=np.int64
+        )
+        bits[:, j] = (fx @ wmix(t)) >= 0
+        frac = bits[:, j].mean()
         assert 0.2 <= frac <= 0.8, f"bit {j} skewed: {frac}"
+    corr = np.corrcoef(bits.T)
+    np.fill_diagonal(corr, 0)
+    assert np.abs(corr).max() < 0.6, (
+        f"inter-bit correlation {np.abs(corr).max():.3f} — hyperplanes "
+        f"not independent; bucket entropy collapses at scale"
+    )
