@@ -72,6 +72,7 @@ HEADLINE = [
     "pipe_dup_span_removal",
     "pipe_embedding_near_dup_rp",
     "pipe_ann_two_level_recall_tuned",
+    "pipe_ann_ivf_pq_topk",
     # Verbatim reference corpus headliners (fixtures/ warehouse, fixed
     # scale): the marquee TPC-DS shapes named in the round-1 review plus
     # two verbatim TPC-H texts. These time the reference's own SQL files

@@ -912,19 +912,26 @@ def pq_codebooks(norm_emb: DataFrame, d_sub: int) -> DataFrame:
     )
 
 
+def _pq_code_array(d_sub: int, ne_col: str = "ne") -> Column:
+    """The PQ_M per-subspace codes of a unit-normalized vector column as
+    one array<int> — row-local expression shared by pq_codes and the
+    IVF-PQ index build."""
+    def code_at(s):
+        return (
+            F.when(F.element_at(ne_col, s * d_sub + 1) >= 0, F.lit(4)).otherwise(F.lit(0))
+            + F.when(F.element_at(ne_col, s * d_sub + 2) >= 0, F.lit(2)).otherwise(F.lit(0))
+            + F.when(F.element_at(ne_col, s * d_sub + 3) >= 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("int")
+    return F.array(*[code_at(s) for s in range(PQ_M)])
+
+
 def pq_codes(norm_emb: DataFrame, d_sub: int) -> DataFrame:
     """(vec_id, codes): the PQ_M per-subspace codes as one array — the
     compressed representation (3 bits/subspace = 48-bit codes for d=64,
     a ~42x reduction over float32 vectors). Pure map-side expression."""
-    def code_at(s):
-        return (
-            F.when(F.element_at("ne", s * d_sub + 1) >= 0, F.lit(4)).otherwise(F.lit(0))
-            + F.when(F.element_at("ne", s * d_sub + 2) >= 0, F.lit(2)).otherwise(F.lit(0))
-            + F.when(F.element_at("ne", s * d_sub + 3) >= 0, F.lit(1)).otherwise(F.lit(0))
-        ).cast("int")
     return norm_emb.select(
         "vec_id",
-        F.array(*[code_at(s) for s in range(PQ_M)]).alias("codes"),
+        _pq_code_array(d_sub).alias("codes"),
     )
 
 
@@ -995,6 +1002,124 @@ def pq_adc_topk(
             F.round(F.col("s_int") / F.lit(MEAN_QUANT), 6).alias("score"),
             "rnk",
         )
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine_k: int = 32,
+) -> DataFrame:
+    """Composed IVF-PQ ANN — the production path for memory-bound ANN at
+    10⁹+ vectors (the FAISS ``IVFx,PQy`` index): IVF routing decides which
+    vectors are TOUCHED, PQ decides the BYTES per touched vector, and an
+    exact re-rank of the ADC shortlist buys back the quantization error.
+
+    Stages, each with its 100 TB shape:
+      1. index build — ONE map-side pass over the corpus: nearest-centroid
+         assignment is a broadcast fold (:func:`nearest_centroid`),
+         normalization + PQ codes are row-local expressions; the stored
+         index row is (vec_id, cent_id, 48-bit codes) — no corpus shuffle,
+         and at scale cent_id becomes the partition column.
+      2. query routing — queries × broadcast(centroids), top ``n_probe``
+         lists per query (same dial as :func:`cosine_topk_ivf`).
+      3. ADC scan — probed lists only: index ⋈ broadcast(probes) on
+         cent_id, then one fold per candidate over its code array against
+         the query's broadcast PQ_M×PQ_K LUT (exact BIGINT partials, so
+         the shortlist is deterministic). The scan reads ≈ N·n_probe/C
+         code rows instead of N full vectors.
+      4. refine — the top ``refine_k`` ADC candidates per query re-scored
+         with exact cosine against the raw vectors (broadcast the tiny
+         shortlist into one more corpus scan — the standard stored-raw
+         refine), final top-k on the exact score.
+
+    Returns (query_id, vec_id, sim, rnk); sim = exact cosine (6dp), so
+    recall against :func:`cosine_topk_bruteforce` is a direct join.
+    """
+    d = embeddings.select(F.size("embedding").alias("d")).limit(1).first()["d"]
+    d_sub = _pq_d_sub(d)
+    centroids, assignments = ivf_assignments(embeddings, n_centroids)
+    index = (
+        assignments.withColumn("_n", _norm(F.col("embedding")))
+        .withColumn(
+            "ne",
+            F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("_n")),
+        )
+        .select("vec_id", "cent_id", _pq_code_array(d_sub).alias("codes"))
+    )
+    cb = pq_codebooks(normalize_embeddings(embeddings), d_sub)
+    q_scored = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "q_embedding",
+        "cent_id",
+        F.round(cosine(F.col("q_embedding"), F.col("c_emb")), SIM_SCALE).alias("csim"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cent_id")
+    )
+    lut = (
+        queries.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            (F.col("s") * PQ_K + F.col("code")).alias("key"),
+            F.floor(
+                _dot(
+                    F.slice(F.col("q_embedding"), F.col("s") * d_sub + 1, d_sub),
+                    F.col("c_emb"),
+                )
+                * MEAN_QUANT
+            )
+            .cast("long")
+            .alias("p_int"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("key", "p_int"))).alias("lut")
+        )
+    )
+    cand = (
+        index.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(F.broadcast(lut), "query_id")
+        .withColumn(
+            "s_int",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.element_at(
+                    F.col("lut"), s * PQ_K + F.element_at(F.col("codes"), s + 1)
+                ),
+            ),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("s_int"), F.asc("vec_id"))
+    short = (
+        cand.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= refine_k)
+        .select("query_id", "vec_id")
+    )
+    short_q = short.join(
+        queries.select("query_id", "q_embedding"), "query_id"
+    )
+    refined = embeddings.select("vec_id", "embedding").join(
+        F.broadcast(short_q), "vec_id"
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_embedding"), F.col("embedding")), SIM_SCALE).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        refined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "sim", "rnk")
     )
 
 

@@ -298,6 +298,33 @@ def test_two_level_assignment_no_corpus_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_pq_index_build_no_corpus_shuffle(spark):
+    """Composed IVF-PQ (similarity.ivf_pq_topk): the index build — cent_id
+    assignment + PQ codes — must be ONE map-side corpus pass (broadcast
+    centroid fold + row-local code expressions), the routing/LUT/shortlist
+    sides must broadcast, and no stage may cartesian the corpus. This is
+    the plan contract that makes the scan read 48-bit codes of probed
+    lists instead of float32 vectors of the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from iceberg_benchmark_java_spark.catalog import load_table
+    from iceberg_benchmark_java_spark.operators.similarity import ivf_pq_topk
+
+    e = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = ivf_pq_topk(e, q, k=5, n_centroids=16, n_probe=4, refine_k=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # probes, LUT, and the refine shortlist all reach the corpus as
+    # broadcast sides; the only allowed per-query shuffles are the bounded
+    # candidate/top-k windows keyed on query_id
+    assert "Exchange hashpartitioning(vec_id" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(vec_id" not in plan
+
+
 def test_banded_near_dup_equijoin_no_vector_fanout(spark):
     """Multi-band near-dup: the candidate stage must be an equi-join on
     (band_idx, bucket) — no cartesian/BNLJ — and the embedding vectors must
