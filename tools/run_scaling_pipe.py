@@ -92,6 +92,11 @@ HEADLINERS = [
     # semantic_dedup_scaled_k row below measures the k = 16*scale
     # schedule through the same route.
     "pipe_semantic_dedup_two_level",
+    # round-8: the composed IVF-PQ path — IVF routing bounds vectors
+    # touched, ADC bounds bytes per vector, exact refine of the 32-deep
+    # shortlist; the scan cost should track the probed-list fraction of
+    # the corpus, not the corpus itself.
+    "pipe_ann_ivf_pq_topk",
 ]
 
 EXACT_DUP_RATE = 0.002
@@ -413,6 +418,11 @@ def plan_asserts(spark, queries, sf_dir: str) -> dict[str, str]:
         # would flag a defect.
         if name == "pipe_dsir_importance" and "BroadcastHashJoin" not in plan:
             errs.append("bucket log-ratio table not broadcast")
+        if name == "pipe_ann_ivf_pq_topk":
+            if "Exchange hashpartitioning(vec_id" in plan:
+                errs.append("corpus shuffled on vec_id")
+            if "BroadcastHashJoin" not in plan:
+                errs.append("probes/LUT/shortlist not broadcast")
         if (
             name == "pipe_dedup_method_agreement"
             and "BroadcastNestedLoopJoin" in plan
@@ -487,11 +497,88 @@ def remeasure_rp_row(out_json: str, scales: list[int]) -> int:
     return 0
 
 
+def patch_query_rows(names: list[str], out_json: str, scales: list[int]) -> int:
+    """Re-measure ONLY the named roster entries (1× + every given scale)
+    and patch them into an existing artifact in place — runs recorded,
+    min reported, plan asserts refreshed, dependent max ratios
+    recomputed. The in-place twin of --only: new or code-touched roster
+    rows land in the round's ONE artifact instead of an addendum file."""
+    unknown = [q for q in names if q not in HEADLINERS]
+    if unknown:
+        sys.exit(f"--patch names not in HEADLINERS: {', '.join(unknown)}")
+    with open(out_json) as f:
+        result = json.load(f)
+    from iceberg_benchmark_java_spark.queries import all_queries
+
+    cfg = local_test_config("ibx-scaling-patch")
+    cfg.extra_confs["spark.driver.memory"] = "24g"
+    spark = build_session(cfg)
+    queries = all_queries()
+    try:
+        t1, r1 = {}, {}
+        for n in names:
+            t1[n], r1[n] = time_one(spark, queries, BASE_DIR, n)
+        a1 = plan_asserts(spark, queries, BASE_DIR)
+        result["plan_asserts_1x"].update({n: a1[n] for n in names})
+        for s in scales:
+            d = os.path.join(REPO, "fixtures", f"pipe_x{s}")
+            gen_pipe_warehouse(d, s)
+            a_s = plan_asserts(spark, queries, d)
+            cell = result["scales"][str(s)]
+            for n in names:
+                t, r = time_one(spark, queries, d, n)
+                cell["queries"][n] = {
+                    "t_1x_sec": t1[n],
+                    "runs_1x": r1[n],
+                    "t_sec": t,
+                    "runs": r,
+                    "ratio": round(t / t1[n], 2) if t1[n] else None,
+                    "plan_asserts_at_scale": a_s[n],
+                }
+            q_ratios = [
+                v["ratio"] for v in cell["queries"].values() if v.get("ratio")
+            ]
+            cell["max_ratio"] = max(q_ratios)
+            cell["max_ratio_scaled_dials"] = max(
+                q_ratios
+                + [cell["semantic_dedup_scaled_k"]["ratio"]]
+                + [cell["banded_rp_lifted_20bits"]["ratio"]]
+            )
+        result["plan_asserts_failed"] = sorted(
+            {
+                q
+                for sc in result["scales"].values()
+                for q, v in sc["queries"].items()
+                if v["plan_asserts_at_scale"] != "pass"
+            }
+            | {
+                lbl
+                for sc in result["scales"].values()
+                for lbl in ("ivf_assignment_stage", "ivf_two_level_stage")
+                if sc[lbl] != "pass"
+            }
+        )
+    finally:
+        spark.stop()
+    with open(out_json, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({
+        n: {s: result["scales"][s]["queries"][n] for s in result["scales"]}
+        for n in names
+    }))
+    return 0
+
+
 def main() -> int:
     args = sys.argv[1:]
     if "--rp-row" in args:
         args.remove("--rp-row")
         return remeasure_rp_row(args[0], [int(s) for s in args[1:]])
+    if "--patch" in args:
+        i = args.index("--patch")
+        names = args[i + 1].split(",")
+        rest = args[:i] + args[i + 2 :]
+        return patch_query_rows(names, rest[0], [int(s) for s in rest[1:]])
     # --only a,b : time just the named roster entries (addendum runs at
     # expensive scales); dial rows (pq/semantic/prefix/scaled-bits) are
     # skipped since they belong to the full-roster artifact.
