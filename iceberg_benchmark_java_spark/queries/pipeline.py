@@ -5143,6 +5143,177 @@ def ann_two_level_probe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- occupancy-split recall price (split vs exact SemDeDup, measured) --------
+# The corpus is a vec_id<500 base subset x4-replica-inflated (offset
+# 10^6): mean occupancy ~125 over 16 clusters, comfortably past
+# SEMDEDUP_OCC_BOUND=64, so the split engages at fixture scale. Exact
+# replicas always share a sub-key (identical sign bits), so the
+# retention loss isolates cross-sub-cell NEAR-neighbor pairs — the
+# pairs the bound stops comparing.
+_SPLIT_PRICE_INFLATE = 4
+_SPLIT_PRICE_BASE = 500
+
+
+def _duck_split_price_oracle() -> str:
+    """Both SemDeDup routes (occupancy-split and exact full-cluster pair
+    stage) over one shared flat-16 clustering of the inflated corpus,
+    reduced to a single reconciliation row. The split route's CTEs
+    mirror _semdedup_final verbatim (caps list, post-seeding sub-key,
+    keep rule); the exact route is the same pair/keep logic with the
+    sub-key constraint dropped."""
+    from ..operators.similarity import SEMDEDUP_OCC_BOUND, SEMDEDUP_SPLIT_MAX_E
+
+    caps = ", ".join(
+        str(SEMDEDUP_OCC_BOUND << i) for i in range(SEMDEDUP_SPLIT_MAX_E + 1)
+    )
+    return f"""
+    WITH inf AS (
+      SELECT vec_id + r * 1000000 AS vec_id, embedding
+      FROM embeddings, UNNEST(generate_series(0, {_SPLIT_PRICE_INFLATE - 1})) g(r)
+      WHERE vec_id < {_SPLIT_PRICE_BASE}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM inf),
+    eb AS (SELECT vec_id, array_to_string(list_transform(ee[1:4],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket FROM e),
+    cent0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY b.bucket) AS INTEGER) - 1 AS cent_id,
+             e2.ee AS ce
+      FROM (SELECT bucket, MIN(vec_id) AS vec_id FROM eb GROUP BY bucket) b
+      JOIN e e2 USING (vec_id)),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos("e.ee", "c.ce")} DESC, c.cent_id) AS rn
+        FROM e, cent0 c) x WHERE rn = 1),
+    occ AS (
+      SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS occ
+      FROM assign GROUP BY cent_id),
+    ex AS (
+      SELECT cent_id,
+             len(list_filter([{caps}]::BIGINT[], c -> c < occ)) AS e_bits
+      FROM occ),
+    cs AS (
+      SELECT a.vec_id, a.cent_id, e.ee,
+             CASE WHEN x.e_bits <= 0 THEN ''
+                  ELSE array_to_string(list_transform(
+                    list_slice(e.ee, 4 + 1, 4 + x.e_bits),
+                    v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '')
+             END AS sub_key,
+             {_duck_cos("e.ee", "c.ce")} AS cent_sim
+      FROM assign a
+      JOIN e ON a.vec_id = e.vec_id
+      JOIN cent0 c ON a.cent_id = c.cent_id
+      JOIN ex x ON x.cent_id = a.cent_id),
+    pr_u AS (
+      SELECT x.vec_id AS va, x.cent_sim AS sa,
+             y.vec_id AS vb, y.cent_sim AS sb
+      FROM cs x JOIN cs y
+        ON x.cent_id = y.cent_id AND x.vec_id <> y.vec_id
+      WHERE {_duck_cos("x.ee", "y.ee")} >= 0.2),
+    pr_s AS (
+      SELECT va, sa, vb, sb FROM pr_u
+      JOIN cs cx ON cx.vec_id = va
+      JOIN cs cy ON cy.vec_id = vb
+      WHERE cx.sub_key = cy.sub_key),
+    d_u AS (
+      SELECT va AS vec_id,
+             SUM(CASE WHEN sb < sa OR (sb = sa AND vb < va)
+                      THEN 1 ELSE 0 END) AS n_better
+      FROM pr_u GROUP BY va),
+    d_s AS (
+      SELECT va AS vec_id,
+             SUM(CASE WHEN sb < sa OR (sb = sa AND vb < va)
+                      THEN 1 ELSE 0 END) AS n_better
+      FROM pr_s GROUP BY va),
+    drops_u AS (SELECT vec_id FROM d_u WHERE n_better > 0),
+    drops_s AS (SELECT vec_id FROM d_s WHERE n_better > 0)
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_vecs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM pr_u) AS dir_pairs_exact,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM pr_s) AS dir_pairs_split,
+      ROUND((SELECT COUNT(*) FROM pr_s) * 1.0
+            / (SELECT COUNT(*) FROM pr_u), 6) AS pair_retention,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM drops_u) AS n_drops_exact,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM drops_s) AS n_drops_split,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM drops_s s
+         JOIN drops_u u USING (vec_id)) AS n_drops_common,
+      ROUND((SELECT COUNT(*) FROM drops_s s JOIN drops_u u USING (vec_id))
+            * 1.0 / (SELECT COUNT(*) FROM drops_u), 6) AS drop_retention
+    """
+
+
+@query("pipe_semantic_dedup_split_price", oracle=_duck_split_price_oracle())
+def semantic_dedup_split_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURED recall price of the SemDeDup occupancy bound: run
+    similarity.semantic_dedup twice over a x4-replica-inflated corpus
+    that forces clusters past SEMDEDUP_OCC_BOUND — once with the
+    registered split (pair stage scoped to sub-cells) and once with
+    occupancy_bound=None (exact paper semantics, full within-cluster
+    pairs) — and reconcile: what fraction of e-neighbor pairs and of
+    dropped duplicates does the bound retain? This is the quantified
+    trade that replaced the x33-at-x100 pair-stage cliff
+    (SCALING_r07/r08 artifacts): the split keeps the pair stage <=
+    bound^2 per cell at ANY corpus size, and this entry pins what it
+    gives up (measured at sf0.01: pair_retention 0.556 — only ~56% of
+    e-neighbor PAIRS are still compared — yet drop_retention 0.945,
+    with the split's drop set a strict subset of the exact one: dup
+    groups are dense, so one surviving same-sub-cell partner usually
+    suffices to drop a vector. Exact replicas are never separated —
+    identical vectors share every sign bit — so the loss is confined
+    to cross-sub-cell near neighbors). Both routes and the
+    reconciliation are re-derived by the DuckDB oracle from the shared
+    flat-16 clustering."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") < _SPLIT_PRICE_BASE)
+    inflated = base.crossJoin(
+        spark.range(_SPLIT_PRICE_INFLATE).select(F.col("id").alias("_r"))
+    ).select(
+        (F.col("vec_id") + F.col("_r") * 1_000_000).alias("vec_id"),
+        "embedding",
+    )
+    split = similarity.semantic_dedup(inflated, n_centroids=16, threshold=0.2)
+    exact = similarity.semantic_dedup(
+        inflated, n_centroids=16, threshold=0.2, occupancy_bound=None
+    )
+    u_agg = exact.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("n_dup_partners").cast("long").alias("dir_pairs_exact"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_drops_exact"),
+    )
+    s_agg = split.agg(
+        F.sum("n_dup_partners").cast("long").alias("dir_pairs_split"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_drops_split"),
+    )
+    common = (
+        exact.filter(~F.col("keep"))
+        .select("vec_id")
+        .join(split.filter(~F.col("keep")).select("vec_id"), "vec_id")
+        .agg(F.count("*").cast("long").alias("n_drops_common"))
+    )
+    return (
+        u_agg.crossJoin(F.broadcast(s_agg))
+        .crossJoin(F.broadcast(common))
+        .select(
+            "n_vecs",
+            "dir_pairs_exact",
+            "dir_pairs_split",
+            F.round(
+                F.col("dir_pairs_split") / F.col("dir_pairs_exact"), 6
+            ).alias("pair_retention"),
+            "n_drops_exact",
+            "n_drops_split",
+            "n_drops_common",
+            F.round(
+                F.col("n_drops_common") / F.col("n_drops_exact"), 6
+            ).alias("drop_retention"),
+        )
+    )
+
+
 # --- HyperLogLog distinct sketch (mergeable registers) -----------------------
 _HLL_M = 64  # p=6
 _HLL_ALPHA = 0.709  # alpha_64
