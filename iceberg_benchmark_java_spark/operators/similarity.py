@@ -52,6 +52,28 @@ def corpus_count(df: DataFrame) -> int:
     return n
 
 
+_DIM_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def embedding_dim(df: DataFrame, col: str = "embedding") -> int:
+    """Dimensionality of the embedding column — a 1-row eager probe,
+    memoized per DataFrame object like :func:`corpus_count` so composite
+    queries building several dimension-aware operators (IVF-PQ, the RP
+    banded route) over the same loaded table pay it once."""
+    try:
+        return _DIM_CACHE[df]
+    except (KeyError, TypeError):
+        pass
+    d = df.select(F.size(col).alias("d")).limit(1).first()["d"]
+    try:
+        _DIM_CACHE[df] = d
+    except TypeError:
+        pass
+    return d
+
+
 def _dot(a: Column, b: Column) -> Column:
     prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
@@ -736,7 +758,7 @@ def cosine_near_dup_pairs_banded(
         bucket_fn = sign_bucket_band
         src, emb_col = embeddings, "embedding"
     else:
-        dim = embeddings.select(F.size("embedding").alias("d")).limit(1).first()["d"]
+        dim = embedding_dim(embeddings)
 
         def bucket_fn(e, b, nb, _dim=dim):
             return sign_bucket_rp(e, b, nb, dim=_dim, pre_quantized=True)
@@ -1025,7 +1047,7 @@ def pq_adc_topk(
     Returns (query_id, vec_id, score, rnk); score = approximate inner
     product vs the unit-normalized corpus (monotone in approximate cosine).
     """
-    d = embeddings.select(F.size("embedding").alias("d")).limit(1).first()["d"]
+    d = embedding_dim(embeddings)
     d_sub = _pq_d_sub(d)
     ne = normalize_embeddings(embeddings)
     cb = pq_codebooks(ne, d_sub)
@@ -1113,8 +1135,10 @@ def ivf_pq_topk(
 
     Returns (query_id, vec_id, sim, rnk); sim = exact cosine (6dp), so
     recall against :func:`cosine_topk_bruteforce` is a direct join.
+    (The dimensionality comes from a memoized 1-row probe —
+    :func:`embedding_dim` — like the adaptive-dial counts.)
     """
-    d = embeddings.select(F.size("embedding").alias("d")).limit(1).first()["d"]
+    d = embedding_dim(embeddings)
     d_sub = _pq_d_sub(d)
     centroids, assignments = ivf_assignments(embeddings, n_centroids)
     index = (
