@@ -52,23 +52,25 @@ def corpus_count(df: DataFrame) -> int:
     return n
 
 
-_DIM_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = (
+_DIM_CACHE: "weakref.WeakKeyDictionary[DataFrame, dict[str, int]]" = (
     weakref.WeakKeyDictionary()
 )
 
 
 def embedding_dim(df: DataFrame, col: str = "embedding") -> int:
     """Dimensionality of the embedding column — a 1-row eager probe,
-    memoized per DataFrame object like :func:`corpus_count` so composite
-    queries building several dimension-aware operators (IVF-PQ, the RP
-    banded route) over the same loaded table pay it once."""
+    memoized per (DataFrame object, column name) like :func:`corpus_count`
+    so composite queries building several dimension-aware operators
+    (IVF-PQ, the RP banded route) over the same loaded table pay it once.
+    The memo is keyed by column too: two differently-sized vector columns
+    on one DataFrame never share a cached width."""
     try:
-        return _DIM_CACHE[df]
+        return _DIM_CACHE[df][col]
     except (KeyError, TypeError):
         pass
     d = df.select(F.size(col).alias("d")).limit(1).first()["d"]
     try:
-        _DIM_CACHE[df] = d
+        _DIM_CACHE.setdefault(df, {})[col] = d
     except TypeError:
         pass
     return d
@@ -673,10 +675,18 @@ def sign_bucket_rp(
     hyperplane matrix, don't rehash per row" shape a 100 TB scan wants
     (measured 17.7 s → ~8 s for the registered 18-bit entry at sf0.01).
     ``pre_quantized=True`` means ``emb`` already holds the floor(x·1e6)
-    BIGINT array (callers hoist the quantization into a shared column).
-    Without ``dim`` the runtime-hash fallback keeps the old shape for
-    dimension-agnostic callers. All routes emit identical buckets.
+    BIGINT array (callers hoist the quantization into a shared column) —
+    it is only meaningful on the literal route, so combining it with
+    ``dim=None`` raises instead of silently re-quantizing fixed-point
+    values. Without ``dim`` the runtime-hash fallback keeps the old
+    shape for dimension-agnostic callers. All routes emit identical
+    buckets.
     """
+    if pre_quantized and dim is None:
+        raise ValueError(
+            "pre_quantized=True requires dim: the runtime-hash fallback "
+            "would re-apply floor(x*1e6) to already-quantized values"
+        )
     if dim is not None:
         qx = (
             emb
@@ -1141,13 +1151,12 @@ def ivf_pq_topk(
     d = embedding_dim(embeddings)
     d_sub = _pq_d_sub(d)
     centroids, assignments = ivf_assignments(embeddings, n_centroids)
-    index = (
-        assignments.withColumn("_n", _norm(F.col("embedding")))
-        .withColumn(
-            "ne",
-            F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("_n")),
-        )
-        .select("vec_id", "cent_id", _pq_code_array(d_sub).alias("codes"))
+    # codes are SIGN-based per subspace, and sign(x / ||v||) == sign(x)
+    # (norms are positive), so the index build reads signs off the RAW
+    # embedding — no per-row norm fold, no normalization transform.
+    # Byte-identical codes to _pq_code_array over normalized vectors.
+    index = assignments.select(
+        "vec_id", "cent_id", _pq_code_array(d_sub, ne_col="embedding").alias("codes")
     )
     cb = pq_codebooks(normalize_embeddings(embeddings), d_sub)
     q_scored = queries.crossJoin(F.broadcast(centroids)).select(
@@ -1266,6 +1275,13 @@ def semantic_dedup(
     ``n_centroids=None`` applies that dial: k = adaptive_centroids(count)
     (64 at base scale, doubling with the corpus), which routes through
     the two-level assignment so total FLOPs stay O(N·sqrt(k)).
+
+    Note: the checkpoint gate below consults ``corpus_count`` even when
+    ``n_centroids`` is explicit — one eager count job per fresh
+    DataFrame (memoized per object). That probe is the price of the
+    measured 187 s → 104 s materialization win at x100; callers that
+    know their corpus is small and want a probe-free plan can pre-seed
+    the memo (``_COUNT_CACHE[df] = n``).
 
     ``occupancy_bound`` (default 64) bounds the pair stage itself:
     clusters with more than bound members are deterministically sub-split

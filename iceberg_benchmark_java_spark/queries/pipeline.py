@@ -947,13 +947,17 @@ def embedding_near_dup_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- random-hyperplane banded near-dup (the lifted-dial kernel, pinned) ------
-# The corpus is x4-replica-inflated (vec_id + r*10^6): honest 18-bit
+# The corpus is x4-replica-inflated (vec_id + r*2^40): honest 18-bit
 # hyperplane buckets only collide for near-identical vectors (per-bit
 # agreement = 1 - angle/pi, so ~0.6^18 per band for a 0.25-cosine pair)
 # and the base fixture has none — exact replicas guarantee a non-empty,
 # hash-comparable candidate set while exercising the production kernel.
+# The replica offset is 2^40 (not 10^6): a fixture with >= 10^6 rows
+# would otherwise alias (vec_id=0, r=1) with (vec_id=10^6, r=0) — both
+# engines identically, so the hash check would HIDE the collision.
+# 2^40 is collision-free to ~10^12 base rows and 4*2^40 fits BIGINT.
 _RP_INFLATE = 4
-_RP_OFFSET = 1_000_000
+_RP_OFFSET = 1 << 40
 
 
 @query(
@@ -5168,7 +5172,7 @@ def _duck_split_price_oracle() -> str:
     )
     return f"""
     WITH inf AS (
-      SELECT vec_id + r * 1000000 AS vec_id, embedding
+      SELECT vec_id + r * {_RP_OFFSET} AS vec_id, embedding
       FROM embeddings, UNNEST(generate_series(0, {_SPLIT_PRICE_INFLATE - 1})) g(r)
       WHERE vec_id < {_SPLIT_PRICE_BASE}),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM inf),
@@ -5268,7 +5272,7 @@ def semantic_dedup_split_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflated = base.crossJoin(
         spark.range(_SPLIT_PRICE_INFLATE).select(F.col("id").alias("_r"))
     ).select(
-        (F.col("vec_id") + F.col("_r") * 1_000_000).alias("vec_id"),
+        (F.col("vec_id") + F.col("_r") * _RP_OFFSET).alias("vec_id"),
         "embedding",
     )
     split = similarity.semantic_dedup(inflated, n_centroids=16, threshold=0.2)

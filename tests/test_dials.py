@@ -309,7 +309,9 @@ def test_rp_bucket_bit_balance_and_decorrelation():
         h = h ^ (h >> 13)
         return (h & 131071) - 65536
 
-    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from tests.conftest import SF_SMOKE
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
     X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     fx = np.floor(X * 1_000_000).astype(np.int64)
     n, d = fx.shape

@@ -479,14 +479,17 @@ def remeasure_rp_row(out_json: str, scales: list[int]) -> int:
                 "runs": r,
                 "ratio": round(t / t_1x, 2),
             }
+            # dial rows are absent from --only-style artifacts; tolerate
+            # them so a long re-measure can't crash before json.dump
             ratios = [
                 v["ratio"]
                 for q, v in cell["queries"].items()
                 if v.get("ratio")
             ] + [
-                cell["semantic_dedup_scaled_k"]["ratio"],
-                round(t / t_1x, 2),
-            ]
+                r["ratio"]
+                for r in (cell.get("semantic_dedup_scaled_k"),)
+                if r
+            ] + [round(t / t_1x, 2)]
             cell["max_ratio_scaled_dials"] = max(ratios)
     finally:
         spark.stop()
@@ -535,14 +538,23 @@ def patch_query_rows(names: list[str], out_json: str, scales: list[int]) -> int:
                     "ratio": round(t / t1[n], 2) if t1[n] else None,
                     "plan_asserts_at_scale": a_s[n],
                 }
+            # dial rows are absent from --only-style / pre-round-8
+            # artifacts; tolerate them so hours of completed timings
+            # can't be lost to a KeyError before json.dump
             q_ratios = [
                 v["ratio"] for v in cell["queries"].values() if v.get("ratio")
             ]
             cell["max_ratio"] = max(q_ratios)
             cell["max_ratio_scaled_dials"] = max(
                 q_ratios
-                + [cell["semantic_dedup_scaled_k"]["ratio"]]
-                + [cell["banded_rp_lifted_20bits"]["ratio"]]
+                + [
+                    r["ratio"]
+                    for r in (
+                        cell.get("semantic_dedup_scaled_k"),
+                        cell.get("banded_rp_lifted_20bits"),
+                    )
+                    if r
+                ]
             )
         result["plan_asserts_failed"] = sorted(
             {
