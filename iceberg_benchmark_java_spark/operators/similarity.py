@@ -680,7 +680,13 @@ def sign_bucket_rp(
     ``dim=None`` raises instead of silently re-quantizing fixed-point
     values. Without ``dim`` the runtime-hash fallback keeps the old
     shape for dimension-agnostic callers. All routes emit identical
-    buckets.
+    buckets **only for fixed-width corpora where every vector has
+    exactly ``dim`` elements** (the fixture invariant; callers probe
+    ``dim`` via :func:`embedding_dim`): the literal route's ``zip_with``
+    NULL-pads a shorter vector (NULL products collapse the bit to '0')
+    while the runtime-hash route hashes exactly the elements present —
+    heterogeneous-length vectors would diverge between routes, so mixed
+    widths must go through the runtime-hash route (``dim=None``).
     """
     if pre_quantized and dim is None:
         raise ValueError(
@@ -1154,7 +1160,14 @@ def ivf_pq_topk(
     # codes are SIGN-based per subspace, and sign(x / ||v||) == sign(x)
     # (norms are positive), so the index build reads signs off the RAW
     # embedding — no per-row norm fold, no normalization transform.
-    # Byte-identical codes to _pq_code_array over normalized vectors.
+    # Byte-identical codes to _pq_code_array over normalized vectors,
+    # PROVIDED components are normal-range floats from a non-zero vector:
+    # x = ±0.0 on a zero-norm row (0/0 → NaN fails `>= 0`) or a denormal
+    # x that underflows to -0.0 after the divide would flip the coded bit
+    # vs the normalized-side oracle. The fixture generators guarantee
+    # this (Gaussian float32 components, |x| ≫ denormal range — see
+    # tools/run_scaling_pipe._gen_embeddings); corpora that can't are
+    # routed through pq_codes(normalize_embeddings(...)) instead.
     index = assignments.select(
         "vec_id", "cent_id", _pq_code_array(d_sub, ne_col="embedding").alias("codes")
     )

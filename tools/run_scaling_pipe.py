@@ -177,6 +177,12 @@ def _write_split(tbl: pa.Table, out_path: str, scale: int) -> None:
 
 
 def _gen_embeddings(out_path: str, scale: int, rng: np.random.Generator) -> int:
+    """N× embeddings preserving the per-label Gaussian mixture. Invariant
+    relied on downstream (similarity.ivf_pq_topk's raw-sign index build):
+    components are normal-range float32 Gaussians from non-zero vectors —
+    never exact ±0.0 and never so small that x/||v|| underflows to a
+    signed zero/denormal — so sign(raw x) == sign(normalized x) holds
+    exactly on both engines."""
     base = pd.read_parquet(os.path.join(BASE_DIR, "embeddings.parquet"))
     X = np.stack(base["embedding"].to_numpy()).astype(np.float64)
     labels = base["label"].to_numpy()
@@ -511,6 +517,20 @@ def patch_query_rows(names: list[str], out_json: str, scales: list[int]) -> int:
         sys.exit(f"--patch names not in HEADLINERS: {', '.join(unknown)}")
     with open(out_json) as f:
         result = json.load(f)
+    # Validate the artifact's shape UP FRONT — every requested scale and
+    # the plan_asserts_1x map must already exist — so a mismatched
+    # artifact fails before the Spark session / warehouse gen / 1x
+    # timings, not via a KeyError after hours of completed work.
+    if "plan_asserts_1x" not in result:
+        sys.exit(f"--patch artifact {out_json} has no plan_asserts_1x map")
+    missing_scales = [
+        s for s in scales if str(s) not in result.get("scales", {})
+    ]
+    if missing_scales:
+        sys.exit(
+            f"--patch artifact {out_json} lacks scale cells "
+            f"{missing_scales}; present: {sorted(result.get('scales', {}))}"
+        )
     from iceberg_benchmark_java_spark.queries import all_queries
 
     cfg = local_test_config("ibx-scaling-patch")
@@ -585,11 +605,25 @@ def main() -> int:
     args = sys.argv[1:]
     if "--rp-row" in args:
         args.remove("--rp-row")
+        if not args:
+            sys.exit(
+                "usage: run_scaling_pipe.py --rp-row OUT_JSON [SCALE ...]"
+            )
         return remeasure_rp_row(args[0], [int(s) for s in args[1:]])
     if "--patch" in args:
         i = args.index("--patch")
+        if i + 1 >= len(args):
+            sys.exit(
+                "usage: run_scaling_pipe.py --patch NAME[,NAME...] "
+                "OUT_JSON SCALE [SCALE ...]"
+            )
         names = args[i + 1].split(",")
         rest = args[:i] + args[i + 2 :]
+        if not rest:
+            sys.exit(
+                "usage: run_scaling_pipe.py --patch NAME[,NAME...] "
+                "OUT_JSON SCALE [SCALE ...]"
+            )
         return patch_query_rows(names, rest[0], [int(s) for s in rest[1:]])
     # --only a,b : time just the named roster entries (addendum runs at
     # expensive scales); dial rows (pq/semantic/prefix/scaled-bits) are
