@@ -1258,6 +1258,19 @@ def ivf_pq_topk(
 # longer compared — the measured recall trade that replaces the cliff.
 SEMDEDUP_OCC_BOUND = 64
 SEMDEDUP_SPLIT_MAX_E = 24  # bound * 2^24 ≈ 10^9 members — beyond any cell
+# Multi-probe boundary margin for the occupancy split, in units of the
+# vector's per-dimension RMS (sqrt(<v,v>/d) — scale-free, row-local, so
+# the DuckDB oracle replays it exactly). A vector whose split-dim value
+# lies within margin·rms of the sign boundary ALSO probes the sub-cell
+# with that bit flipped — the n_probe move applied to the orthant split,
+# which recovers the cross-sub-cell ε-pairs the r8 single-probe split
+# stopped comparing (measured on the forced-split corpus: pair retention
+# 0.556 → 0.93 at 0.75·rms, ~1.8 probe keys/vector, max effective cell
+# < 2× the bound; the sweep 0.5/0.75/1.0 → 0.83/0.93/0.97 retention at
+# 1.5/1.8/2.0 keys). Pair cost grows by ~(keys/vector)² ≈ 3×, a constant
+# factor — the bound's ≤ occ_bound²-per-cell invariant becomes
+# ≤ (2·occ_bound)² and stays flat in corpus size.
+SEMDEDUP_PROBE_MARGIN = 0.75
 # Materialize the assignment (localCheckpoint) only when the corpus is
 # big enough that re-running the O(N·sqrt(k)) assignment once per pair
 # side costs more than the materialization round-trip. Below the
@@ -1271,6 +1284,7 @@ def semantic_dedup(
     n_centroids: int | None = 16,
     threshold: float = 0.2,
     occupancy_bound: int | None = SEMDEDUP_OCC_BOUND,
+    probe_margin: float | None = SEMDEDUP_PROBE_MARGIN,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the corpus with the deterministic IVF path, then WITHIN each cluster
@@ -1305,6 +1319,19 @@ def semantic_dedup(
     are then scoped to the sub-cell: a recall trade, made deterministic
     (pure integer derivation, same on the DuckDB oracle side) instead of
     a scale cliff. ``None`` disables the bound (exact paper semantics).
+
+    ``probe_margin`` (default SEMDEDUP_PROBE_MARGIN) is the multi-probe
+    boundary dial that buys back most of the split's pair recall: a
+    vector whose split-dim value is within margin·rms(v) of the sign
+    boundary also probes the adjacent sub-cell (that bit flipped, one
+    flip per boundary dim — single-bit probes, so ≤ e+1 keys/vector),
+    and a pair is compared iff the two probe sets share a key (the
+    symmetric candidate rule; duplicates from multi-key overlap are
+    removed before the partner counts). Measured on the forced-split
+    corpus (pipe_semantic_dedup_split_price): pair retention 0.556 →
+    0.93, drop-set still a subset of the exact route's. ``None``
+    restores the round-8 single-probe split (used by tests pinning the
+    price of the bare bound).
 
     Out: vec_id, cent_id, cent_sim, n_dup_partners, keep.
     """
@@ -1349,9 +1376,13 @@ def semantic_dedup(
         # Slice truncates past the embedding's end identically in Spark
         # and DuckDB, so the key degrades deterministically if dims run
         # out. e = 0 (cluster within bound) → empty key → no split.
+        vals = F.slice(F.col("embedding"), F.lit(bits_f + 1), F.col("_e"))
         sub_bits = F.transform(
-            F.slice(F.col("embedding"), F.lit(bits_f + 1), F.col("_e")),
+            vals,
             lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0")),
+        )
+        primary = F.when(F.col("_e") <= 0, F.lit("")).otherwise(
+            F.array_join(sub_bits, "")
         )
         cs = (
             cs.withColumn("_occ", F.count("*").over(w_occ))
@@ -1359,26 +1390,62 @@ def semantic_dedup(
                 "_e",
                 F.size(F.filter(caps, lambda c: c < F.col("_occ"))),
             )
-            .withColumn(
-                "sub_key",
-                F.when(F.col("_e") <= 0, F.lit("")).otherwise(
-                    F.array_join(sub_bits, "")
-                ),
-            )
-            .drop("_e", "_occ")
+            .withColumn("sub_key", primary)
         )
+        if probe_margin is not None:
+            # Multi-probe: one extra key per split dim within
+            # margin·rms(v) of the sign boundary — the flipped-bit
+            # sub-cell. rms is the scale-free per-dim magnitude
+            # (sqrt(<v,v>/d)), identical arithmetic on the oracle side.
+            # 1-based boundary dims; -1 sentinel filtered out.
+            rms = F.sqrt(
+                _dot(F.col("embedding"), F.col("embedding"))
+                / F.size(F.col("embedding"))
+            )
+            flip_idx = F.filter(
+                F.transform(
+                    vals,
+                    lambda v, i: F.when(
+                        F.abs(v) < F.lit(probe_margin) * F.col("_rms"),
+                        i + 1,
+                    ).otherwise(F.lit(-1)),
+                ),
+                lambda j: j > 0,
+            )
+            flip_key = lambda j: F.concat(  # noqa: E731
+                F.substr(F.col("sub_key"), F.lit(1), j - 1),
+                F.when(
+                    F.substr(F.col("sub_key"), j, F.lit(1)) == "1",
+                    F.lit("0"),
+                ).otherwise(F.lit("1")),
+                F.substr(F.col("sub_key"), j + 1),
+            )
+            cs = (
+                cs.withColumn("_rms", rms)
+                .withColumn(
+                    "sub_keys",
+                    F.array_union(
+                        F.array(F.col("sub_key")),
+                        F.transform(flip_idx, flip_key),
+                    ),
+                )
+                .drop("_rms")
+            )
+        else:
+            cs = cs.withColumn("sub_keys", F.array(F.col("sub_key")))
+        cs = cs.drop("_e", "_occ", "sub_key")
     else:
-        cs = cs.withColumn("sub_key", F.lit(""))
+        cs = cs.withColumn("sub_keys", F.array(F.lit("")))
     x = cs.select(
         "cent_id",
-        "sub_key",
+        F.explode("sub_keys").alias("sub_key"),
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
         F.col("cent_sim").alias("sa"),
     )
     y = cs.select(
         "cent_id",
-        "sub_key",
+        F.explode("sub_keys").alias("sub_key"),
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
         F.col("cent_sim").alias("sb"),
@@ -1387,6 +1454,11 @@ def semantic_dedup(
         x.join(y, ["cent_id", "sub_key"])
         .filter(F.col("va") != F.col("vb"))
         .filter(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= threshold)
+        # multi-probe can surface the same pair through several shared
+        # keys — dedupe before the partner counts (sa/sb are functions
+        # of va/vb, so pair distinctness == row distinctness here)
+        .select("va", "sa", "vb", "sb")
+        .distinct()
     )
     d = pr.groupBy(F.col("va").alias("vec_id")).agg(
         F.count("*").alias("n_dup_partners"),
@@ -1406,7 +1478,7 @@ def semantic_dedup(
         .cast("long")
         .alias("n_dup_partners"),
         (F.coalesce(F.col("n_better"), F.lit(0)) == 0).alias("keep"),
-    )  # sub_key is internal: dropped by the explicit projection
+    )  # sub_keys is internal: dropped by the explicit projection
 
 
 def gram_matrix(embeddings: DataFrame) -> DataFrame:

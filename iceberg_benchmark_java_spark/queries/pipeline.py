@@ -4982,9 +4982,16 @@ def _semdedup_final(off_expr: str) -> str:
     similarity.semantic_dedup: per-cluster split width e_bits = #caps
     [bound·2^0 .. bound·2^24] below the occupancy (smallest e with
     occ <= bound·2^e, pure integers), sub-key = signs of the e_bits dims
-    after the ``off_expr`` seeding bits, pair stage scoped to
-    (cent_id, sub_key)."""
-    from ..operators.similarity import SEMDEDUP_OCC_BOUND, SEMDEDUP_SPLIT_MAX_E
+    after the ``off_expr`` seeding bits, MULTI-PROBE key set = primary
+    sub-key plus one single-bit flip per split dim within
+    SEMDEDUP_PROBE_MARGIN·rms(v) of the sign boundary (rms = sqrt(<v,v>/d),
+    the same row-local arithmetic the Spark operator folds), pair stage =
+    DISTINCT pairs sharing any (cent_id, key)."""
+    from ..operators.similarity import (
+        SEMDEDUP_OCC_BOUND,
+        SEMDEDUP_PROBE_MARGIN,
+        SEMDEDUP_SPLIT_MAX_E,
+    )
 
     caps = ", ".join(
         str(SEMDEDUP_OCC_BOUND << i) for i in range(SEMDEDUP_SPLIT_MAX_E + 1)
@@ -4998,7 +5005,8 @@ def _semdedup_final(off_expr: str) -> str:
              len(list_filter([{caps}]::BIGINT[], c -> c < occ)) AS e_bits
       FROM occ),
     cs AS (
-      SELECT a.vec_id, a.cent_id, e.ee,
+      SELECT a.vec_id, a.cent_id, e.ee, x.e_bits,
+             sqrt(list_dot_product(e.ee, e.ee) / len(e.ee)) AS rms,
              CASE WHEN x.e_bits <= 0 THEN ''
                   ELSE array_to_string(list_transform(
                     list_slice(e.ee, ({off_expr}) + 1,
@@ -5010,11 +5018,21 @@ def _semdedup_final(off_expr: str) -> str:
       JOIN e ON a.vec_id = e.vec_id
       JOIN cent0 c ON a.cent_id = c.cent_id
       JOIN ex x ON x.cent_id = a.cent_id),
+    pk AS (
+      SELECT vec_id, cent_id, ee, cent_sim, sub_key AS k FROM cs
+      UNION ALL
+      SELECT cs.vec_id, cs.cent_id, cs.ee, cs.cent_sim,
+             concat(substr(sub_key, 1, j - 1),
+                    CASE substr(sub_key, j, 1)
+                         WHEN '1' THEN '0' ELSE '1' END,
+                    substr(sub_key, j + 1)) AS k
+      FROM cs, UNNEST(generate_series(1, cs.e_bits)) g(j)
+      WHERE abs(ee[({off_expr}) + j]) < {SEMDEDUP_PROBE_MARGIN} * rms),
     pr AS (
-      SELECT x.vec_id AS va, x.cent_sim AS sa,
+      SELECT DISTINCT x.vec_id AS va, x.cent_sim AS sa,
              y.vec_id AS vb, y.cent_sim AS sb
-      FROM cs x JOIN cs y
-        ON x.cent_id = y.cent_id AND x.sub_key = y.sub_key
+      FROM pk x JOIN pk y
+        ON x.cent_id = y.cent_id AND x.k = y.k
        AND x.vec_id <> y.vec_id
       WHERE {_duck_cos("x.ee", "y.ee")} >= 0.2),
     d AS (
@@ -5360,13 +5378,18 @@ _SPLIT_PRICE_BASE = 500
 
 
 def _duck_split_price_oracle() -> str:
-    """Both SemDeDup routes (occupancy-split and exact full-cluster pair
-    stage) over one shared flat-16 clustering of the inflated corpus,
-    reduced to a single reconciliation row. The split route's CTEs
-    mirror _semdedup_final verbatim (caps list, post-seeding sub-key,
-    keep rule); the exact route is the same pair/keep logic with the
-    sub-key constraint dropped."""
-    from ..operators.similarity import SEMDEDUP_OCC_BOUND, SEMDEDUP_SPLIT_MAX_E
+    """Both SemDeDup routes (multi-probe occupancy-split and exact
+    full-cluster pair stage) over one shared flat-16 clustering of the
+    inflated corpus, reduced to a single reconciliation row. The split
+    route's CTEs mirror _semdedup_final verbatim (caps list, post-seeding
+    sub-key, boundary multi-probe key set, distinct-pair stage, keep
+    rule); the exact route is the same pair/keep logic with the sub-key
+    constraint dropped."""
+    from ..operators.similarity import (
+        SEMDEDUP_OCC_BOUND,
+        SEMDEDUP_PROBE_MARGIN as _SEMDEDUP_PROBE_MARGIN,
+        SEMDEDUP_SPLIT_MAX_E,
+    )
 
     caps = ", ".join(
         str(SEMDEDUP_OCC_BOUND << i) for i in range(SEMDEDUP_SPLIT_MAX_E + 1)
@@ -5398,7 +5421,8 @@ def _duck_split_price_oracle() -> str:
              len(list_filter([{caps}]::BIGINT[], c -> c < occ)) AS e_bits
       FROM occ),
     cs AS (
-      SELECT a.vec_id, a.cent_id, e.ee,
+      SELECT a.vec_id, a.cent_id, e.ee, x.e_bits,
+             sqrt(list_dot_product(e.ee, e.ee) / len(e.ee)) AS rms,
              CASE WHEN x.e_bits <= 0 THEN ''
                   ELSE array_to_string(list_transform(
                     list_slice(e.ee, 4 + 1, 4 + x.e_bits),
@@ -5409,6 +5433,16 @@ def _duck_split_price_oracle() -> str:
       JOIN e ON a.vec_id = e.vec_id
       JOIN cent0 c ON a.cent_id = c.cent_id
       JOIN ex x ON x.cent_id = a.cent_id),
+    pk AS (
+      SELECT vec_id, cent_id, ee, cent_sim, sub_key AS k FROM cs
+      UNION ALL
+      SELECT cs.vec_id, cs.cent_id, cs.ee, cs.cent_sim,
+             concat(substr(sub_key, 1, j - 1),
+                    CASE substr(sub_key, j, 1)
+                         WHEN '1' THEN '0' ELSE '1' END,
+                    substr(sub_key, j + 1)) AS k
+      FROM cs, UNNEST(generate_series(1, cs.e_bits)) g(j)
+      WHERE abs(ee[4 + j]) < {_SEMDEDUP_PROBE_MARGIN} * rms),
     pr_u AS (
       SELECT x.vec_id AS va, x.cent_sim AS sa,
              y.vec_id AS vb, y.cent_sim AS sb
@@ -5416,10 +5450,12 @@ def _duck_split_price_oracle() -> str:
         ON x.cent_id = y.cent_id AND x.vec_id <> y.vec_id
       WHERE {_duck_cos("x.ee", "y.ee")} >= 0.2),
     pr_s AS (
-      SELECT va, sa, vb, sb FROM pr_u
-      JOIN cs cx ON cx.vec_id = va
-      JOIN cs cy ON cy.vec_id = vb
-      WHERE cx.sub_key = cy.sub_key),
+      SELECT DISTINCT x.vec_id AS va, x.cent_sim AS sa,
+             y.vec_id AS vb, y.cent_sim AS sb
+      FROM pk x JOIN pk y
+        ON x.cent_id = y.cent_id AND x.k = y.k
+       AND x.vec_id <> y.vec_id
+      WHERE {_duck_cos("x.ee", "y.ee")} >= 0.2),
     d_u AS (
       SELECT va AS vec_id,
              SUM(CASE WHEN sb < sa OR (sb = sa AND vb < va)
@@ -5452,20 +5488,23 @@ def semantic_dedup_split_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MEASURED recall price of the SemDeDup occupancy bound: run
     similarity.semantic_dedup twice over a x4-replica-inflated corpus
     that forces clusters past SEMDEDUP_OCC_BOUND — once with the
-    registered split (pair stage scoped to sub-cells) and once with
-    occupancy_bound=None (exact paper semantics, full within-cluster
-    pairs) — and reconcile: what fraction of e-neighbor pairs and of
-    dropped duplicates does the bound retain? This is the quantified
-    trade that replaced the x33-at-x100 pair-stage cliff
-    (SCALING_r07/r08 artifacts): the split keeps the pair stage <=
-    bound^2 per cell at ANY corpus size, and this entry pins what it
-    gives up (measured at sf0.01: pair_retention 0.556 — only ~56% of
-    e-neighbor PAIRS are still compared — yet drop_retention 0.945,
-    with the split's drop set a strict subset of the exact one: dup
-    groups are dense, so one surviving same-sub-cell partner usually
-    suffices to drop a vector. Exact replicas are never separated —
-    identical vectors share every sign bit — so the loss is confined
-    to cross-sub-cell near neighbors). Both routes and the
+    registered split (pair stage scoped to multi-probe sub-cells) and
+    once with occupancy_bound=None (exact paper semantics, full
+    within-cluster pairs) — and reconcile: what fraction of e-neighbor
+    pairs and of dropped duplicates does the bound retain? This is the
+    quantified trade that replaced the x33-at-x100 pair-stage cliff
+    (SCALING_r07/r08 artifacts): the split keeps the pair stage
+    <= (2·bound)^2 per cell at ANY corpus size, and this entry pins what
+    it gives up. Measured at sf0.01 WITH the round-9 multi-probe
+    boundary assignment (SEMDEDUP_PROBE_MARGIN=0.75·rms, vectors near a
+    sub-cell face also compare against the adjacent sub-cell):
+    pair_retention 0.926 and drop_retention 0.995, vs 0.556 / 0.945 for
+    the r8 single-probe split (probe_margin=None) — the n_probe move
+    applied to the orthant split, at ~1.8 probe keys/vector. The
+    split's drop set remains a strict subset of the exact one
+    (n_drops_common == n_drops_split): compared pairs are a subset, so
+    n_better can only shrink. Exact replicas are never separated —
+    identical vectors share every sign bit. Both routes and the
     reconciliation are re-derived by the DuckDB oracle from the shared
     flat-16 clustering."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
