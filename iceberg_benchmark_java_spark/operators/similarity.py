@@ -1357,93 +1357,128 @@ def semantic_dedup(
     if corpus_count(embeddings) >= SEMDEDUP_CHECKPOINT_MIN:
         cs = cs.localCheckpoint(eager=False)
     if occupancy_bound:
-        # per-cluster split width: #caps [bound*2^0 .. bound*2^24] below
-        # the cluster's occupancy = smallest e with occ <= bound*2^e.
         # Occupancy comes from a cent_id-partitioned window — ONE shuffle
         # keyed like the pair join, no extra assignment-recomputing
         # branch (a groupBy+join-back formulation re-ran the whole
         # assignment for the probe: measured 353 s vs 187 s at x100).
-        bits_f = max(1, (max(n_centroids, 2) - 1).bit_length())
-        caps = F.array(
-            *[
-                F.lit(occupancy_bound << i)
-                for i in range(SEMDEDUP_SPLIT_MAX_E + 1)
-            ]
+        cs = cs.withColumn(
+            "_occ", F.count("*").over(Window.partitionBy("cent_id"))
         )
-        w_occ = Window.partitionBy("cent_id")
-        # sub-key = signs of dims [bits_f+1 .. bits_f+e] (1-based) — the
-        # dims AFTER the seeding bits, which cluster members correlate on.
-        # Slice truncates past the embedding's end identically in Spark
-        # and DuckDB, so the key degrades deterministically if dims run
-        # out. e = 0 (cluster within bound) → empty key → no split.
-        vals = F.slice(F.col("embedding"), F.lit(bits_f + 1), F.col("_e"))
-        sub_bits = F.transform(
-            vals,
-            lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0")),
+    cs = _attach_probe_keys(cs, n_centroids, occupancy_bound, probe_margin)
+    d = _pair_partners(cs, cs, threshold)
+    return cs.join(d, "vec_id", "left").select(
+        "vec_id",
+        "cent_id",
+        "cent_sim",
+        F.coalesce(F.col("n_dup_partners"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_partners"),
+        (F.coalesce(F.col("n_better"), F.lit(0)) == 0).alias("keep"),
+    )  # sub_keys is internal: dropped by the explicit projection
+
+
+def _attach_probe_keys(
+    cs: DataFrame,
+    n_centroids: int,
+    occupancy_bound: int | None,
+    probe_margin: float | None,
+) -> DataFrame:
+    """Derive the occupancy-split multi-probe key set ``sub_keys`` on a
+    cells DataFrame (vec_id, cent_id, embedding, cent_sim[, _occ]) —
+    shared by :func:`semantic_dedup` (window occupancy over one corpus)
+    and :func:`incremental_semantic_dedup` (broadcast-joined occupancy
+    over corpus+batch) so the split geometry can never drift between the
+    full and the ingest paths. Consumes ``_occ`` when
+    ``occupancy_bound`` is set; drops the intermediates."""
+    if not occupancy_bound:
+        return cs.withColumn("sub_keys", F.array(F.lit("")))
+    # per-cluster split width: #caps [bound*2^0 .. bound*2^24] below
+    # the cluster's occupancy = smallest e with occ <= bound*2^e.
+    bits_f = max(1, (max(n_centroids, 2) - 1).bit_length())
+    caps = F.array(
+        *[
+            F.lit(occupancy_bound << i)
+            for i in range(SEMDEDUP_SPLIT_MAX_E + 1)
+        ]
+    )
+    # sub-key = signs of dims [bits_f+1 .. bits_f+e] (1-based) — the
+    # dims AFTER the seeding bits, which cluster members correlate on.
+    # Slice truncates past the embedding's end identically in Spark
+    # and DuckDB, so the key degrades deterministically if dims run
+    # out. e = 0 (cluster within bound) → empty key → no split.
+    vals = F.slice(F.col("embedding"), F.lit(bits_f + 1), F.col("_e"))
+    sub_bits = F.transform(
+        vals,
+        lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    primary = F.when(F.col("_e") <= 0, F.lit("")).otherwise(
+        F.array_join(sub_bits, "")
+    )
+    cs = cs.withColumn(
+        "_e",
+        F.size(F.filter(caps, lambda c: c < F.col("_occ"))),
+    ).withColumn("sub_key", primary)
+    if probe_margin is not None:
+        # Multi-probe: one extra key per split dim within
+        # margin·rms(v) of the sign boundary — the flipped-bit
+        # sub-cell. rms is the scale-free per-dim magnitude
+        # (sqrt(<v,v>/d)), identical arithmetic on the oracle side.
+        # 1-based boundary dims; -1 sentinel filtered out.
+        rms = F.sqrt(
+            _dot(F.col("embedding"), F.col("embedding"))
+            / F.size(F.col("embedding"))
         )
-        primary = F.when(F.col("_e") <= 0, F.lit("")).otherwise(
-            F.array_join(sub_bits, "")
+        flip_idx = F.filter(
+            F.transform(
+                vals,
+                lambda v, i: F.when(
+                    F.abs(v) < F.lit(probe_margin) * F.col("_rms"),
+                    i + 1,
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda j: j > 0,
+        )
+        flip_key = lambda j: F.concat(  # noqa: E731
+            F.substr(F.col("sub_key"), F.lit(1), j - 1),
+            F.when(
+                F.substr(F.col("sub_key"), j, F.lit(1)) == "1",
+                F.lit("0"),
+            ).otherwise(F.lit("1")),
+            F.substr(F.col("sub_key"), j + 1),
         )
         cs = (
-            cs.withColumn("_occ", F.count("*").over(w_occ))
+            cs.withColumn("_rms", rms)
             .withColumn(
-                "_e",
-                F.size(F.filter(caps, lambda c: c < F.col("_occ"))),
-            )
-            .withColumn("sub_key", primary)
-        )
-        if probe_margin is not None:
-            # Multi-probe: one extra key per split dim within
-            # margin·rms(v) of the sign boundary — the flipped-bit
-            # sub-cell. rms is the scale-free per-dim magnitude
-            # (sqrt(<v,v>/d)), identical arithmetic on the oracle side.
-            # 1-based boundary dims; -1 sentinel filtered out.
-            rms = F.sqrt(
-                _dot(F.col("embedding"), F.col("embedding"))
-                / F.size(F.col("embedding"))
-            )
-            flip_idx = F.filter(
-                F.transform(
-                    vals,
-                    lambda v, i: F.when(
-                        F.abs(v) < F.lit(probe_margin) * F.col("_rms"),
-                        i + 1,
-                    ).otherwise(F.lit(-1)),
+                "sub_keys",
+                F.array_union(
+                    F.array(F.col("sub_key")),
+                    F.transform(flip_idx, flip_key),
                 ),
-                lambda j: j > 0,
             )
-            flip_key = lambda j: F.concat(  # noqa: E731
-                F.substr(F.col("sub_key"), F.lit(1), j - 1),
-                F.when(
-                    F.substr(F.col("sub_key"), j, F.lit(1)) == "1",
-                    F.lit("0"),
-                ).otherwise(F.lit("1")),
-                F.substr(F.col("sub_key"), j + 1),
-            )
-            cs = (
-                cs.withColumn("_rms", rms)
-                .withColumn(
-                    "sub_keys",
-                    F.array_union(
-                        F.array(F.col("sub_key")),
-                        F.transform(flip_idx, flip_key),
-                    ),
-                )
-                .drop("_rms")
-            )
-        else:
-            cs = cs.withColumn("sub_keys", F.array(F.col("sub_key")))
-        cs = cs.drop("_e", "_occ", "sub_key")
+            .drop("_rms")
+        )
     else:
-        cs = cs.withColumn("sub_keys", F.array(F.lit("")))
-    x = cs.select(
+        cs = cs.withColumn("sub_keys", F.array(F.col("sub_key")))
+    return cs.drop("_e", "_occ", "sub_key")
+
+
+def _pair_partners(
+    x_cells: DataFrame, y_cells: DataFrame, threshold: float
+) -> DataFrame:
+    """ε-neighbor partner counts of ``x_cells`` members against
+    ``y_cells`` members sharing a (cent_id, probe key): DISTINCT
+    qualifying pairs, then per-x-member n_dup_partners and n_better (the
+    keep rule's numerator). Both inputs carry (vec_id, cent_id,
+    embedding, cent_sim, sub_keys); only the key rows fan out through
+    the join."""
+    x = x_cells.select(
         "cent_id",
         F.explode("sub_keys").alias("sub_key"),
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
         F.col("cent_sim").alias("sa"),
     )
-    y = cs.select(
+    y = y_cells.select(
         "cent_id",
         F.explode("sub_keys").alias("sub_key"),
         F.col("vec_id").alias("vb"),
@@ -1460,7 +1495,7 @@ def semantic_dedup(
         .select("va", "sa", "vb", "sb")
         .distinct()
     )
-    d = pr.groupBy(F.col("va").alias("vec_id")).agg(
+    return pr.groupBy(F.col("va").alias("vec_id")).agg(
         F.count("*").alias("n_dup_partners"),
         F.sum(
             F.when(
@@ -1470,7 +1505,82 @@ def semantic_dedup(
             ).otherwise(0)
         ).alias("n_better"),
     )
-    return cs.join(d, "vec_id", "left").select(
+
+
+def incremental_semantic_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.2,
+    occupancy_bound: int | None = SEMDEDUP_OCC_BOUND,
+    probe_margin: float | None = SEMDEDUP_PROBE_MARGIN,
+) -> DataFrame:
+    """Ingestion-time SemDeDup: decide keep/drop for a NEW batch against
+    an EXISTING corpus without re-clustering or re-comparing the corpus —
+    the batch twin :func:`dedup.incremental_lsh_candidates` provides for
+    MinHash. A training-data pipeline ingests batches; re-running the
+    full corpus×corpus pair stage per batch is not a plan at 100 TB.
+
+    Stages, each with its scale shape:
+      1. centroids come from the CORPUS ONLY (:func:`ivf_assignments` —
+         at scale this is the stored index, not a job); the batch is
+         assigned to those centroids by the broadcast map-side fold
+         (:func:`nearest_centroid`) — no re-clustering, plan-asserted.
+      2. cluster occupancy = corpus counts + batch counts per cent_id —
+         a ≤ 2·n_centroids-row aggregate broadcast back onto the cells
+         (NO corpus-row shuffle; the full operator's window shuffle is
+         replaced by metadata the stored index already has).
+      3. the pair stage is batch × (batch ∪ same-cluster corpus) via the
+         shared multi-probe key join (:func:`_pair_partners`) — the
+         corpus NEVER self-joins, so per-batch cost is
+         |batch| · occupancy-bounded, independent of accumulated pairs.
+
+    Decisions reconcile EXACTLY with the full-corpus operator restricted
+    to batch members whenever (a) every occupied orthant bucket has a
+    corpus member with the minimum vec_id (true for id-ordered ingest:
+    batch ids > corpus ids), so seeds(corpus ∪ batch) == seeds(corpus),
+    and (b) occupancy is counted over corpus+batch (done here): then
+    centroids, assignments, split keys, and every batch-side pair match
+    the full run's, and corpus×corpus pairs never affect a batch
+    member's partner set (pinned by pipe_incremental_semantic_dedup_
+    reconcile and the pytest twin).
+
+    Out (batch members only): vec_id, cent_id, cent_sim,
+    n_dup_partners, keep.
+    """
+    centroids, corpus_assign = ivf_assignments(corpus, n_centroids)
+    batch_assign = nearest_centroid(batch, centroids)
+
+    def cells(assign: DataFrame) -> DataFrame:
+        return assign.join(F.broadcast(centroids), "cent_id").select(
+            "vec_id",
+            "cent_id",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("c_emb")), 6).alias(
+                "cent_sim"
+            ),
+        )
+
+    c_cells, b_cells = cells(corpus_assign), cells(batch_assign)
+    if corpus_count(corpus) >= SEMDEDUP_CHECKPOINT_MIN:
+        c_cells = c_cells.localCheckpoint(eager=False)
+    if occupancy_bound:
+        occ = (
+            c_cells.select("cent_id")
+            .unionAll(b_cells.select("cent_id"))
+            .groupBy("cent_id")
+            .agg(F.count("*").alias("_occ"))
+        )
+        c_cells = c_cells.join(F.broadcast(occ), "cent_id")
+        b_cells = b_cells.join(F.broadcast(occ), "cent_id")
+    c_keys = _attach_probe_keys(
+        c_cells, n_centroids, occupancy_bound, probe_margin
+    )
+    b_keys = _attach_probe_keys(
+        b_cells, n_centroids, occupancy_bound, probe_margin
+    )
+    d = _pair_partners(b_keys, b_keys.unionAll(c_keys), threshold)
+    return b_keys.join(d, "vec_id", "left").select(
         "vec_id",
         "cent_id",
         "cent_sim",
@@ -1478,7 +1588,7 @@ def semantic_dedup(
         .cast("long")
         .alias("n_dup_partners"),
         (F.coalesce(F.col("n_better"), F.lit(0)) == 0).alias("keep"),
-    )  # sub_keys is internal: dropped by the explicit projection
+    )
 
 
 def gram_matrix(embeddings: DataFrame) -> DataFrame:

@@ -352,6 +352,48 @@ def test_banded_near_dup_equijoin_no_vector_fanout(spark):
         assert m and "embedding" not in m.group(1), ln
 
 
+def test_incremental_semantic_dedup_batch_shape(spark):
+    """Incremental SemDeDup (similarity.incremental_semantic_dedup): the
+    batch-ingest plan contract — no re-clustering and no corpus-wide
+    per-cluster window. Centroids/occupancy reach the cells as broadcast
+    sides, so the plan must contain NO windowspecdefinition over cent_id
+    (the full operator's occupancy window — here replaced by the ≤ 2·C-row
+    occupancy aggregate joined back by broadcast), no per-vector shuffle,
+    and no cartesian anywhere; the corpus appears ONLY as the probed
+    y-side of the pair join, never self-joined."""
+    from pyspark.sql import functions as F
+
+    from iceberg_benchmark_java_spark.catalog import load_table
+    from iceberg_benchmark_java_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        semantic_dedup,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") < 450)
+    batch = e.filter(F.col("vec_id") >= 450)
+    out = incremental_semantic_dedup(corpus, batch, n_centroids=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # (BroadcastNestedLoopJoin IS present and fine: the 1-row broadcast
+    # centroid-array fold of nearest_centroid, same as ivf_assignments.
+    # A vec_id exchange also remains and is fine: the final keep-join of
+    # partner counts onto batch members, bounded by |batch| — corpus rows
+    # never shuffle on vec_id.)
+    # the occupancy-as-metadata shape: the full operator needs a corpus-
+    # wide cent_id window, the incremental path must not
+    assert "windowspecdefinition(cent_id" not in plan
+    full_plan = (
+        semantic_dedup(e, n_centroids=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(cent_id" in full_plan
+    # centroids + occupancy broadcast back onto the cells
+    assert "BroadcastHashJoin" in plan
+
+
 def test_mixture_apply_broadcasts_rates(spark):
     """Applying mixture weights must broadcast the per-stratum rate table
     (|langs| rows) against the corpus scan — never shuffle the corpus on
