@@ -73,6 +73,12 @@ HEADLINE = [
     "pipe_embedding_near_dup_rp",
     "pipe_ann_two_level_recall_tuned",
     "pipe_ann_ivf_pq_topk",
+    # round-9 additions (new computation, disclosed in BENCH_DELTA_r09):
+    # serve-path twin of pipe_ann_ivf_pq_topk (reads the materialized
+    # index — the build-vs-serve latency gap is the pair of these rows)
+    # and the batch-ingest SemDeDup.
+    "pipe_ann_ivf_pq_serve",
+    "pipe_incremental_semantic_dedup",
     # Verbatim reference corpus headliners (fixtures/ warehouse, fixed
     # scale): the marquee TPC-DS shapes named in the round-1 review plus
     # two verbatim TPC-H texts. These time the reference's own SQL files
@@ -85,6 +91,20 @@ HEADLINE = [
     "corpus_tpch_q01",
     "corpus_tpch_q21",
 ]
+
+# Headline entries whose code or semantics changed THIS round (new rows
+# plus operators whose registered output moved). Everything else is the
+# code-stable subset: its round-over-round total is comparable without
+# prose, which is what ``code_stable_total_sec`` reports (the r8 lesson:
+# a ×1.3 probe shift made single-total deltas unreadable).
+CODE_TOUCHED_THIS_ROUND = {
+    # r9: multi-probe occupancy split changed SemDeDup pair semantics
+    "pipe_semantic_dedup",
+    "pipe_semantic_dedup_two_level",
+    # r9: new rows
+    "pipe_ann_ivf_pq_serve",
+    "pipe_incremental_semantic_dedup",
+}
 
 
 def main() -> None:
@@ -141,6 +161,10 @@ def main() -> None:
         else:
             failed[name] = err or "unknown"
     total = round(sum(timings.values()), 3)
+    code_stable_total = round(
+        sum(t for n, t in timings.items() if n not in CODE_TOUCHED_THIS_ROUND),
+        3,
+    )
     # corpus_* entries run against the committed fixtures/ warehouse at its
     # own fixed scale, not $SPARK_GRAFT_SF_DIR — label honestly so numbers
     # stay scale-comparable round-over-round.
@@ -155,6 +179,8 @@ def main() -> None:
         "metric": "headline_total_wall_sec_noop_sink",
         "value": total,
         "unit": "sec",
+        "code_stable_total_sec": code_stable_total,
+        "code_touched_this_round": sorted(CODE_TOUCHED_THIS_ROUND),
         "queries": timings,
         "runs": runs,
         "probe": {

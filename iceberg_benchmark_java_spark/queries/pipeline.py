@@ -14,6 +14,9 @@ rounding of every ratio.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -3351,6 +3354,81 @@ def ann_ivf_pq_probe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionAll(df)
     return out
+
+
+# --- build-once / query-many: the IVF-PQ index persisted to parquet ----------
+# Version stamp for the materialized index: bump to invalidate stale dirs
+# when the index derivation changes.
+_IVF_PQ_INDEX_VERSION = "v1:c16:pq16x8"
+
+
+def _ivf_pq_index_dir(sf_dir: str) -> str:
+    """fixtures/ivf_pq_index/<slug-of-sf_dir> under the repo root — one
+    materialized index per source warehouse, marker-protected like every
+    generated fixture (fixtures._marker_fresh discipline)."""
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    slug = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir)).strip("_")
+    return os.path.join(repo, "fixtures", "ivf_pq_index", slug)
+
+
+def _ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the three IVF-PQ index tables
+    (similarity.build_ivf_pq_index) to parquet once per warehouse —
+    centroids/, index/ (written partitioned BY cent_id, the probed-list
+    layout an ANN service scans), codebooks/ — and return the dir. A
+    ``_complete`` marker records the version stamp; subsequent calls are
+    read-only, which is the point: build once, serve many."""
+    d = _ivf_pq_index_dir(sf_dir)
+    marker = os.path.join(d, "_complete")
+    if os.path.exists(marker) and open(marker).read().strip() == _IVF_PQ_INDEX_VERSION:
+        return d
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, index, cb = similarity.build_ivf_pq_index(e, n_centroids=16)
+    os.makedirs(d, exist_ok=True)
+    centroids.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+    index.write.mode("overwrite").partitionBy("cent_id").parquet(
+        os.path.join(d, "index")
+    )
+    cb.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
+    with open(marker, "w") as fh:
+        fh.write(_IVF_PQ_INDEX_VERSION)
+    return d
+
+
+@query(
+    "pipe_ann_ivf_pq_serve",
+    oracle=_duck_ivf_pq_oracle("SELECT query_id, vec_id, sim, rnk FROM rtop"),
+)
+def ann_ivf_pq_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVE path of the composed IVF-PQ ANN: the index tables are
+    built ONCE into parquet (fixtures/ivf_pq_index/, marker-protected —
+    the reference's own pattern of pre-loading the warehouse so queries
+    only read, IcebergBenchmark.java:153) and the query plan READS them
+    (similarity.ivf_pq_topk_from_index): routing against the stored
+    centroids, ADC scan of the stored cent_id-partitioned code lists
+    (partition pruning gives the probed-lists-only read for free),
+    exact refine against the corpus raw vectors. Plan-asserted to
+    contain NO index-build stages — no centroid seeding aggregate, no
+    corpus-wide codebook aggregate, no code derivation
+    (tests/test_plans.py::test_ivf_pq_serve_path_reads_stored_index).
+    Results are identical to the build-inclusive twin
+    pipe_ann_ivf_pq_topk (same oracle text, same dials), and the bench
+    rows sit side by side so the serve-vs-build latency gap is a
+    measured number rather than a claim."""
+    d = _ensure_ivf_pq_index(spark, sf_dir)
+    centroids = spark.read.parquet(os.path.join(d, "centroids"))
+    index = spark.read.parquet(os.path.join(d, "index"))
+    cb = spark.read.parquet(os.path.join(d, "codebooks"))
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.ivf_pq_topk_from_index(
+        centroids, index, cb, e.select("vec_id", "embedding"), queries_df,
+        k=5, n_probe=4, refine_k=32,
+    )
 
 
 # --- embedding cluster x label mixture matrix --------------------------------

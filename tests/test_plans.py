@@ -352,6 +352,35 @@ def test_banded_near_dup_equijoin_no_vector_fanout(spark):
         assert m and "embedding" not in m.group(1), ln
 
 
+def test_ivf_pq_serve_path_reads_stored_index(spark):
+    """Build-once/query-many contract: the serve entry's plan must READ
+    the materialized index (fixtures/ivf_pq_index parquet scans) and
+    contain NO index-build stages — no centroid-seeding aggregate
+    (keys=[bucket…]), no codebook build (posexplode of subspaces) — while
+    the build-inclusive twin's plan contains BOTH (proving the markers
+    actually detect the build stages). At scale this is the difference
+    between a per-query-batch corpus pass and a probed-lists-only read."""
+    from iceberg_benchmark_java_spark.queries.pipeline import (
+        ann_ivf_pq_serve_q,
+        ann_ivf_pq_topk_q,
+    )
+
+    serve = ann_ivf_pq_serve_q(spark, SF_SMOKE)
+    plan = serve._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_pq_index" in plan
+    assert "posexplode" not in plan
+    assert "keys=[bucket" not in plan
+    assert "CartesianProduct" not in plan
+    build_plan = (
+        ann_ivf_pq_topk_q(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "posexplode" in build_plan
+    assert "keys=[bucket" in build_plan
+
+
 def test_incremental_semantic_dedup_batch_shape(spark):
     """Incremental SemDeDup (similarity.incremental_semantic_dedup): the
     batch-ingest plan contract — no re-clustering and no corpus-wide

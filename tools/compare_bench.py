@@ -142,6 +142,26 @@ def main() -> int:
         f"total: {old.get('value')} -> {new.get('value')} sec"
         f"  ({len(regressed)} queries regressed > {threshold}%)"
     )
+    # First-class code-stable comparison (round-9+): the total over
+    # entries untouched this round, recomputed against the OLD run's
+    # timings for the same key set so both sides exclude identical
+    # entries. Falls back gracefully when either side predates the field.
+    touched = set(new.get("code_touched_this_round") or [])
+    if "code_stable_total_sec" in new:
+        stable_keys = [
+            q
+            for q in new.get("queries", {})
+            if q not in touched and q in old.get("queries", {})
+        ]
+        old_stable = round(sum(old["queries"][q] for q in stable_keys), 3)
+        new_stable = round(sum(new["queries"][q] for q in stable_keys), 3)
+        emit(
+            f"code-stable subset ({len(stable_keys)} shared entries, "
+            f"excl. {sorted(touched)}): {old_stable} -> {new_stable} sec"
+            f" (x{new_stable / old_stable:.2f})"
+            if old_stable
+            else "code-stable subset: no shared entries"
+        )
     if out_file:
         with open(out_file, "w") as f:
             f.write("\n".join(lines) + "\n")
