@@ -89,6 +89,41 @@ def main() -> int:
     from iceberg_benchmark_java_spark.queries import all_oracles, all_queries
     from iceberg_benchmark_java_spark.session import build_session, local_test_config
 
+    # Sweep-at-HEAD guard: a CORRECTNESS_LOCAL_r*.json artifact claims
+    # "every registered query, at the committed HEAD". Refuse to write
+    # one from a dirty source tree or a partial run — the invariant that
+    # slipped in rounds 6-7 (sweeps that predated the final commits),
+    # now mechanical instead of procedural.
+    if json_out and "CORRECTNESS_LOCAL" in json_out.rsplit("/", 1)[-1]:
+        if sample_n is not None or only:
+            sys.exit(
+                "refusing to write a CORRECTNESS_LOCAL artifact from a "
+                "partial run: drop --sample/query filters or rename the "
+                "output (the artifact's contract is the FULL registry)"
+            )
+        import subprocess
+
+        dirty = [
+            ln
+            for ln in subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd="/root/repo", capture_output=True, text=True,
+            ).stdout.splitlines()
+            # artifacts the sweep itself (or the round) writes are fine;
+            # SOURCE must be clean so the artifact provably matches HEAD
+            if ln[3:].startswith(
+                (
+                    "iceberg_benchmark_java_spark/", "tools/", "tests/",
+                    "corpus/", "bench.py", "__spark_entry__.py",
+                )
+            )
+        ]
+        if dirty:
+            sys.exit(
+                "refusing to write a CORRECTNESS_LOCAL artifact with "
+                "dirty source (commit first):\n" + "\n".join(dirty)
+            )
+
     spark = build_session(local_test_config("correctness-check"))
     con = duckdb.connect()
     for t in (
