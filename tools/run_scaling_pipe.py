@@ -97,6 +97,20 @@ HEADLINERS = [
     # shortlist; the scan cost should track the probed-list fraction of
     # the corpus, not the corpus itself.
     "pipe_ann_ivf_pq_topk",
+    # round-9: the serve-path twin over the materialized index — run 1
+    # at each scale pays the one-time parquet build (marker-protected),
+    # run 2 is the pure query path, so best-of-2 IS the serve latency
+    # and the runs array keeps the build cost visible.
+    "pipe_ann_ivf_pq_serve",
+    # round-9: IVF-PQ recall at the tuned dials (n_probe=6, refine_k=128
+    # — the probe-sweep pick restoring recall@5 >= 0.8); includes the
+    # exact brute-force baseline, which is linear in N for the fixed
+    # 10-query panel.
+    "pipe_ann_ivf_pq_recall_tuned",
+    # round-9: batch-ingest SemDeDup — new batch (top 10% of ids) vs the
+    # accumulated corpus; cost should track |batch| x bounded occupancy,
+    # NOT the corpus pair space.
+    "pipe_incremental_semantic_dedup",
 ]
 
 EXACT_DUP_RATE = 0.002
@@ -429,6 +443,20 @@ def plan_asserts(spark, queries, sf_dir: str) -> dict[str, str]:
                 errs.append("corpus shuffled on vec_id")
             if "BroadcastHashJoin" not in plan:
                 errs.append("probes/LUT/shortlist not broadcast")
+        if name == "pipe_ann_ivf_pq_serve":
+            # build-once/query-many contract at scale: stored index read,
+            # no index-build stages in the query plan
+            if "ivf_pq_index" not in plan:
+                errs.append("stored index not scanned")
+            if "posexplode" in plan:
+                errs.append("codebook build stage in serve plan")
+            if "keys=[bucket" in plan:
+                errs.append("centroid seeding in serve plan")
+        if name == "pipe_incremental_semantic_dedup":
+            if "windowspecdefinition(cent_id" in plan:
+                errs.append("corpus-wide occupancy window in batch path")
+            if "BroadcastHashJoin" not in plan:
+                errs.append("occupancy/centroids not broadcast")
         if (
             name == "pipe_dedup_method_agreement"
             and "BroadcastNestedLoopJoin" in plan
