@@ -5135,9 +5135,12 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserving keep rule, vec_id ties). The pairwise stage is bounded
     twice: n_centroids is the corpus-scaling dial (like the LSH bit
     width), and clusters above SEMDEDUP_OCC_BOUND members are
-    deterministically sub-split by post-seeding sign bits so the pair
-    self-join stays ≤ bound² per cell regardless of orthant skew. Oracle:
-    the shared IVF CTE template extended with the occupancy-split +
+    deterministically sub-split by post-seeding sign bits — with
+    multi-probe boundary assignment (SEMDEDUP_PROBE_MARGIN: vectors near
+    a sub-cell face also compare against the adjacent cell, pair
+    retention 0.93 vs 0.56 single-probe) — so the pair self-join stays
+    ≤ (2·bound)² per cell regardless of orthant skew. Oracle: the shared
+    IVF CTE template extended with the occupancy-split + multi-probe +
     pair/keep logic, so the clustering can never drift from
     pipe_ann_ivf_topk's."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -5224,9 +5227,11 @@ def semantic_dedup_two_level_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N·k) that measured x26.4 wall at x32 data in r6). The oracle
     models ALL THREE dials exactly — the integer-shift k derivation, the
     two-level route (within-cell-only argmax, nonempty-cell
-    restriction), and the SEMDEDUP_OCC_BOUND occupancy split (oversize
-    clusters re-split by post-seeding sign bits so the pair stage stays
-    ≤ bound² per cell past the k = 2^16 cap) — so this entry proves the
+    restriction), and the SEMDEDUP_OCC_BOUND occupancy split with
+    multi-probe boundary assignment (oversize clusters re-split by
+    post-seeding sign bits, boundary vectors probing the adjacent
+    sub-cell, so the pair stage stays ≤ (2·bound)² per cell past the
+    k = 2^16 cap at 0.93 pair retention) — so this entry proves the
     approximation is deterministic, not just fast; the keep-rule tail is
     shared with pipe_semantic_dedup's oracle verbatim."""
     e = load_table(spark, sf_dir, "embeddings")
