@@ -3373,16 +3373,35 @@ def _ivf_pq_index_dir(sf_dir: str) -> str:
     return os.path.join(repo, "fixtures", "ivf_pq_index", slug)
 
 
+def _source_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Cheap source-data fingerprint (file sizes + mtimes of the table's
+    parquet file or directory tree) so a regenerated warehouse invalidates
+    any derived index built from the old bytes."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    parts = []
+    for root, _, files in (
+        os.walk(path) if os.path.isdir(path) else [(os.path.dirname(path), None, [os.path.basename(path)])]
+    ):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+    return ";".join(parts)
+
+
 def _ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the three IVF-PQ index tables
     (similarity.build_ivf_pq_index) to parquet once per warehouse —
     centroids/, index/ (written partitioned BY cent_id, the probed-list
     layout an ANN service scans), codebooks/ — and return the dir. A
-    ``_complete`` marker records the version stamp; subsequent calls are
-    read-only, which is the point: build once, serve many."""
+    ``_complete`` marker records the version stamp + a source-data
+    fingerprint (a regenerated warehouse rebuilds the index instead of
+    silently serving stale codes); subsequent calls are read-only, which
+    is the point: build once, serve many."""
     d = _ivf_pq_index_dir(sf_dir)
     marker = os.path.join(d, "_complete")
-    if os.path.exists(marker) and open(marker).read().strip() == _IVF_PQ_INDEX_VERSION:
+    stamp = f"{_IVF_PQ_INDEX_VERSION}\n{_source_fingerprint(sf_dir)}"
+    if os.path.exists(marker) and open(marker).read().strip() == stamp:
         return d
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids, index, cb = similarity.build_ivf_pq_index(e, n_centroids=16)
@@ -3393,7 +3412,7 @@ def _ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
     )
     cb.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
     with open(marker, "w") as fh:
-        fh.write(_IVF_PQ_INDEX_VERSION)
+        fh.write(stamp)
     return d
 
 
