@@ -96,14 +96,18 @@ HEADLINE = [
 # plus operators whose registered output moved). Everything else is the
 # code-stable subset: its round-over-round total is comparable without
 # prose, which is what ``code_stable_total_sec`` reports (the r8 lesson:
-# a ×1.3 probe shift made single-total deltas unreadable).
+# a ×1.3 probe shift made single-total deltas unreadable). The set is
+# TAGGED with the round it describes and the tag is emitted in the
+# artifact — compare_bench warns when the tag doesn't match the newer
+# artifact's round, so a stale set can't silently shape the code-stable
+# line (the r9 ADVICE fix).
+CODE_TOUCHED_ROUND = "r10"
 CODE_TOUCHED_THIS_ROUND = {
-    # r9: multi-probe occupancy split changed SemDeDup pair semantics
+    # r10: asymmetric multi-probe pairing changed SemDeDup pair semantics
     "pipe_semantic_dedup",
     "pipe_semantic_dedup_two_level",
-    # r9: new rows
-    "pipe_ann_ivf_pq_serve",
-    "pipe_incremental_semantic_dedup",
+    # r10: new serve-path row (two-level ANN over the stored index)
+    "pipe_ann_two_level_serve",
 }
 
 
@@ -134,7 +138,7 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
-    probe_runs = [_timed("corpus_tpch_q01") for _ in range(3)]
+    probe_runs = [_timed("corpus_tpch_q01") for _ in range(3)]  # pre-bracket
 
     # Best-of-2 per query: shared-host CPU variance swings single runs by
     # ±30%; the min of two runs is the standard stable estimator. ALL raw
@@ -160,6 +164,12 @@ def main() -> None:
             runs[name] = ok_runs
         else:
             failed[name] = err or "unknown"
+    # Post-bracket probe: the same fixed code-stable query re-timed AFTER
+    # the headline loop. A pre/post divergence means the host shifted
+    # MID-SESSION (the r9 q72 lesson: a ×2.8 one-shot riser on an
+    # untouched verbatim query) — compare_bench classifies it mechanically
+    # from the two brackets instead of a human inferring it.
+    probe_runs_after = [_timed("corpus_tpch_q01") for _ in range(3)]
     total = round(sum(timings.values()), 3)
     code_stable_total = round(
         sum(t for n, t in timings.items() if n not in CODE_TOUCHED_THIS_ROUND),
@@ -180,6 +190,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "code_stable_total_sec": code_stable_total,
+        "code_touched_round": CODE_TOUCHED_ROUND,
         "code_touched_this_round": sorted(CODE_TOUCHED_THIS_ROUND),
         "queries": timings,
         "runs": runs,
@@ -187,6 +198,8 @@ def main() -> None:
             "query": "corpus_tpch_q01",
             "runs": probe_runs,
             "best": min(probe_runs),
+            "runs_after": probe_runs_after,
+            "best_after": min(probe_runs_after),
         },
         "failed": failed,
         "query_sf": scales,

@@ -3362,21 +3362,27 @@ def ann_ivf_pq_probe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_PQ_INDEX_VERSION = "v1:c16:pq16x8"
 
 
-def _ivf_pq_index_dir(sf_dir: str) -> str:
-    """fixtures/ivf_pq_index/<slug-of-sf_dir> under the repo root — one
+def _index_fixture_dir(sf_dir: str, kind: str) -> str:
+    """fixtures/<kind>/<slug-of-sf_dir> under the repo root — one
     materialized index per source warehouse, marker-protected like every
     generated fixture (fixtures._marker_fresh discipline)."""
     repo = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     slug = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir)).strip("_")
-    return os.path.join(repo, "fixtures", "ivf_pq_index", slug)
+    return os.path.join(repo, "fixtures", kind, slug)
+
+
+def _ivf_pq_index_dir(sf_dir: str) -> str:
+    return _index_fixture_dir(sf_dir, "ivf_pq_index")
 
 
 def _source_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
-    """Cheap source-data fingerprint (file sizes + mtimes of the table's
-    parquet file or directory tree) so a regenerated warehouse invalidates
-    any derived index built from the old bytes."""
+    """Cheap source-data fingerprint (file sizes + nanosecond mtimes of
+    the table's parquet file or directory tree) so a regenerated warehouse
+    invalidates any derived index built from the old bytes. st_mtime_ns
+    (not whole seconds): a same-size regen within one second must still
+    flip the stamp."""
     path = os.path.join(sf_dir, f"{table}.parquet")
     parts = []
     for root, _, files in (
@@ -3385,34 +3391,91 @@ def _source_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
         for f in sorted(files):
             p = os.path.join(root, f)
             st = os.stat(p)
-            parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
     return ";".join(parts)
+
+
+def _builder_code_hash() -> str:
+    """Content hash of operators/similarity.py — the module every stored
+    index's build path (seeding, assignment, PQ codes, codebooks, RP
+    hyperplanes) lives in. Folded into each index stamp so a code change
+    WITHOUT a manual version bump still invalidates materialized indexes
+    instead of silently serving stale codes."""
+    import hashlib
+
+    src = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "operators",
+        "similarity.py",
+    )
+    with open(src, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()[:16]
+
+
+def _index_stamp(version: str, sf_dir: str) -> str:
+    return f"{version}:{_builder_code_hash()}\n{_source_fingerprint(sf_dir)}"
+
+
+def _marker_fresh_index(d: str, stamp: str) -> bool:
+    marker = os.path.join(d, "_complete")
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as fh:
+        return fh.read().strip() == stamp
+
+
+def _publish_index(d: str, stamp: str, write_tables) -> None:
+    """Build-once/serve-many publication with crash- and concurrency-safe
+    swap: ``write_tables(tmp_dir)`` materializes every table into a
+    process-private temp dir, the ``_complete`` marker is written INSIDE
+    it, and only then is the temp dir renamed over the target — a reader
+    (another pytest session, a concurrent bench run) sees either the old
+    complete index or the new complete index, never half-overwritten
+    parquet. rename(2) is atomic on one filesystem; the displaced old dir
+    is removed after the swap."""
+    import shutil
+
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    tmp = f"{d}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_tables(tmp)
+    with open(os.path.join(tmp, "_complete"), "w") as fh:
+        fh.write(stamp)
+    old = f"{d}.old.{os.getpid()}"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(d):
+        os.rename(d, old)
+    os.rename(tmp, d)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the three IVF-PQ index tables
     (similarity.build_ivf_pq_index) to parquet once per warehouse —
     centroids/, index/ (written partitioned BY cent_id, the probed-list
-    layout an ANN service scans), codebooks/ — and return the dir. A
-    ``_complete`` marker records the version stamp + a source-data
-    fingerprint (a regenerated warehouse rebuilds the index instead of
-    silently serving stale codes); subsequent calls are read-only, which
-    is the point: build once, serve many."""
+    layout an ANN service scans), codebooks/ — and return the dir. The
+    ``_complete`` marker records the version stamp + a content hash of
+    the build code + a source-data fingerprint (a regenerated warehouse
+    OR an edited builder rebuilds the index instead of silently serving
+    stale codes); publication is an atomic temp-dir rename
+    (:func:`_publish_index`), so concurrent readers never scan a
+    half-overwritten index. Subsequent calls are read-only, which is the
+    point: build once, serve many."""
     d = _ivf_pq_index_dir(sf_dir)
-    marker = os.path.join(d, "_complete")
-    stamp = f"{_IVF_PQ_INDEX_VERSION}\n{_source_fingerprint(sf_dir)}"
-    if os.path.exists(marker) and open(marker).read().strip() == stamp:
+    stamp = _index_stamp(_IVF_PQ_INDEX_VERSION, sf_dir)
+    if _marker_fresh_index(d, stamp):
         return d
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids, index, cb = similarity.build_ivf_pq_index(e, n_centroids=16)
-    os.makedirs(d, exist_ok=True)
-    centroids.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
-    index.write.mode("overwrite").partitionBy("cent_id").parquet(
-        os.path.join(d, "index")
-    )
-    cb.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
-    with open(marker, "w") as fh:
-        fh.write(stamp)
+
+    def write_tables(tmp: str) -> None:
+        centroids.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        index.write.mode("overwrite").partitionBy("cent_id").parquet(
+            os.path.join(tmp, "index")
+        )
+        cb.write.mode("overwrite").parquet(os.path.join(tmp, "codebooks"))
+
+    _publish_index(d, stamp, write_tables)
     return d
 
 

@@ -18,9 +18,14 @@ re-runs to spot-check beyond the driver gate's fixed first-50 sample, e.g.:
 from __future__ import annotations
 
 import math
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+# Repo root derived from this file's location, not a literal path — the
+# dirty-tree guard below shells out with cwd=_REPO_ROOT, which must be
+# THIS checkout even when the repo lives somewhere other than /root/repo.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 import duckdb
 import pandas as pd
@@ -107,7 +112,7 @@ def main() -> int:
             ln
             for ln in subprocess.run(
                 ["git", "status", "--porcelain"],
-                cwd="/root/repo", capture_output=True, text=True,
+                cwd=_REPO_ROOT, capture_output=True, text=True,
             ).stdout.splitlines()
             # artifacts the sweep itself (or the round) writes are fine;
             # SOURCE must be clean so the artifact provably matches HEAD

@@ -72,10 +72,40 @@ def main() -> int:
                 f"sidecar instead: {payload.get('full', 'BENCH_LOCAL_*.json')}"
             )
             return 2
+    # Round-tag hygiene: the code-touched set is a per-round declaration
+    # (bench.py CODE_TOUCHED_ROUND); if the newer artifact's filename names
+    # a round that differs from its embedded tag, the set is stale and the
+    # code-stable line below is shaped by the WRONG exclusions — warn.
+    import re as _re
+
+    tag = new.get("code_touched_round")
+    m = _re.search(r"_r(\d+)", args[1])
+    if tag and m and tag.lstrip("r").lstrip("0") != m.group(1).lstrip("0"):
+        emit(
+            f"WARNING: newer artifact looks like round r{m.group(1)} but its "
+            f"code_touched set is tagged {tag} — CODE_TOUCHED_THIS_ROUND in "
+            f"bench.py was not reset; the code-stable line excludes the "
+            f"wrong entries"
+        )
     # probe-based host-noise ratio: how much the fixed, code-stable query
     # moved between the two runs (1.0 = no host shift / probe absent)
     probe_ratio = 1.0
     p_old, p_new = old.get("probe"), new.get("probe")
+    # Mid-session drift (round-10+): bench brackets the headline loop with
+    # the probe BEFORE and AFTER. A big within-session ratio means the host
+    # shifted while entries were being timed — single-entry outliers in
+    # that session are then host artifacts, not regressions (the r9 q72
+    # lesson, made mechanical).
+    for label, p in (("old", p_old), ("new", p_new)):
+        if p and p.get("best") and p.get("best_after"):
+            drift = p["best_after"] / p["best"]
+            if max(drift, 1 / drift) > 1.5:
+                emit(
+                    f"WARNING: {label} run shows x{drift:.2f} mid-session "
+                    f"probe drift (pre {p['best']} -> post {p['best_after']} "
+                    f"sec) — per-query numbers from that session carry "
+                    f"host noise beyond the pre-bracket ratio"
+                )
     if (
         p_old
         and p_new
@@ -83,6 +113,13 @@ def main() -> int:
         and p_old.get("best")
     ):
         observed = max(1.0, p_new["best"] / p_old["best"])
+        # When both sessions carry the post-bracket, let the discount see
+        # the worst same-position bracket ratio — a new session that ENDED
+        # slow inflates its late entries even if it started in family.
+        if p_old.get("best_after") and p_new.get("best_after"):
+            observed = max(
+                observed, p_new["best_after"] / p_old["best_after"]
+            )
         # The discount only arms when the probe itself moved beyond the
         # threshold (a genuine host shift); ordinary probe wobble must not
         # silently raise the effective regression gate for every query.
