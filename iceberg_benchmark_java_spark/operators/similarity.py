@@ -1312,13 +1312,19 @@ SEMDEDUP_SPLIT_MAX_E = 24  # bound * 2^24 ≈ 10^9 members — beyond any cell
 # lies within margin·rms of the sign boundary ALSO probes the sub-cell
 # with that bit flipped — the n_probe move applied to the orthant split,
 # which recovers the cross-sub-cell ε-pairs the r8 single-probe split
-# stopped comparing (measured on the forced-split corpus: pair retention
-# 0.556 → 0.93 at 0.75·rms, ~1.8 probe keys/vector, max effective cell
-# < 2× the bound; the sweep 0.5/0.75/1.0 → 0.83/0.93/0.97 retention at
-# 1.5/1.8/2.0 keys). Pair cost grows by ~(keys/vector)² ≈ 3×, a constant
-# factor — the bound's ≤ occ_bound²-per-cell invariant becomes
-# ≤ (2·occ_bound)² and stays flat in corpus size.
-SEMDEDUP_PROBE_MARGIN = 0.75
+# stopped comparing. Since round 10 the candidate rule is ASYMMETRIC
+# (_pair_partners: probe keys join the partner's PRIMARY key only, both
+# directions), so pair cost grows by ~keys/vector instead of the r9
+# symmetric-intersection ~(keys/vector)² — at the registered margin the
+# join volume is ~1.93× the unsplit pair stage vs r9's ~3.15×, a ~40%
+# cut. The margin is widened 0.75 → 0.95 to hold pair retention above
+# 0.9 under the stricter rule (measured on the forced-split corpus,
+# margin sweep under the asymmetric rule: 0.75/0.85/0.95/1.0 →
+# 0.887/0.906/0.915/0.918 retention at 1.77/1.86/1.93/2.0 keys/vector;
+# registered 0.95 → retention 0.915, drop retention 0.991). Constant
+# factor either way: the bound's ≤ occ_bound²-per-cell invariant becomes
+# ≤ 2·1.93·occ_bound² and stays flat in corpus size.
+SEMDEDUP_PROBE_MARGIN = 0.95
 # Materialize the assignment (localCheckpoint) only when the corpus is
 # big enough that re-running the O(N·sqrt(k)) assignment once per pair
 # side costs more than the materialization round-trip. Below the
@@ -1373,13 +1379,15 @@ def semantic_dedup(
     vector whose split-dim value is within margin·rms(v) of the sign
     boundary also probes the adjacent sub-cell (that bit flipped, one
     flip per boundary dim — single-bit probes, so ≤ e+1 keys/vector),
-    and a pair is compared iff the two probe sets share a key (the
-    symmetric candidate rule; duplicates from multi-key overlap are
-    removed before the partner counts). Measured on the forced-split
-    corpus (pipe_semantic_dedup_split_price): pair retention 0.556 →
-    0.93, drop-set still a subset of the exact route's. ``None``
-    restores the round-8 single-probe split (used by tests pinning the
-    price of the bare bound).
+    and a pair is compared iff EITHER endpoint's probe-key set contains
+    the other's primary sub-key (the asymmetric candidate rule of
+    :func:`_pair_partners` — ~1.93× pair volume instead of the symmetric
+    intersection rule's ~3.15×; duplicates from two-direction discovery
+    are removed before the partner counts). Measured on the forced-split
+    corpus (pipe_semantic_dedup_split_price): pair retention 0.915,
+    drop retention 0.991, drop-set still a subset of the exact route's.
+    ``None`` restores the round-8 single-probe split (used by tests
+    pinning the price of the bare bound).
 
     Out: vec_id, cent_id, cent_sim, n_dup_partners, keep.
     """
@@ -1413,7 +1421,7 @@ def semantic_dedup(
             "_occ", F.count("*").over(Window.partitionBy("cent_id"))
         )
     cs = _attach_probe_keys(cs, n_centroids, occupancy_bound, probe_margin)
-    d = _pair_partners(cs, cs, threshold)
+    d = _pair_partners(cs, cs, threshold, symmetric=True)
     return cs.join(d, "vec_id", "left").select(
         "vec_id",
         "cent_id",
@@ -1437,7 +1445,13 @@ def _attach_probe_keys(
     and :func:`incremental_semantic_dedup` (broadcast-joined occupancy
     over corpus+batch) so the split geometry can never drift between the
     full and the ingest paths. Consumes ``_occ`` when
-    ``occupancy_bound`` is set; drops the intermediates."""
+    ``occupancy_bound`` is set; drops the intermediates.
+
+    Invariant consumed by :func:`_pair_partners`: the PRIMARY sub-key
+    (the vector's home sub-cell) is always element 1 of ``sub_keys`` —
+    array_union preserves first-array order, and a boundary flip always
+    differs from the primary in one bit, so it can never collapse into
+    position 1."""
     if not occupancy_bound:
         return cs.withColumn("sub_keys", F.array(F.lit("")))
     # per-cluster split width: #caps [bound*2^0 .. bound*2^24] below
@@ -1511,14 +1525,36 @@ def _attach_probe_keys(
 
 
 def _pair_partners(
-    x_cells: DataFrame, y_cells: DataFrame, threshold: float
+    x_cells: DataFrame,
+    y_cells: DataFrame,
+    threshold: float,
+    symmetric: bool = False,
 ) -> DataFrame:
     """ε-neighbor partner counts of ``x_cells`` members against
-    ``y_cells`` members sharing a (cent_id, probe key): DISTINCT
-    qualifying pairs, then per-x-member n_dup_partners and n_better (the
-    keep rule's numerator). Both inputs carry (vec_id, cent_id,
-    embedding, cent_sim, sub_keys); only the key rows fan out through
-    the join."""
+    ``y_cells`` members under the ASYMMETRIC multi-probe candidate rule:
+    a pair (a, b) is compared iff a's probe-key set contains b's PRIMARY
+    sub-key or b's probe-key set contains a's primary — i.e. either
+    endpoint probes the other's home sub-cell. The round-9 rule exploded
+    ``sub_keys`` on BOTH join sides (pair compared iff the key sets
+    intersect through ANY shared cell), which paid ~(keys/vector)² ≈ 3.2×
+    the unsplit pair volume; probing against the primary only pays
+    ~keys/vector ≈ 1.93× while keeping every boundary pair reachable
+    through either endpoint's probe (the only pairs lost intersect solely
+    through a third cell neither calls home — measured on the
+    forced-split corpus: retention 0.887 at the r9 margin 0.75, bought
+    back to 0.915 by widening SEMDEDUP_PROBE_MARGIN to 0.95, still at
+    ~60% of the symmetric rule's join volume).
+
+    Both inputs carry (vec_id, cent_id, embedding, cent_sim, sub_keys)
+    with the PRIMARY sub-key at position 1 of ``sub_keys`` (the
+    :func:`_attach_probe_keys` invariant). ``symmetric=True`` declares
+    x_cells and y_cells to be the SAME corpus: the reverse direction
+    (b probes a's primary) is then derived by swapping the forward join's
+    qualifying pairs — one exploded join instead of two. With
+    ``symmetric=False`` (the incremental batch path) the reverse
+    direction runs as a second join with the sides' roles flipped.
+    Output: DISTINCT qualifying pairs reduced to per-x-member
+    n_dup_partners and n_better (the keep rule's numerator)."""
     x = x_cells.select(
         "cent_id",
         F.explode("sub_keys").alias("sub_key"),
@@ -1528,21 +1564,55 @@ def _pair_partners(
     )
     y = y_cells.select(
         "cent_id",
-        F.explode("sub_keys").alias("sub_key"),
+        F.element_at("sub_keys", 1).alias("sub_key"),
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
         F.col("cent_sim").alias("sb"),
     )
-    pr = (
+    fwd = (
         x.join(y, ["cent_id", "sub_key"])
         .filter(F.col("va") != F.col("vb"))
         .filter(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= threshold)
-        # multi-probe can surface the same pair through several shared
-        # keys — dedupe before the partner counts (sa/sb are functions
-        # of va/vb, so pair distinctness == row distinctness here)
         .select("va", "sa", "vb", "sb")
-        .distinct()
     )
+    if symmetric:
+        # x == y: the reverse-direction pairs are exactly the forward
+        # pairs swapped — a projection of the (already cosine-filtered,
+        # small) qualifying set, not a second exploded join.
+        rev = fwd.select(
+            F.col("vb").alias("va"),
+            F.col("sb").alias("sa"),
+            F.col("va").alias("vb"),
+            F.col("sa").alias("sb"),
+        )
+    else:
+        xp = x_cells.select(
+            "cent_id",
+            F.element_at("sub_keys", 1).alias("sub_key"),
+            F.col("vec_id").alias("va"),
+            F.col("embedding").alias("ea"),
+            F.col("cent_sim").alias("sa"),
+        )
+        ye = y_cells.select(
+            "cent_id",
+            F.explode("sub_keys").alias("sub_key"),
+            F.col("vec_id").alias("vb"),
+            F.col("embedding").alias("eb"),
+            F.col("cent_sim").alias("sb"),
+        )
+        rev = (
+            xp.join(ye, ["cent_id", "sub_key"])
+            .filter(F.col("va") != F.col("vb"))
+            .filter(
+                F.round(cosine(F.col("ea"), F.col("eb")), 6) >= threshold
+            )
+            .select("va", "sa", "vb", "sb")
+        )
+    # multi-probe can surface the same pair through both directions (and
+    # through the shared-primary case twice) — dedupe before the partner
+    # counts (sa/sb are functions of va/vb, so pair distinctness == row
+    # distinctness here)
+    pr = fwd.unionAll(rev).distinct()
     return pr.groupBy(F.col("va").alias("vec_id")).agg(
         F.count("*").alias("n_dup_partners"),
         F.sum(
@@ -1562,6 +1632,7 @@ def incremental_semantic_dedup(
     threshold: float = 0.2,
     occupancy_bound: int | None = SEMDEDUP_OCC_BOUND,
     probe_margin: float | None = SEMDEDUP_PROBE_MARGIN,
+    check_ordered: bool = True,
 ) -> DataFrame:
     """Ingestion-time SemDeDup: decide keep/drop for a NEW batch against
     an EXISTING corpus without re-clustering or re-comparing the corpus —
@@ -1593,9 +1664,31 @@ def incremental_semantic_dedup(
     member's partner set (pinned by pipe_incremental_semantic_dedup_
     reconcile and the pytest twin).
 
+    ``check_ordered`` (default True) GUARDS that precondition instead of
+    trusting the caller: two footer-stat aggregates (min batch vec_id,
+    max corpus vec_id — parquet answers both without a scan) and a
+    ValueError when the batch interleaves, because an interleaved ingest
+    would silently return decisions that are still well-defined but
+    DIVERGE from the full operator's, with no signal (the r9 verdict's
+    unguarded-precondition defect). Callers whose ingest discipline
+    guarantees seeds are unchanged by other means (e.g. pre-pinned seed
+    tables) pass ``check_ordered=False`` and own the precondition.
+
     Out (batch members only): vec_id, cent_id, cent_sim,
     n_dup_partners, keep.
     """
+    if check_ordered:
+        b_lo = batch.agg(F.min("vec_id")).first()[0]
+        c_hi = corpus.agg(F.max("vec_id")).first()[0]
+        if b_lo is not None and c_hi is not None and b_lo <= c_hi:
+            raise ValueError(
+                "incremental_semantic_dedup: batch vec_ids interleave the "
+                f"corpus (min batch id {b_lo} <= max corpus id {c_hi}); "
+                "exact reconciliation with the full operator requires "
+                "id-ordered ingest (seeds unchanged by the batch). Pass "
+                "check_ordered=False only if seed stability is guaranteed "
+                "by other means."
+            )
     centroids, corpus_assign = ivf_assignments(corpus, n_centroids)
     batch_assign = nearest_centroid(batch, centroids)
 

@@ -5146,7 +5146,10 @@ def _semdedup_final(off_expr: str) -> str:
     sub-key plus one single-bit flip per split dim within
     SEMDEDUP_PROBE_MARGIN·rms(v) of the sign boundary (rms = sqrt(<v,v>/d),
     the same row-local arithmetic the Spark operator folds), pair stage =
-    DISTINCT pairs sharing any (cent_id, key)."""
+    the ASYMMETRIC candidate rule of similarity._pair_partners: a
+    DISTINCT pair qualifies iff either endpoint's key set contains the
+    other's PRIMARY sub-key (forward join pk×cs, symmetrized by the
+    UNION with its swap)."""
     from ..operators.similarity import (
         SEMDEDUP_OCC_BOUND,
         SEMDEDUP_PROBE_MARGIN,
@@ -5188,13 +5191,17 @@ def _semdedup_final(off_expr: str) -> str:
                     substr(sub_key, j + 1)) AS k
       FROM cs, UNNEST(generate_series(1, cs.e_bits)) g(j)
       WHERE abs(ee[({off_expr}) + j]) < {SEMDEDUP_PROBE_MARGIN} * rms),
-    pr AS (
+    pr0 AS (
       SELECT DISTINCT x.vec_id AS va, x.cent_sim AS sa,
              y.vec_id AS vb, y.cent_sim AS sb
-      FROM pk x JOIN pk y
-        ON x.cent_id = y.cent_id AND x.k = y.k
+      FROM pk x JOIN cs y
+        ON x.cent_id = y.cent_id AND x.k = y.sub_key
        AND x.vec_id <> y.vec_id
       WHERE {_duck_cos("x.ee", "y.ee")} >= 0.2),
+    pr AS (
+      SELECT va, sa, vb, sb FROM pr0
+      UNION
+      SELECT vb, sb, va, sa FROM pr0),
     d AS (
       SELECT va AS vec_id,
              CAST(COUNT(*) AS BIGINT) AS n_dup_partners,
@@ -5219,9 +5226,11 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     width), and clusters above SEMDEDUP_OCC_BOUND members are
     deterministically sub-split by post-seeding sign bits — with
     multi-probe boundary assignment (SEMDEDUP_PROBE_MARGIN: vectors near
-    a sub-cell face also compare against the adjacent cell, pair
-    retention 0.93 vs 0.56 single-probe) — so the pair self-join stays
-    ≤ (2·bound)² per cell regardless of orthant skew. Oracle: the shared
+    a sub-cell face also compare against the adjacent cell under the
+    round-10 asymmetric either-endpoint-probes-the-other's-primary rule,
+    pair retention 0.915 vs 0.56 single-probe at ~1.93× instead of the
+    symmetric rule's ~3.15× pair volume) — so the pair self-join stays
+    bounded per cell regardless of orthant skew. Oracle: the shared
     IVF CTE template extended with the occupancy-split + multi-probe +
     pair/keep logic, so the clustering can never drift from
     pipe_ann_ivf_topk's."""
@@ -5313,7 +5322,7 @@ def semantic_dedup_two_level_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe boundary assignment (oversize clusters re-split by
     post-seeding sign bits, boundary vectors probing the adjacent
     sub-cell, so the pair stage stays ≤ (2·bound)² per cell past the
-    k = 2^16 cap at 0.93 pair retention) — so this entry proves the
+    k = 2^16 cap at 0.915 pair retention) — so this entry proves the
     approximation is deterministic, not just fast; the keep-rule tail is
     shared with pipe_semantic_dedup's oracle verbatim."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -5614,13 +5623,17 @@ def _duck_split_price_oracle() -> str:
       FROM cs x JOIN cs y
         ON x.cent_id = y.cent_id AND x.vec_id <> y.vec_id
       WHERE {_duck_cos("x.ee", "y.ee")} >= 0.2),
-    pr_s AS (
+    pr_s0 AS (
       SELECT DISTINCT x.vec_id AS va, x.cent_sim AS sa,
              y.vec_id AS vb, y.cent_sim AS sb
-      FROM pk x JOIN pk y
-        ON x.cent_id = y.cent_id AND x.k = y.k
+      FROM pk x JOIN cs y
+        ON x.cent_id = y.cent_id AND x.k = y.sub_key
        AND x.vec_id <> y.vec_id
       WHERE {_duck_cos("x.ee", "y.ee")} >= 0.2),
+    pr_s AS (
+      SELECT va, sa, vb, sb FROM pr_s0
+      UNION
+      SELECT vb, sb, va, sa FROM pr_s0),
     d_u AS (
       SELECT va AS vec_id,
              SUM(CASE WHEN sb < sa OR (sb = sa AND vb < va)
@@ -5659,13 +5672,16 @@ def semantic_dedup_split_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs and of dropped duplicates does the bound retain? This is the
     quantified trade that replaced the x33-at-x100 pair-stage cliff
     (SCALING_r07/r08 artifacts): the split keeps the pair stage
-    <= (2·bound)^2 per cell at ANY corpus size, and this entry pins what
-    it gives up. Measured at sf0.01 WITH the round-9 multi-probe
-    boundary assignment (SEMDEDUP_PROBE_MARGIN=0.75·rms, vectors near a
-    sub-cell face also compare against the adjacent sub-cell):
-    pair_retention 0.926 and drop_retention 0.995, vs 0.556 / 0.945 for
-    the r8 single-probe split (probe_margin=None) — the n_probe move
-    applied to the orthant split, at ~1.8 probe keys/vector. The
+    bounded per cell at ANY corpus size, and this entry pins what
+    it gives up. Measured at sf0.01 WITH the round-10 asymmetric
+    multi-probe boundary assignment (SEMDEDUP_PROBE_MARGIN=0.95·rms,
+    vectors near a sub-cell face also compare against the adjacent
+    sub-cell; a pair qualifies iff either endpoint probes the other's
+    PRIMARY sub-cell): pair_retention 0.915 and drop_retention 0.991,
+    vs 0.556 / 0.945 for the r8 single-probe split (probe_margin=None)
+    — the n_probe move applied to the orthant split, at ~1.93 probe
+    keys/vector ≈ 1.93× pair volume (the r9 symmetric-intersection rule
+    bought 0.926 retention at ~3.15×). The
     split's drop set remains a strict subset of the exact one
     (n_drops_common == n_drops_split): compared pairs are a subset, so
     n_better can only shrink. Exact replicas are never separated —
@@ -5739,8 +5755,9 @@ def _duck_incremental_semdedup_oracle() -> str:
     id-cut corpus/batch split: seeds and centroids from the CORPUS only,
     batch assigned by the same argmax, occupancy counted over
     corpus+batch, the shared multi-probe key set (_semdedup_final's
-    geometry verbatim), pair stage = batch keys × (batch ∪ corpus) keys,
-    DISTINCT pairs, keep rule over batch members."""
+    geometry verbatim), pair stage = the asymmetric either-endpoint-
+    probes-the-other's-primary rule restricted to pairs touching the
+    batch, DISTINCT pairs, keep rule over batch members."""
     from ..operators.similarity import (
         SEMDEDUP_OCC_BOUND,
         SEMDEDUP_PROBE_MARGIN,
@@ -5800,13 +5817,18 @@ def _duck_incremental_semdedup_oracle() -> str:
                     substr(sub_key, j + 1)) AS k
       FROM cs, UNNEST(generate_series(1, cs.e_bits)) g(j)
       WHERE abs(ee[4 + j]) < {SEMDEDUP_PROBE_MARGIN} * rms),
-    pr AS (
-      SELECT DISTINCT x.vec_id AS va, x.cent_sim AS sa,
-             y.vec_id AS vb, y.cent_sim AS sb
-      FROM pk x JOIN pk y
-        ON x.cent_id = y.cent_id AND x.k = y.k
+    pr0 AS (
+      SELECT DISTINCT x.vec_id AS va, x.cent_sim AS sa, x.is_new AS na,
+             y.vec_id AS vb, y.cent_sim AS sb, y.is_new AS nb
+      FROM pk x JOIN cs y
+        ON x.cent_id = y.cent_id AND x.k = y.sub_key
        AND x.vec_id <> y.vec_id
-      WHERE x.is_new AND {_duck_cos("x.ee", "y.ee")} >= 0.2),
+      WHERE (x.is_new OR y.is_new)
+        AND {_duck_cos("x.ee", "y.ee")} >= 0.2),
+    pr AS (
+      SELECT va, sa, vb, sb FROM pr0 WHERE na
+      UNION
+      SELECT vb, sb, va, sa FROM pr0 WHERE nb),
     d AS (
       SELECT va AS vec_id,
              CAST(COUNT(*) AS BIGINT) AS n_dup_partners,

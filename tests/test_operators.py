@@ -1160,6 +1160,36 @@ def test_semantic_dedup_keep_rule(spark):
     assert out[0].cent_sim >= out[1].cent_sim  # the rule's justification
 
 
+def test_incremental_semantic_dedup_ordering_guard(spark):
+    """Exact reconciliation with the full operator requires id-ordered
+    ingest (seeds unchanged by the batch). The guard must refuse an
+    interleaved batch loudly instead of silently returning decisions
+    that diverge from the full run, and the documented override must
+    hand the precondition back to the caller."""
+    rows = [(i, [1.0 + i / 10, 0.5, -0.25, 0.125]) for i in range(8)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ordered_corpus = e.filter(F.col("vec_id") < 6)
+    ordered_batch = e.filter(F.col("vec_id") >= 6)
+    # ordered ingest passes the guard and yields one row per batch member
+    out = similarity.incremental_semantic_dedup(
+        ordered_corpus, ordered_batch, n_centroids=4
+    )
+    assert out.count() == 2
+    # interleaved ids (batch min 0 <= corpus max 7) must raise
+    inter_corpus = e.filter(F.col("vec_id") % 2 == 1)
+    inter_batch = e.filter(F.col("vec_id") % 2 == 0)
+    with pytest.raises(ValueError, match="interleave"):
+        similarity.incremental_semantic_dedup(
+            inter_corpus, inter_batch, n_centroids=4
+        )
+    # the override skips the guard and still returns well-defined
+    # (approximate vs full) decisions for every batch member
+    out2 = similarity.incremental_semantic_dedup(
+        inter_corpus, inter_batch, n_centroids=4, check_ordered=False
+    )
+    assert out2.count() == 4
+
+
 def test_source_overlap_known_jaccard(spark):
     # A: {a b c, b c d}; B: {a b c, b c x} -> jaccard 1/3.
     # C shares nothing -> its pairs are absent (overlap-only output).
