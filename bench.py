@@ -79,6 +79,11 @@ HEADLINE = [
     # and the batch-ingest SemDeDup.
     "pipe_ann_ivf_pq_serve",
     "pipe_incremental_semantic_dedup",
+    # round-10 addition (new computation, disclosed in BENCH_DELTA_r10):
+    # serve-path twin of pipe_ann_two_level_recall_tuned (reads the
+    # materialized two-level IVF-Flat index — the second build-vs-serve
+    # row pair, covering the registered 0.80-recall production dial).
+    "pipe_ann_two_level_serve",
     # Verbatim reference corpus headliners (fixtures/ warehouse, fixed
     # scale): the marquee TPC-DS shapes named in the round-1 review plus
     # two verbatim TPC-H texts. These time the reference's own SQL files

@@ -5447,6 +5447,94 @@ def ann_two_level_recall_tuned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _two_level_recall(spark, sf_dir, n_probe=24)
 
 
+_TWO_LEVEL_INDEX_VERSION = "v1:adaptive:ivf-flat"
+
+
+def _two_level_index_dir(sf_dir: str) -> str:
+    return _index_fixture_dir(sf_dir, "two_level_index")
+
+
+def _ensure_two_level_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the two-level ANN index tables
+    (similarity.build_two_level_index at the adaptive centroid count —
+    the registered production dial) to parquet once per warehouse:
+    centroids/ (the k fine centroids) and index/ (vec_id, embedding,
+    written partitioned BY cent_id — the IVF-Flat probed-list layout).
+    Same marker discipline as the IVF-PQ index: version stamp + build-
+    code content hash + source fingerprint, atomic temp-dir publication
+    (:func:`_publish_index`). Build once, serve many."""
+    d = _two_level_index_dir(sf_dir)
+    stamp = _index_stamp(_TWO_LEVEL_INDEX_VERSION, sf_dir)
+    if _marker_fresh_index(d, stamp):
+        return d
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k_cents = similarity.adaptive_centroids(similarity.corpus_count(e))
+    centroids, index = similarity.build_two_level_index(e, n_centroids=k_cents)
+
+    def write_tables(tmp: str) -> None:
+        centroids.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        index.write.mode("overwrite").partitionBy("cent_id").parquet(
+            os.path.join(tmp, "index")
+        )
+
+    _publish_index(d, stamp, write_tables)
+    return d
+
+
+@query(
+    "pipe_ann_two_level_serve",
+    oracle=_duck_two_level_recall_oracle(24),
+)
+def ann_two_level_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVE path of the two-level ANN route at the TUNED production
+    dial (n_probe=24, recall@5 = 0.80): the index is built ONCE into
+    parquet (fixtures/two_level_index/ — adaptive-k fine centroids +
+    cent_id-partitioned IVF-Flat lists carrying the raw vectors) and the
+    query plan READS it (similarity.two_level_topk_from_index): routing
+    against the stored centroids, partition-pruned scan of the 24 probed
+    lists, exact in-list re-rank. The O(N·sqrt(k)) two-level assignment,
+    both orthant seedings, and the fine→coarse mapping — everything
+    pipe_ann_two_level_recall_tuned re-derives inside every query plan —
+    are paid once at build time, which is what an online ANN service
+    pays per query batch (reference pattern: pre-loaded warehouse,
+    queries only — IcebergBenchmark.java:153). Output is the same
+    per-query recall@5 measurement as the tuned twin (identical oracle
+    text), so hash-equality here PROVES the stored index reproduces the
+    in-plan route bit-for-bit; the plan is asserted free of every build
+    stage (tests/test_plans.py::
+    test_two_level_serve_path_reads_stored_index), and the bench rows
+    sit side by side so the serve-vs-build latency gap is a measured
+    number."""
+    d = _ensure_two_level_index(spark, sf_dir)
+    centroids = spark.read.parquet(os.path.join(d, "centroids"))
+    index = spark.read.parquet(os.path.join(d, "index"))
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    brute = similarity.cosine_topk_bruteforce(e, q, k=5).select(
+        "query_id", "vec_id"
+    )
+    ivf = similarity.two_level_topk_from_index(
+        centroids, index, q, k=5, n_probe=24
+    ).select("query_id", "vec_id")
+    hits = (
+        ivf.join(brute, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
 # --- probe sweep through the two-level route (sizes the tuned entry) ---------
 _TWO_LEVEL_PROBE_SWEEP = (8, 16, 24, 32)
 

@@ -381,6 +381,36 @@ def test_ivf_pq_serve_path_reads_stored_index(spark):
     assert "keys=[bucket" in build_plan
 
 
+def test_two_level_serve_path_reads_stored_index(spark):
+    """Build-once/query-many contract for the TWO-LEVEL ANN route (the
+    registered 0.80-recall production dial): the serve entry's plan must
+    READ the materialized index (fixtures/two_level_index parquet scans)
+    and contain NO index-build stages — no orthant-seeding aggregate
+    (keys=[bucket…], which covers both the fine and coarse seedings and
+    hence the whole two-level assignment that feeds off them — while the
+    build-inclusive tuned twin's plan contains it (proving the marker
+    detects the build). Brute force (the recall measurement's baseline)
+    appears in BOTH plans by design; only the index derivation must
+    disappear from the serve side."""
+    from iceberg_benchmark_java_spark.queries.pipeline import (
+        ann_two_level_recall_tuned_q,
+        ann_two_level_serve_q,
+    )
+
+    serve = ann_two_level_serve_q(spark, SF_SMOKE)
+    plan = serve._jdf.queryExecution().executedPlan().toString()
+    assert "two_level_index" in plan
+    assert "keys=[bucket" not in plan
+    assert "CartesianProduct" not in plan
+    build_plan = (
+        ann_two_level_recall_tuned_q(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "keys=[bucket" in build_plan
+
+
 def test_incremental_semantic_dedup_batch_shape(spark):
     """Incremental SemDeDup (similarity.incremental_semantic_dedup): the
     batch-ingest plan contract — no re-clustering and no corpus-wide
