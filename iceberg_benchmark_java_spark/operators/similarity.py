@@ -653,12 +653,35 @@ def _rp_weight_py(t: int) -> int:
     return (h & 131071) - 65536
 
 
+def rp_hyperplane_weights(
+    dim: int, n_bits: int, n_bands: int
+) -> dict[int, list[list[int]]]:
+    """The full hyperplane weight tensor of the banded-RP kernel as a
+    plain driver-side structure: band → per-bit weight vectors (each
+    ``dim`` ints from :func:`_rp_weight_py`). This is the table
+    production PERSISTS next to the other index fixtures — the whole ANN
+    surface then serves from stored artifacts, with no per-query
+    derivation left — and the structure :func:`sign_bucket_rp` accepts
+    back via ``weights`` so stored and derived routes share one fold."""
+    return {
+        b: [
+            [
+                _rp_weight_py((b * RP_BIT_STRIDE + j) * RP_DIM_STRIDE + i)
+                for i in range(dim)
+            ]
+            for j in range(n_bits)
+        ]
+        for b in range(n_bands)
+    }
+
+
 def sign_bucket_rp(
     emb: Column,
     band: int,
     n_bits: int = 8,
     dim: int | None = None,
     pre_quantized: bool = False,
+    weights: list[list[int]] | None = None,
 ) -> Column:
     """Random-hyperplane sign bucket: bit j = sign of the fixed-point dot
     product of the FULL vector with hyperplane (band, j). Unlike
@@ -687,11 +710,24 @@ def sign_bucket_rp(
     while the runtime-hash route hashes exactly the elements present —
     heterogeneous-length vectors would diverge between routes, so mixed
     widths must go through the runtime-hash route (``dim=None``).
+
+    ``weights`` short-circuits the weight derivation entirely: a list of
+    ``n_bits`` per-bit weight vectors for THIS band (one band's slice of
+    :func:`rp_hyperplane_weights`, typically read back from the persisted
+    fixtures/rp_hyperplanes parquet). Same literal fold, same buckets —
+    the serve-shaped route where even the driver-side hash mix is a
+    stored artifact instead of a per-query derivation. Requires ``dim``
+    (the literal route).
     """
     if pre_quantized and dim is None:
         raise ValueError(
             "pre_quantized=True requires dim: the runtime-hash fallback "
             "would re-apply floor(x*1e6) to already-quantized values"
+        )
+    if weights is not None and dim is None:
+        raise ValueError(
+            "weights requires dim: stored hyperplanes only feed the "
+            "literal route"
         )
     if dim is not None:
         qx = (
@@ -704,10 +740,14 @@ def sign_bucket_rp(
         )
         bits = []
         for j in range(n_bits):
-            w = [
-                _rp_weight_py((band * RP_BIT_STRIDE + j) * RP_DIM_STRIDE + i)
-                for i in range(dim)
-            ]
+            w = (
+                weights[j]
+                if weights is not None
+                else [
+                    _rp_weight_py((band * RP_BIT_STRIDE + j) * RP_DIM_STRIDE + i)
+                    for i in range(dim)
+                ]
+            )
             s = F.aggregate(
                 F.zip_with(qx, F.lit(w), lambda x, wv: x * wv),
                 F.lit(0).cast("long"),
@@ -741,6 +781,7 @@ def cosine_near_dup_pairs_banded(
     threshold: float = 0.25,
     n_bits: int | None = None,
     n_bands: int = 4,
+    rp_weights: dict[int, list[list[int]]] | None = None,
 ) -> DataFrame:
     """Multi-band sign-LSH near-duplicate pairs: candidates are the UNION
     over ``n_bands`` sign-bit slices of same-bucket pairs (MinHash-LSH's
@@ -762,6 +803,13 @@ def cosine_near_dup_pairs_banded(
     buckets double as the corpus doubles — measured x2.9 wall at x32 data
     / x5.45 at x100 vs x43.3 / unmeasurable for a fixed 8-bit dial);
     recall lost to narrower buckets is recovered by the union over bands.
+
+    ``rp_weights``: a persisted hyperplane tensor
+    (:func:`rp_hyperplane_weights`, band → per-bit weight vectors) for
+    the RP route — same buckets as the derived literals, sourced from a
+    stored artifact (fixtures/rp_hyperplanes) instead of a per-query
+    derivation. Ignored on the slice route (<= BANDED_SLICE_MAX_BITS),
+    which has no hyperplanes.
     """
     if n_bits is None:
         n_bits = adaptive_sign_bits(corpus_count(embeddings))
@@ -777,7 +825,14 @@ def cosine_near_dup_pairs_banded(
         dim = embedding_dim(embeddings)
 
         def bucket_fn(e, b, nb, _dim=dim):
-            return sign_bucket_rp(e, b, nb, dim=_dim, pre_quantized=True)
+            return sign_bucket_rp(
+                e,
+                b,
+                nb,
+                dim=_dim,
+                pre_quantized=True,
+                weights=rp_weights[b] if rp_weights is not None else None,
+            )
 
         # quantize ONCE per row into a real column; the n_bands×n_bits
         # sign folds then reference it. CollapseProject keeps the

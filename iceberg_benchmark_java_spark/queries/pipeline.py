@@ -963,9 +963,11 @@ _RP_INFLATE = 4
 _RP_OFFSET = 1 << 40
 
 
-@query(
-    "pipe_embedding_near_dup_rp",
-    oracle=f"""
+# Shared verbatim by pipe_embedding_near_dup_rp and its stored-hyperplane
+# serve twin: byte-identical oracle text means hash-equality between the
+# two entries pins that the persisted weight table reproduces the derived
+# literals' buckets exactly.
+_RP_NEAR_DUP_ORACLE = f"""
     WITH e AS (SELECT vec_id + r * {_RP_OFFSET} AS vec_id,
                       CAST(embedding AS DOUBLE[]) AS ee
                FROM embeddings,
@@ -986,8 +988,10 @@ _RP_OFFSET = 1 << 40
     JOIN e ea ON ea.vec_id = c.vec_a
     JOIN e eb ON eb.vec_id = c.vec_b
     WHERE {_duck_cos("ea.ee", "eb.ee")} >= 0.25
-    """,
-)
+    """
+
+
+@query("pipe_embedding_near_dup_rp", oracle=_RP_NEAR_DUP_ORACLE)
 def embedding_near_dup_rp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded near-dup through the RANDOM-HYPERPLANE kernel at a forced
     18-bit width (> BANDED_SLICE_MAX_BITS, the route the adaptive dial
@@ -1009,6 +1013,79 @@ def embedding_near_dup_rp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return similarity.cosine_near_dup_pairs_banded(
         inflated, threshold=0.25, n_bits=18, n_bands=4
+    )
+
+
+_RP_HYPERPLANES_VERSION = "v1:18x4"
+
+
+def _ensure_rp_hyperplanes(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the banded-RP hyperplane weight table
+    (similarity.rp_hyperplane_weights at the registered 18-bit × 4-band
+    dial, dim probed from the warehouse) to parquet once — rows
+    (band, bit, w array<long>) — with the same stamp discipline as the
+    ANN indexes (version + builder-code hash + source fingerprint,
+    atomic publication). The table is tiny (n_bands × n_bits rows) but
+    persisting it makes the WHOLE ANN surface serve-shaped: no per-query
+    derivation remains, and a production fleet shares one pinned
+    hyperplane artifact instead of trusting every job to re-derive the
+    same seed mix."""
+    d = _index_fixture_dir(sf_dir, "rp_hyperplanes")
+    stamp = _index_stamp(_RP_HYPERPLANES_VERSION, sf_dir)
+    if _marker_fresh_index(d, stamp):
+        return d
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = similarity.embedding_dim(e)
+    w = similarity.rp_hyperplane_weights(dim, n_bits=18, n_bands=4)
+    rows = [
+        (band, bit, wv)
+        for band, per_bit in sorted(w.items())
+        for bit, wv in enumerate(per_bit)
+    ]
+    hp = spark.createDataFrame(rows, "band int, bit int, w array<bigint>")
+
+    def write_tables(tmp: str) -> None:
+        hp.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "hyperplanes")
+        )
+
+    _publish_index(d, stamp, write_tables)
+    return d
+
+
+@query("pipe_embedding_near_dup_rp_served", oracle=_RP_NEAR_DUP_ORACLE)
+def embedding_near_dup_rp_served_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STORED-HYPERPLANE twin of pipe_embedding_near_dup_rp: the
+    banded-RP near-dup at the same forced 18-bit × 4-band dial, with the
+    hyperplane weight table read back from the persisted
+    fixtures/rp_hyperplanes parquet (built once by
+    _ensure_rp_hyperplanes) instead of re-derived driver-side per query
+    — the last per-query derivation on the ANN surface, now an artifact
+    with the same marker discipline as the IVF-PQ and two-level indexes.
+    The oracle text is byte-identical to the derived twin's, so both
+    entries hash-green means the stored tensor reproduces the derived
+    literals' buckets exactly (additionally pinned row-for-row by
+    tests/test_operators.py::test_rp_hyperplane_store_roundtrip)."""
+    d = _ensure_rp_hyperplanes(spark, sf_dir)
+    hp = spark.read.parquet(os.path.join(d, "hyperplanes")).collect()
+    weights: dict[int, dict[int, list[int]]] = {}
+    for r in hp:
+        weights.setdefault(r.band, {})[r.bit] = list(r.w)
+    rp_weights = {
+        band: [bits[j] for j in sorted(bits)]
+        for band, bits in weights.items()
+    }
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    inflated = e.crossJoin(
+        spark.range(_RP_INFLATE).select(F.col("id").alias("_r"))
+    ).select(
+        (F.col("vec_id") + F.col("_r") * _RP_OFFSET).alias("vec_id"),
+        "embedding",
+    )
+    return similarity.cosine_near_dup_pairs_banded(
+        inflated, threshold=0.25, n_bits=18, n_bands=4, rp_weights=rp_weights
     )
 
 

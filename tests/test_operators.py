@@ -1190,6 +1190,44 @@ def test_incremental_semantic_dedup_ordering_guard(spark):
     assert out2.count() == 4
 
 
+def test_rp_hyperplane_store_roundtrip(spark, tmp_path):
+    """The persisted hyperplane tensor must reproduce the derived
+    literals' buckets exactly: build rp_hyperplane_weights, round-trip it
+    through parquet, and pin sign_bucket_rp(weights=stored) equal to the
+    derived route row-for-row (and to the runtime-hash route, closing
+    the loop on all three ways of producing the same bucket)."""
+    rows = [(i, [((i * 7 + j * 3) % 13 - 6) / 4.0 for j in range(8)]) for i in range(40)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    w = similarity.rp_hyperplane_weights(dim=8, n_bits=10, n_bands=2)
+    hp = spark.createDataFrame(
+        [(b, j, wv) for b, per in w.items() for j, wv in enumerate(per)],
+        "band int, bit int, w array<bigint>",
+    )
+    p = str(tmp_path / "hp")
+    hp.write.parquet(p)
+    back: dict[int, dict[int, list[int]]] = {}
+    for r in spark.read.parquet(p).collect():
+        back.setdefault(r.band, {})[r.bit] = list(r.w)
+    stored = {b: [bits[j] for j in sorted(bits)] for b, bits in back.items()}
+    assert stored == w  # exact integer round-trip
+    for band in (0, 1):
+        cols = e.select(
+            "vec_id",
+            similarity.sign_bucket_rp(
+                F.col("embedding"), band, 10, dim=8
+            ).alias("derived"),
+            similarity.sign_bucket_rp(
+                F.col("embedding"), band, 10, dim=8, weights=stored[band]
+            ).alias("served"),
+            similarity.sign_bucket_rp(F.col("embedding"), band, 10).alias(
+                "runtime"
+            ),
+        ).collect()
+        assert all(r.derived == r.served == r.runtime for r in cols)
+    with pytest.raises(ValueError, match="weights requires dim"):
+        similarity.sign_bucket_rp(F.col("embedding"), 0, 10, weights=stored[0])
+
+
 def test_source_overlap_known_jaccard(spark):
     # A: {a b c, b c d}; B: {a b c, b c x} -> jaccard 1/3.
     # C shares nothing -> its pairs are absent (overlap-only output).
