@@ -1347,6 +1347,12 @@ def ivf_pq_topk_from_index(
     )
 
 
+# Bounded physical-partition count for the stored two-level index: the
+# serve read prunes on shard (= cent_id % this), so ≤ n_probe shards are
+# scanned regardless of how many fine lists the adaptive dial reaches.
+TWO_LEVEL_INDEX_SHARDS = 256
+
+
 def build_two_level_index(
     embeddings: DataFrame, n_centroids: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -1363,13 +1369,24 @@ def build_two_level_index(
 
     Returns (centroids, index): centroids = the k fine centroids
     (cent_id, c_emb) — the query-routing table, broadcast at serve
-    time; index = (vec_id, cent_id, embedding) — the inverted lists in
-    the FAISS IVF-Flat layout, raw vectors stored WITH their list so a
-    probed-lists-only partition-pruned read yields everything the exact
-    in-list re-rank needs (no corpus-wide vec_id join at serve time).
-    At 100 TB the index is parquet partitioned by cent_id."""
+    time; index = (vec_id, cent_id, shard, embedding) — the inverted
+    lists in the FAISS IVF-Flat layout, raw vectors stored WITH their
+    list so a probed-lists-only partition-pruned read yields everything
+    the exact in-list re-rank needs (no corpus-wide vec_id join at serve
+    time). The PHYSICAL partition column is ``shard`` =
+    cent_id % TWO_LEVEL_INDEX_SHARDS, not cent_id itself: the adaptive
+    dial reaches k = 2^16 lists at ~10^8 vectors, and one directory per
+    list is a filesystem liability — the bounded shard count keeps the
+    layout sane while the serve path joins on (shard, cent_id) so
+    partition pruning still cuts the read to ≤ n_probe shards."""
     centroids, assignments = ivf_assignments(embeddings, n_centroids)
-    return centroids, assignments.select("vec_id", "cent_id", "embedding")
+    index = assignments.select(
+        "vec_id",
+        "cent_id",
+        F.pmod(F.col("cent_id"), F.lit(TWO_LEVEL_INDEX_SHARDS)).alias("shard"),
+        "embedding",
+    )
+    return centroids, index
 
 
 def two_level_topk_from_index(
@@ -1399,9 +1416,19 @@ def two_level_topk_from_index(
     probes = (
         q_scored.withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_embedding", "cent_id")
+        .select(
+            "query_id",
+            "q_embedding",
+            "cent_id",
+            F.pmod(F.col("cent_id"), F.lit(TWO_LEVEL_INDEX_SHARDS)).alias(
+                "shard"
+            ),
+        )
     )
-    cand = index.join(F.broadcast(probes), "cent_id").filter(
+    # join on (shard, cent_id): shard is the index's physical partition
+    # column, so the broadcast probe side prunes the scan to ≤ n_probe
+    # shards; cent_id keeps the logical list equality exact.
+    cand = index.join(F.broadcast(probes), ["shard", "cent_id"]).filter(
         F.col("query_id") != F.col("vec_id")
     )
     scored = cand.select(

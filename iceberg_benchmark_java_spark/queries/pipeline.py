@@ -5535,8 +5535,11 @@ def _ensure_two_level_index(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the two-level ANN index tables
     (similarity.build_two_level_index at the adaptive centroid count —
     the registered production dial) to parquet once per warehouse:
-    centroids/ (the k fine centroids) and index/ (vec_id, embedding,
-    written partitioned BY cent_id — the IVF-Flat probed-list layout).
+    centroids/ (the k fine centroids) and index/ (vec_id, cent_id,
+    embedding, written partitioned BY shard = cent_id %
+    TWO_LEVEL_INDEX_SHARDS — the IVF-Flat probed-list layout with a
+    bounded directory count, since the adaptive dial reaches 2^16
+    lists).
     Same marker discipline as the IVF-PQ index: version stamp + build-
     code content hash + source fingerprint, atomic temp-dir publication
     (:func:`_publish_index`). Build once, serve many."""
@@ -5550,7 +5553,7 @@ def _ensure_two_level_index(spark: SparkSession, sf_dir: str) -> str:
 
     def write_tables(tmp: str) -> None:
         centroids.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
-        index.write.mode("overwrite").partitionBy("cent_id").parquet(
+        index.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(tmp, "index")
         )
 
