@@ -271,6 +271,14 @@ PROBE_FLAG_RATIO = 1.5
 
 
 def time_probe(spark, queries, sf_dir: str) -> dict:
+    # One untimed warm-up execution first: the 1x probe is the FIRST real
+    # work of a fresh session, and a cold JVM (codegen, footer reads,
+    # shuffle spin-up) reads ~5-10x slow — which would make every warm
+    # cell probe "disagree" and fire the flags inverted (observed in the
+    # first r10 run: 1x probe 11.1s cold vs 1.5-2.5s warm cells).
+    queries[PROBE_QUERY](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     best, runs = time_one(spark, queries, sf_dir, PROBE_QUERY)
     return {"query": PROBE_QUERY, "t_sec": best, "runs": runs}
 
