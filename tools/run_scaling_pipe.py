@@ -284,18 +284,35 @@ def time_probe(spark, queries, sf_dir: str) -> dict:
 
 
 def probe_flags(result: dict) -> list[str]:
-    """Scale cells whose host probe disagrees with the 1x session probe
-    by more than PROBE_FLAG_RATIO in either direction — the mechanical
-    'this cell's ratio carries host noise' marker."""
+    """Scale cells whose host probe disagrees with the MEDIAN of all
+    recorded probes (1x + every cell) by more than PROBE_FLAG_RATIO in
+    either direction — the mechanical 'this cell's ratio carries host
+    noise' marker. Median, not the 1x probe: the JVM's profile-guided
+    JIT keeps shaving a 2-3 s query over a session's first minutes, so
+    an early 1x probe reads systematically slower than late cells
+    without any host shift; disagreement AMONG the probes is the signal
+    that matters."""
+    import statistics
+
+    probes = {}
     base = (result.get("host_probe_1x") or {}).get("t_sec")
-    flags = []
-    if not base:
-        return flags
+    if base:
+        probes["1"] = base
     for s, cell in result.get("scales", {}).items():
         t = (cell.get("host_probe") or {}).get("t_sec")
-        if t and max(t / base, base / t) > PROBE_FLAG_RATIO:
-            flags.append(s)
-    return sorted(flags, key=int)
+        if t:
+            probes[s] = t
+    if len(probes) < 2:
+        return []
+    med = statistics.median(probes.values())
+    return sorted(
+        (
+            s
+            for s, t in probes.items()
+            if s != "1" and max(t / med, med / t) > PROBE_FLAG_RATIO
+        ),
+        key=int,
+    )
 
 
 def time_one(
