@@ -278,6 +278,78 @@ def test_decontamination_broadcasts_eval_side(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_decontamination_broadcast_guard(spark):
+    """The eval-side broadcast is size-GUARDED, not forced: above the
+    threshold (here: threshold below the fixture's shingle count) the join
+    must degrade to a shuffle instead of shipping an unbounded side to
+    every executor — the r10 scaling artifact's non-monotone
+    decontamination curve was exactly a forced broadcast of a growing eval
+    split. Pinned with auto-broadcast off so tiny test data can't mask the
+    fallback; both paths must return identical results."""
+    from iceberg_benchmark_java_spark.catalog import load_table
+    from iceberg_benchmark_java_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        guarded = dedup.cross_corpus_contamination(
+            tr, ev, n=3, broadcast_threshold=1
+        )
+        plan = guarded._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan[:2000]
+        assert (
+            "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        ), plan[:2000]
+        hinted = dedup.cross_corpus_contamination(tr, ev, n=3)
+        hplan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in hplan, hplan[:2000]
+        rows_g = sorted(map(tuple, guarded.collect()))
+        rows_h = sorted(map(tuple, hinted.collect()))
+        assert rows_g == rows_h and rows_g
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bloom_decontamination_broadcast_guard(spark):
+    """Same guard on the Bloom twin's exact semi-join: the two m_bits/8-
+    byte bitmap probes stay broadcast at any eval size, the final eval
+    shingle join falls back to a shuffle above the threshold, and results
+    are unchanged."""
+    from iceberg_benchmark_java_spark.catalog import load_table
+    from iceberg_benchmark_java_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        guarded = dedup.bloom_prefilter_contamination(
+            tr, ev, n=3, broadcast_threshold=1
+        )
+        plan = guarded._jdf.queryExecution().executedPlan().toString()
+        # bitmap probes: exactly the two mask joins remain broadcast
+        assert plan.count("BroadcastHashJoin") == 2, plan[:3000]
+        assert (
+            "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        ), plan[:2000]
+        rows_g = sorted(map(tuple, guarded.collect()))
+        rows_h = sorted(
+            map(
+                tuple,
+                dedup.bloom_prefilter_contamination(tr, ev, n=3).collect(),
+            )
+        )
+        assert rows_g == rows_h and rows_g
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_two_level_assignment_no_corpus_shuffle(spark):
     """Two-level IVF assignment (k > TWO_LEVEL_THRESHOLD): both argmax
     levels must stay map-side broadcast folds — no shuffle of the corpus
