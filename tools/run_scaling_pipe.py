@@ -33,7 +33,6 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from iceberg_benchmark_java_spark.fixtures import _marker_fresh
 from iceberg_benchmark_java_spark.session import build_session, local_test_config
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -124,6 +123,40 @@ NEAR_DUP_RATE = 0.015
 EMB_NEAR_DUP_RATE = 0.01
 MUTATION_RATE = 0.05  # fraction of tokens resampled in a near-dup
 
+# Warehouse-generator version, recorded in the _complete marker alongside
+# the scale: bumping it regenerates every cached pipe_x* warehouse. v2 =
+# the r10 weak-row fix — doc ids beyond the base range skip multiples of
+# 97, so the registered decontamination entries' eval split (doc_id % 97
+# == 0) stays at FIXED ABSOLUTE SIZE as the corpus scales. Benchmarks
+# don't grow with the training corpus; under v1's arange ids the
+# force-broadcast eval side grew linearly with the data, violating the
+# operator's own documented premise and producing the non-monotone
+# x10/x32/x100 decontamination ratios in SCALING_r10_pipe.json.
+GEN_VERSION = 2
+
+
+def _pipe_marker_fresh(marker: str, scale: int) -> bool:
+    """True when the _complete marker proves the cached warehouse was
+    generated at the requested scale BY THIS GENERATOR VERSION (legacy
+    scale-only markers read as v1 and force a regen)."""
+    if not os.path.exists(marker):
+        return False
+    return open(marker).read().strip() == f"{scale}:g{GEN_VERSION}"
+
+
+def _scaled_doc_ids(n_base: int, n: int) -> np.ndarray:
+    """Doc ids for an n-row scaled corpus over an n_base-row base: the
+    base-id range keeps arange (the eval suite doc_id % 97 == 0 lives
+    entirely inside it), ids beyond it skip multiples of 97. Every scaled
+    warehouse therefore carries EXACTLY the base corpus's eval-suite size
+    — the fixed-dimension/growing-fact shape of the reference workload
+    (runner.sh keeps dims constant while facts scale) applied to the
+    benchmark-suite split."""
+    extra = n - n_base
+    cand = np.arange(n_base, n_base + extra + extra // 96 + 4)
+    cand = cand[cand % 97 != 0][:extra]
+    return np.concatenate([np.arange(n_base), cand])
+
 
 def _gen_documents(out_path: str, scale: int, rng: np.random.Generator) -> int:
     base = pd.read_parquet(os.path.join(BASE_DIR, "documents.parquet"))
@@ -159,7 +192,7 @@ def _gen_documents(out_path: str, scale: int, rng: np.random.Generator) -> int:
     ls = langsrc[rng.integers(0, len(base), n)]
     tbl = pa.table(
         {
-            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "doc_id": pa.array(_scaled_doc_ids(len(base), n), pa.int64()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(ls[:, 0], pa.string()),
             "source": pa.array(ls[:, 1], pa.string()),
@@ -235,27 +268,80 @@ def gen_pipe_warehouse(out_dir: str, scale: int) -> None:
     the scale, mirroring fixtures.py's discipline)."""
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_complete")
-    if _marker_fresh(marker, scale, force=False):
+    if _pipe_marker_fresh(marker, scale):
         return
     rng = np.random.default_rng(SEED + scale)
     _gen_documents(os.path.join(out_dir, "documents.parquet"), scale, rng)
     _gen_embeddings(os.path.join(out_dir, "embeddings.parquet"), scale, rng)
     with open(marker, "w") as f:
-        f.write(str(scale))
+        f.write(f"{scale}:g{GEN_VERSION}")
+
+
+# A cell whose own best-of runs disagree by more than this carries noise
+# no host probe can attribute (the r10 lesson: a [13.98, 325.07] s
+# decontamination cell shipped flagless because only CROSS-cell probe
+# disagreement was checked). Flagged cells re-measure once automatically
+# (third run, below) and the surviving flags land in cell_spread_flags.
+SPREAD_FLAG_RATIO = 1.5
 
 
 def _timed_runs(fn) -> tuple[list[float], float]:
-    """Run fn twice, return (both wall times, min). BOTH runs land in the
+    """Run fn twice, return (all wall times, min). BOTH runs land in the
     artifact — a transient-noise cell is then visible in place (one bad
     run next to a sane one) instead of needing an addendum file, the
     round-7 lesson (the x13.97 cell corrected post-hoc in
-    SCALING_r07_*_addendum.json)."""
+    SCALING_r07_*_addendum.json). If the two runs disagree by more than
+    SPREAD_FLAG_RATIO the cell re-measures ONCE in place: a transient
+    stall self-heals (min over 3 runs, all recorded), a genuinely bimodal
+    cell stays visible and is flagged by :func:`cell_spread_flags`."""
     runs = []
     for _ in range(2):
         t0 = time.time()
         fn()
         runs.append(round(time.time() - t0, 3))
+    if min(runs) > 0 and max(runs) / min(runs) > SPREAD_FLAG_RATIO:
+        t0 = time.time()
+        fn()
+        runs.append(round(time.time() - t0, 3))
     return runs, min(runs)
+
+
+def cell_spread_flags(result: dict) -> list[str]:
+    """Every '<scale>:<row>' whose recorded runs still disagree by more
+    than SPREAD_FLAG_RATIO after the automatic third run — the artifact's
+    self-report that a ratio rests on an unstable measurement (the r10
+    verdict's What's-wrong #2). '1:<row>' entries cover the shared 1x
+    denominators."""
+    flags: set[str] = set()
+
+    def chk(label: str, runs) -> None:
+        if (
+            isinstance(runs, list)
+            and len(runs) >= 2
+            and min(runs) > 0
+            and max(runs) / min(runs) > SPREAD_FLAG_RATIO
+        ):
+            flags.add(label)
+
+    dial_rows = (
+        "banded_rp_lifted_20bits",
+        "semantic_dedup_scaled_k",
+        "pq_adc_topk",
+        "banded_near_dup_fixed_8bits",
+        "prefix_filter_fixed_n3",
+    )
+    for s, cell in result.get("scales", {}).items():
+        for q, row in cell.get("queries", {}).items():
+            chk(f"{s}:{q}", row.get("runs"))
+            chk(f"1:{q}", row.get("runs_1x"))
+        for key in dial_rows:
+            row = cell.get(key)
+            if row:
+                chk(f"{s}:{key}", row.get("runs"))
+                chk(f"1:{key}", row.get("runs_1x"))
+        chk(f"{s}:host_probe", (cell.get("host_probe") or {}).get("runs"))
+    chk("1:host_probe", (result.get("host_probe_1x") or {}).get("runs"))
+    return sorted(flags)
 
 
 # Fixed host-noise witness, one per SCALE CELL (round-10): the same
@@ -701,6 +787,14 @@ def patch_query_rows(names: list[str], out_json: str, scales: list[int]) -> int:
             f"x{PROBE_FLAG_RATIO} — its ratios carry host noise",
             file=sys.stderr,
         )
+    result["cell_spread_flags"] = cell_spread_flags(result)
+    for lbl in result["cell_spread_flags"]:
+        print(
+            f"[scaling-pipe] WARNING: cell {lbl}'s own runs disagree by "
+            f"more than x{SPREAD_FLAG_RATIO} after a third run — its "
+            f"ratio rests on an unstable measurement",
+            file=sys.stderr,
+        )
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({
@@ -938,6 +1032,14 @@ def main() -> int:
         ),
     }
     result["host_probe_flags"] = probe_flags(result)
+    result["cell_spread_flags"] = cell_spread_flags(result)
+    for lbl in result["cell_spread_flags"]:
+        print(
+            f"[scaling-pipe] WARNING: cell {lbl}'s own runs disagree by "
+            f"more than x{SPREAD_FLAG_RATIO} after a third run — its "
+            f"ratio rests on an unstable measurement",
+            file=sys.stderr,
+        )
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
