@@ -84,6 +84,11 @@ HEADLINE = [
     # materialized two-level IVF-Flat index — the second build-vs-serve
     # row pair, covering the registered 0.80-recall production dial).
     "pipe_ann_two_level_serve",
+    # round-11 addition (new computation, disclosed in BENCH_DELTA_r11):
+    # serve-path twin of pipe_incremental_semantic_dedup (per-batch plan
+    # reads the materialized corpus cells instead of re-deriving the
+    # corpus seeding + argmax — the third build-vs-serve row pair).
+    "pipe_incremental_semantic_dedup_served",
     # Verbatim reference corpus headliners (fixtures/ warehouse, fixed
     # scale): the marquee TPC-DS shapes named in the round-1 review plus
     # two verbatim TPC-H texts. These time the reference's own SQL files
@@ -106,13 +111,15 @@ HEADLINE = [
 # artifact — compare_bench warns when the tag doesn't match the newer
 # artifact's round, so a stale set can't silently shape the code-stable
 # line (the r9 ADVICE fix).
-CODE_TOUCHED_ROUND = "r10"
+CODE_TOUCHED_ROUND = "r11"
 CODE_TOUCHED_THIS_ROUND = {
-    # r10: asymmetric multi-probe pairing changed SemDeDup pair semantics
-    "pipe_semantic_dedup",
-    "pipe_semantic_dedup_two_level",
-    # r10: new serve-path row (two-level ANN over the stored index)
-    "pipe_ann_two_level_serve",
+    # r11: new serve-path row (incremental SemDeDup over stored corpus
+    # cells); its in-plan twin also changed (guard reads via corpus_ids)
+    "pipe_incremental_semantic_dedup_served",
+    "pipe_incremental_semantic_dedup",
+    # r11: decontamination gained the size-guarded broadcast (one extra
+    # eval-side counting job inside the timed region)
+    "pipe_decontamination",
 }
 
 

@@ -1785,6 +1785,7 @@ def incremental_semantic_dedup(
     occupancy_bound: int | None = SEMDEDUP_OCC_BOUND,
     probe_margin: float | None = SEMDEDUP_PROBE_MARGIN,
     check_ordered: bool = True,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Ingestion-time SemDeDup: decide keep/drop for a NEW batch against
     an EXISTING corpus without re-clustering or re-comparing the corpus —
@@ -1793,10 +1794,16 @@ def incremental_semantic_dedup(
     full corpus×corpus pair stage per batch is not a plan at 100 TB.
 
     Stages, each with its scale shape:
-      1. centroids come from the CORPUS ONLY (:func:`ivf_assignments` —
-         at scale this is the stored index, not a job); the batch is
-         assigned to those centroids by the broadcast map-side fold
+      1. centroids come from the CORPUS ONLY; the batch is assigned to
+         those centroids by the broadcast map-side fold
          (:func:`nearest_centroid`) — no re-clustering, plan-asserted.
+         Pass ``corpus_index`` = (centroids, assignments) — the stored
+         IVF-Flat tables :func:`build_two_level_index` materializes
+         (assignments: vec_id, cent_id, embedding) — and the corpus-side
+         seeding + argmax run ZERO jobs here: the serve shape, where the
+         per-batch plan reads the index instead of re-deriving it
+         (registered as pipe_incremental_semantic_dedup_served; without
+         it, :func:`ivf_assignments` re-derives both per call).
       2. cluster occupancy = corpus counts + batch counts per cent_id —
          a ≤ 2·n_centroids-row aggregate broadcast back onto the cells
          (NO corpus-row shuffle; the full operator's window shuffle is
@@ -1829,9 +1836,10 @@ def incremental_semantic_dedup(
     Out (batch members only): vec_id, cent_id, cent_sim,
     n_dup_partners, keep.
     """
+    corpus_ids = corpus if corpus is not None else corpus_index[1]
     if check_ordered:
         b_lo = batch.agg(F.min("vec_id")).first()[0]
-        c_hi = corpus.agg(F.max("vec_id")).first()[0]
+        c_hi = corpus_ids.agg(F.max("vec_id")).first()[0]
         if b_lo is not None and c_hi is not None and b_lo <= c_hi:
             raise ValueError(
                 "incremental_semantic_dedup: batch vec_ids interleave the "
@@ -1841,7 +1849,11 @@ def incremental_semantic_dedup(
                 "check_ordered=False only if seed stability is guaranteed "
                 "by other means."
             )
-    centroids, corpus_assign = ivf_assignments(corpus, n_centroids)
+    if corpus_index is not None:
+        centroids, stored = corpus_index
+        corpus_assign = stored.select("vec_id", "cent_id", "embedding")
+    else:
+        centroids, corpus_assign = ivf_assignments(corpus, n_centroids)
     batch_assign = nearest_centroid(batch, centroids)
 
     def cells(assign: DataFrame) -> DataFrame:
@@ -1861,8 +1873,13 @@ def incremental_semantic_dedup(
     # assignment fold per consumer loses at every size (measured at
     # N=500: ~9.7 s pipelined vs ~2.5 s checkpointed). Materializing the
     # cells is also exactly what production does — the corpus cells ARE
-    # the stored index table.
-    c_cells = c_cells.localCheckpoint(eager=False)
+    # the stored index table. When corpus_index IS that stored table,
+    # the checkpoint is skipped on the corpus side: each consumer
+    # re-reads the parquet lists (cheap pruned scans), which keeps the
+    # index scan visible to the plan asserts instead of burying it in a
+    # session-local RDD buffer.
+    if corpus_index is None:
+        c_cells = c_cells.localCheckpoint(eager=False)
     b_cells = b_cells.localCheckpoint(eager=False)
     if occupancy_bound:
         occ = (

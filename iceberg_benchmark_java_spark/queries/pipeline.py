@@ -6064,6 +6064,71 @@ def incremental_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INC_SEM_INDEX_VERSION = "v1:c16:ivf-flat"
+
+
+def _ensure_inc_sem_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the incremental-SemDeDup CORPUS side — the IVF-Flat
+    tables of the accumulated corpus split (vec_id below the ingest cut)
+    at the registered k=16 dial: centroids/ and index/ (vec_id, cent_id,
+    embedding, partitioned by shard). Built by
+    similarity.build_two_level_index over exactly the corpus the
+    registered entry clusters, so the served twin's decisions are
+    bit-identical. :func:`_ensure_index` discipline — built once per
+    warehouse; each arriving batch then reads it instead of re-running
+    the corpus seeding + argmax (the operator's own docstring premise:
+    'at scale this is the stored index, not a job')."""
+
+    def build_write(tmp: str) -> None:
+        corpus, _, _ = _inc_sem_split(spark, sf_dir)
+        centroids, index = similarity.build_two_level_index(
+            corpus, n_centroids=16
+        )
+        centroids.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        index.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(tmp, "index")
+        )
+
+    return _ensure_index(
+        sf_dir, "inc_sem_index", _INC_SEM_INDEX_VERSION, build_write
+    )
+
+
+@query(
+    "pipe_incremental_semantic_dedup_served",
+    oracle=_duck_incremental_semdedup_oracle(),
+)
+def incremental_semantic_dedup_served_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SERVE path of batch-ingest SemDeDup: the corpus side (k=16
+    centroids + per-vector assignments with their raw embeddings — the
+    IVF-Flat layout) is built ONCE into fixtures/inc_sem_index parquet
+    and every batch's query plan READS it; only the batch itself is
+    assigned in-plan (broadcast map-side fold against the stored
+    centroids). pipe_incremental_semantic_dedup re-derives the corpus
+    seeding aggregate + argmax inside EVERY per-batch plan — exactly the
+    cost its own docstring says a 100 TB ingest pipeline must not pay
+    per batch. The oracle text is byte-identical to that twin's, so both
+    entries hash-green proves the stored corpus cells reproduce the
+    in-plan route's decisions bit-for-bit; the plan is asserted free of
+    the seeding aggregate (tests/test_plans.py::
+    test_incremental_semdedup_serve_path_reads_stored_index), and the
+    bench rows sit side by side so the per-batch saving is a measured
+    number."""
+    d = _ensure_inc_sem_index(spark, sf_dir)
+    centroids = spark.read.parquet(os.path.join(d, "centroids"))
+    index = spark.read.parquet(os.path.join(d, "index"))
+    corpus, batch, _ = _inc_sem_split(spark, sf_dir)
+    return similarity.incremental_semantic_dedup(
+        corpus,
+        batch,
+        n_centroids=16,
+        threshold=0.2,
+        corpus_index=(centroids, index),
+    )
+
+
 @query(
     "pipe_incremental_semantic_dedup_reconcile",
     oracle=f"""

@@ -483,6 +483,32 @@ def test_two_level_serve_path_reads_stored_index(spark):
     assert "keys=[bucket" in build_plan
 
 
+def test_incremental_semdedup_serve_path_reads_stored_index(spark):
+    """Build-once/ingest-many contract for batch SemDeDup: the served
+    entry's per-batch plan must READ the materialized corpus cells
+    (fixtures/inc_sem_index scans) and contain NO corpus-side index-build
+    stages — no orthant-seeding aggregate (keys=[bucket…], which feeds
+    the corpus argmax; the in-plan twin hides its seeding inside a
+    localCheckpoint RDD, so the decisive cross-check here is row
+    equality: the stored corpus cells must reproduce the in-plan route's
+    decisions bit-for-bit)."""
+    from iceberg_benchmark_java_spark.queries.pipeline import (
+        incremental_semantic_dedup_q,
+        incremental_semantic_dedup_served_q,
+    )
+
+    serve = incremental_semantic_dedup_served_q(spark, SF_SMOKE)
+    plan = serve._jdf.queryExecution().executedPlan().toString()
+    assert "inc_sem_index" in plan
+    assert "keys=[bucket" not in plan
+    assert "CartesianProduct" not in plan
+    rows_s = sorted(map(tuple, serve.collect()))
+    rows_b = sorted(
+        map(tuple, incremental_semantic_dedup_q(spark, SF_SMOKE).collect())
+    )
+    assert rows_s == rows_b and rows_s
+
+
 def test_incremental_semantic_dedup_batch_shape(spark):
     """Incremental SemDeDup (similarity.incremental_semantic_dedup): the
     batch-ingest plan contract — no re-clustering and no corpus-wide

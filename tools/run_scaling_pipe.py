@@ -116,6 +116,12 @@ HEADLINERS = [
     # partition-pruned list scans + in-list re-rank (plus the fixed
     # 10-query brute-force recall baseline, linear in N).
     "pipe_ann_two_level_serve",
+    # round-11: the batch-ingest serve twin — per-batch plan reads the
+    # materialized corpus cells (fixtures/inc_sem_index); run 1 at each
+    # scale pays the one-time build (marker-protected), run 2 is the
+    # pure per-batch cost, which should track |batch| × occupancy with
+    # no corpus seeding/argmax stage.
+    "pipe_incremental_semantic_dedup_served",
 ]
 
 EXACT_DUP_RATE = 0.002
@@ -611,6 +617,13 @@ def plan_asserts(spark, queries, sf_dir: str) -> dict[str, str]:
                 errs.append("corpus-wide occupancy window in batch path")
             if "BroadcastHashJoin" not in plan:
                 errs.append("occupancy/centroids not broadcast")
+        if name == "pipe_incremental_semantic_dedup_served":
+            if "inc_sem_index" not in plan:
+                errs.append("stored corpus cells not scanned")
+            if "keys=[bucket" in plan:
+                errs.append("corpus seeding in serve plan")
+            if "windowspecdefinition(cent_id" in plan:
+                errs.append("corpus-wide occupancy window in batch path")
         if (
             name == "pipe_dedup_method_agreement"
             and "BroadcastNestedLoopJoin" in plan
