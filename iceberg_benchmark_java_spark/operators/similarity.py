@@ -714,21 +714,41 @@ def sign_bucket_rp(
     ``weights`` short-circuits the weight derivation entirely: a list of
     ``n_bits`` per-bit weight vectors for THIS band (one band's slice of
     :func:`rp_hyperplane_weights`, typically read back from the persisted
-    fixtures/rp_hyperplanes parquet). Same literal fold, same buckets —
-    the serve-shaped route where even the driver-side hash mix is a
-    stored artifact instead of a per-query derivation. Requires ``dim``
-    (the literal route).
+    fixtures/rp_hyperplanes parquet — with ``weights`` given, ``band`` is
+    intentionally unused: the slice already IS the band). Same literal
+    fold, same buckets — the serve-shaped route where even the
+    driver-side hash mix is a stored artifact instead of a per-query
+    derivation. Requires ``dim`` (the literal route). The slice shape is
+    VALIDATED against (n_bits, dim): a stored tensor built at a narrower
+    dial, or the wrong band's slice, must fail loudly here instead of
+    producing wrong buckets or an opaque error at plan build.
     """
     if pre_quantized and dim is None:
         raise ValueError(
             "pre_quantized=True requires dim: the runtime-hash fallback "
             "would re-apply floor(x*1e6) to already-quantized values"
         )
-    if weights is not None and dim is None:
-        raise ValueError(
-            "weights requires dim: stored hyperplanes only feed the "
-            "literal route"
-        )
+    if weights is not None:
+        if dim is None:
+            raise ValueError(
+                "weights requires dim: stored hyperplanes only feed the "
+                "literal route"
+            )
+        if len(weights) != n_bits:
+            raise ValueError(
+                f"sign_bucket_rp: weights carries {len(weights)} "
+                f"hyperplanes but n_bits={n_bits} was requested — the "
+                "stored tensor was built at a different bit dial (or the "
+                "wrong band's slice was passed); rebuild the stored "
+                "hyperplanes or request the stored width"
+            )
+        bad = next((j for j, w in enumerate(weights) if len(w) != dim), None)
+        if bad is not None:
+            raise ValueError(
+                f"sign_bucket_rp: hyperplane {bad} carries "
+                f"{len(weights[bad])} weights but dim={dim} — the stored "
+                "tensor was built for a different embedding width"
+            )
     if dim is not None:
         qx = (
             emb
@@ -1701,8 +1721,14 @@ def _pair_partners(
     with the PRIMARY sub-key at position 1 of ``sub_keys`` (the
     :func:`_attach_probe_keys` invariant). ``symmetric=True`` declares
     x_cells and y_cells to be the SAME corpus: the reverse direction
-    (b probes a's primary) is then derived by swapping the forward join's
-    qualifying pairs — one exploded join instead of two. With
+    (b probes a's primary) is then derived by swapping the forward
+    join's qualifying pairs. Physically Spark re-executes the join
+    subtree for both union branches (``rev`` duplicates ``fwd``'s plan;
+    only the shuffles are shared via ReuseExchange) — the saving over
+    ``symmetric=False`` is the avoided SECOND EXCHANGE of the exploded
+    key stream, not the join CPU; materializing ``fwd`` would also share
+    the CPU but would bury the upstream scans in a session-local RDD
+    buffer, breaking the serve-path plan audits. With
     ``symmetric=False`` (the incremental batch path) the reverse
     direction runs as a second join with the sides' roles flipped.
     Output: DISTINCT qualifying pairs reduced to per-x-member
@@ -1729,8 +1755,10 @@ def _pair_partners(
     )
     if symmetric:
         # x == y: the reverse-direction pairs are exactly the forward
-        # pairs swapped — a projection of the (already cosine-filtered,
-        # small) qualifying set, not a second exploded join.
+        # pairs swapped. Logically a projection of the qualifying set;
+        # physically the join subtree runs once per union branch with
+        # the exploded-key shuffle shared via ReuseExchange (see
+        # docstring).
         rev = fwd.select(
             F.col("vb").alias("va"),
             F.col("sb").alias("sa"),
@@ -1824,8 +1852,13 @@ def incremental_semantic_dedup(
     reconcile and the pytest twin).
 
     ``check_ordered`` (default True) GUARDS that precondition instead of
-    trusting the caller: two footer-stat aggregates (min batch vec_id,
-    max corpus vec_id — parquet answers both without a scan) and a
+    trusting the caller: two min/max aggregate jobs (min batch vec_id,
+    max corpus vec_id — note these are single-column SCANS, not free:
+    vanilla Spark does not answer min/max from parquet footers unless
+    ``spark.sql.parquet.aggregatePushdown`` is enabled AND the input is a
+    plain file scan, so at 100 TB either enable the pushdown, pin the
+    ingest watermark in table metadata, or accept an O(corpus) id-column
+    scan per batch) and a
     ValueError when the batch interleaves, because an interleaved ingest
     would silently return decisions that are still well-defined but
     DIVERGE from the full operator's, with no signal (the r9 verdict's

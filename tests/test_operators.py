@@ -1226,6 +1226,16 @@ def test_rp_hyperplane_store_roundtrip(spark, tmp_path):
         assert all(r.derived == r.served == r.runtime for r in cols)
     with pytest.raises(ValueError, match="weights requires dim"):
         similarity.sign_bucket_rp(F.col("embedding"), 0, 10, weights=stored[0])
+    # stored tensor at a narrower dial than requested: loud, named error
+    with pytest.raises(ValueError, match="different bit dial"):
+        similarity.sign_bucket_rp(
+            F.col("embedding"), 0, 12, dim=8, weights=stored[0]
+        )
+    # stored tensor built for a different embedding width
+    with pytest.raises(ValueError, match="different embedding width"):
+        similarity.sign_bucket_rp(
+            F.col("embedding"), 0, 10, dim=9, weights=stored[0]
+        )
 
 
 def test_source_overlap_known_jaccard(spark):
