@@ -141,16 +141,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Host-noise probe: best-of-3 on ONE fixed, code-stable query
-    # (corpus_tpch_q01 — byte-identical SQL since round 2). Round-over-round,
-    # a move in the probe with no code change = environment shift, so
-    # compare_bench can auto-classify host-noise vs real regression.
+    # Host-noise probe: ONE fixed, code-stable query (corpus_tpch_q01 —
+    # byte-identical SQL since round 2). Round-over-round, a move in the
+    # probe with no code change = environment shift, so compare_bench can
+    # auto-classify host-noise vs real regression. One UNTIMED warm-up
+    # first, then best-of-2 per bracket (the scaling tool's pattern): the
+    # r10 shape — 3 timed pre + 3 timed post with a cold first run — spent
+    # up to 2 min of a ~3 min bench re-measuring its own JIT warm-up; the
+    # warmed best-of-2 is the same witness at a third of the cost.
     def _timed(name: str) -> float:
         t0 = time.time()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
-    probe_runs = [_timed("corpus_tpch_q01") for _ in range(3)]  # pre-bracket
+    _timed("corpus_tpch_q01")  # untimed probe warm-up (codegen, footers)
+    probe_runs = [_timed("corpus_tpch_q01") for _ in range(2)]  # pre-bracket
 
     # Best-of-2 per query: shared-host CPU variance swings single runs by
     # ±30%; the min of two runs is the standard stable estimator. ALL raw
@@ -181,7 +186,7 @@ def main() -> None:
     # MID-SESSION (the r9 q72 lesson: a ×2.8 one-shot riser on an
     # untouched verbatim query) — compare_bench classifies it mechanically
     # from the two brackets instead of a human inferring it.
-    probe_runs_after = [_timed("corpus_tpch_q01") for _ in range(3)]
+    probe_runs_after = [_timed("corpus_tpch_q01") for _ in range(2)]
     total = round(sum(timings.values()), 3)
     code_stable_total = round(
         sum(t for n, t in timings.items() if n not in CODE_TOUCHED_THIS_ROUND),
