@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import re
+import weakref
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -296,6 +297,18 @@ def _fixture_df(
     return spark.read.parquet(flat)
 
 
+# Suites whose DEFAULT-path registration already completed, per live
+# session (weak keys — entries die with the session). Registration runs
+# on EVERY corpus query build; without the memo each build paid one
+# catalog listing per table (24 × ~0.5 s of listTables py4j round-trips
+# — measured 18 s per corpus query at sf0.01, pure driver overhead).
+# force/partitioned_dir calls bypass the memo and re-register, exactly
+# as before.
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def register_fixture_views(
     spark: SparkSession,
     suite: str,
@@ -304,17 +317,28 @@ def register_fixture_views(
 ) -> None:
     from . import fixtures
 
+    done = _REGISTERED.setdefault(spark, set())
+    if suite in done and not (partitioned_dir or force):
+        return
     fixtures.generate_all()  # no-op when the committed parquet is present
     if partitioned_dir:
         write_partitioned_fixture_warehouse(spark, suite, partitioned_dir)
     _, fdir, tables = SUITES[suite]
+    # ONE catalog listing for the whole suite (listTables costs ~0.5 s per
+    # call on a py4j session; per-table calls made registration O(tables)
+    # catalog scans).
+    existing = (
+        set()
+        if partitioned_dir or force
+        else {v.name for v in spark.catalog.listTables()}
+    )
     for t in tables:
-        if partitioned_dir or force or not any(
-            v.name == _view(suite, t) for v in spark.catalog.listTables()
-        ):
+        if partitioned_dir or force or _view(suite, t) not in existing:
             _fixture_df(spark, suite, t, partitioned_dir).createOrReplaceTempView(
                 _view(suite, t)
             )
+    if not (partitioned_dir or force):
+        done.add(suite)
 
 
 def register_bare_views(
