@@ -1984,3 +1984,66 @@ def test_dup_span_removal_planted_and_reconciles(spark):
     # chars_removed measured against single-space normalization
     assert out[2].chars_removed == len(rows[2][1]) - len("xx yy")
     assert out[3].chars_removed == 0
+
+
+def test_rp_arrow_route_matches_expression_route(spark):
+    """The Arrow-batched NumPy kernel (_rp_band_buckets_arrow) must emit
+    exactly the expression route\'s (vec_id, band_idx, bucket) rows — same
+    float64 quantization, same _rp_weight_py ints, exact int64 dot — for
+    both the derived and the stored-tensor weight sources. This is the
+    equality that keeps the banded-RP entries\' oracle hashes invariant
+    under the §4.2 vectorization."""
+    rows = [
+        (i, [((i * 11 + j * 5) % 17 - 8) / 4.0 for j in range(8)])
+        for i in range(60)
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    n_bits, n_bands, dim = 18, 2, 8
+    qx = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    expr_rows = (
+        e.select("vec_id", qx.alias("_qx"))
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).cast("int").alias("band_idx"),
+                            similarity.sign_bucket_rp(
+                                F.col("_qx"),
+                                b,
+                                n_bits,
+                                dim=dim,
+                                pre_quantized=True,
+                            ).alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("vec_id", "bb.band_idx", "bb.bucket")
+    )
+    arrow_rows = similarity._rp_band_buckets_arrow(e, n_bits, n_bands, dim)
+    assert (
+        arrow_rows.exceptAll(expr_rows).count() == 0
+        and expr_rows.exceptAll(arrow_rows).count() == 0
+    )
+    # stored-tensor source: same rows again
+    w = similarity.rp_hyperplane_weights(dim=dim, n_bits=n_bits, n_bands=n_bands)
+    arrow_stored = similarity._rp_band_buckets_arrow(
+        e, n_bits, n_bands, dim, rp_weights=w
+    )
+    assert (
+        arrow_stored.exceptAll(expr_rows).count() == 0
+        and expr_rows.exceptAll(arrow_stored).count() == 0
+    )
+    # shape mismatch in a stored tensor fails loudly
+    import pytest as _pytest
+
+    bad = {b: [wv[:-1] for wv in per] for b, per in w.items()}
+    with _pytest.raises(ValueError, match="weights but dim"):
+        similarity._rp_band_buckets_arrow(e, n_bits, n_bands, dim, rp_weights=bad)
