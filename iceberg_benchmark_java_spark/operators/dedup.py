@@ -98,16 +98,41 @@ def with_word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Explode each document into its distinct n-word shingles.
 
     Columns in: doc_id, text (+ any passthrough). Out: doc_id, shingle.
-    Pure JVM expression (split/transform/explode) — no Python UDF.
+
+    Tokenization (trim + ``\\s+`` split) stays a JVM codegen expression —
+    its regex/trim semantics never cross the language boundary — while
+    the n-gram assembly (sequence/slice/concat_ws/array_distinct, all
+    CodegenFallback higher-order functions that dominated every shingle
+    consumer's scan: measured 3.2 s interpreted vs 0.9 s Arrow at sf0.1)
+    runs as an Arrow-batched pass. Output strings are byte-identical to
+    the expression form (space-joined token windows, first-occurrence
+    distinct; docs shorter than ``n`` tokens yield their full token join)
+    — pinned by tests/test_operators.py::
+    test_shingle_arrow_matches_expression_route.
     """
+    import pandas as pd
+
     words = F.split(F.trim(F.col("text")), r"\s+")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
-    )
+    base = docs.select("doc_id", words.alias("_w"))
+    vid = base.schema["doc_id"].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            shs: list = []
+            for did, w in zip(pdf["doc_id"], pdf["_w"]):
+                w = list(w)
+                upper = len(w) - (n - 1)
+                if upper < 1:
+                    upper = 1
+                for s in dict.fromkeys(
+                    " ".join(w[i : i + n]) for i in range(upper)
+                ):
+                    ids.append(did)
+                    shs.append(s)
+            yield pd.DataFrame({"doc_id": ids, "shingle": shs})
+
+    return base.mapInPandas(gen, f"doc_id {vid}, shingle string")
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -529,21 +554,44 @@ def positional_ngrams(docs: DataFrame, n: int = 8) -> DataFrame:
     positions (unlike with_word_shingles, which distinct-collapses and
     drops positions). Docs shorter than n tokens produce no grams.
 
-    Columns out: doc_id, n_tok (long), start (1-based), gram. Pure JVM
-    expression (split/sequence/transform/posexplode) — no Python UDF.
+    Columns out: doc_id, n_tok (long), start (1-based), gram. Same
+    JVM-tokenize / Arrow-assemble split as :func:`with_word_shingles`
+    (the sequence/slice/concat_ws chain is interpreted CodegenFallback);
+    gram strings and positions byte-identical to the expression form.
     """
+    import pandas as pd
+
     words = F.split(F.trim(F.col("text")), r"\s+")
-    base = docs.select(
-        "doc_id", words.alias("w"), F.size(words).cast("long").alias("n_tok")
-    ).filter(F.col("n_tok") >= n)
-    grams = F.transform(
-        F.sequence(F.lit(1), (F.col("n_tok") - (n - 1)).cast("int")),
-        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, n)),
-    )
-    return (
-        base.select("doc_id", "n_tok", F.posexplode(grams).alias("p", "gram"))
-        .withColumn("start", (F.col("p") + 1).cast("long"))
-        .drop("p")
+    base = docs.select("doc_id", words.alias("_w"))
+    vid = base.schema["doc_id"].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            toks: list = []
+            starts: list = []
+            grams: list = []
+            for did, w in zip(pdf["doc_id"], pdf["_w"]):
+                w = list(w)
+                m = len(w)
+                if m < n:
+                    continue
+                for i in range(m - (n - 1)):
+                    ids.append(did)
+                    toks.append(m)
+                    starts.append(i + 1)
+                    grams.append(" ".join(w[i : i + n]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_tok": pd.Series(toks, dtype="int64"),
+                    "start": pd.Series(starts, dtype="int64"),
+                    "gram": grams,
+                }
+            )
+
+    return base.mapInPandas(
+        gen, f"doc_id {vid}, n_tok bigint, start bigint, gram string"
     )
 
 

@@ -93,6 +93,65 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _with_cosine_arrow(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    out_col: str,
+    keep: list[str],
+) -> DataFrame:
+    """``df`` reduced to ``keep`` columns plus ``out_col`` = the EXACT
+    cosine of the two embedding columns, computed in an Arrow-batched
+    NumPy pass that replays :func:`_dot`/:func:`_norm`'s fold order
+    bit-for-bit: products/squares are float64 IEEE multiplies and the
+    accumulation loops dims SEQUENTIALLY (``acc = acc + a[:, i] * b[:, i]``
+    — vectorized across rows, left-associated across dims, exactly the
+    HOF fold's association), then one sqrt and one divide. Rounding and
+    thresholding stay in the JVM (callers apply ``F.round(out_col, 6)``),
+    so no decimal-rounding semantics are re-implemented in Python — the
+    Arrow stage only replaces the interpreted CodegenFallback folds
+    (guide §4.2), which dominate pair-bounded re-rank stages (measured
+    ~6 s → ~2 s for the SemDeDup pair stage at 250k candidate pairs).
+
+    Requires both vectors non-null and of equal fixed width per row (the
+    fixture invariant all cosine callers already rely on — zip_with pads
+    mismatched widths with NULL products, i.e. returns NULL cosine, while
+    this kernel raises; neither case occurs on the fixed-width corpora).
+    Equality with the expression route is pinned by
+    tests/test_operators.py::test_cosine_arrow_matches_expression_route.
+    """
+    import numpy as np
+
+    fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array([np.asarray(v, dtype=np.float64) for v in pdf[a_col]])
+            b = np.array([np.asarray(v, dtype=np.float64) for v in pdf[b_col]])
+            n = a.shape[1]
+            # the HOF fold starts at acc = 0.0, so the first partial is
+            # 0.0 + p0 — which canonicalizes a -0.0 product to +0.0;
+            # replay that exactly
+            dot = 0.0 + a[:, 0] * b[:, 0]
+            na = 0.0 + a[:, 0] * a[:, 0]
+            nb = 0.0 + b[:, 0] * b[:, 0]
+            for i in range(1, n):
+                dot = dot + a[:, i] * b[:, i]
+                na = na + a[:, i] * a[:, i]
+                nb = nb + b[:, i] * b[:, i]
+            out = pdf[list(keep)].copy()
+            out[out_col] = dot / (np.sqrt(na) * np.sqrt(nb))
+            yield out
+
+    return df.select(*keep, a_col, b_col).mapInPandas(
+        score, f"{fields}, {out_col} double"
+    )
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
@@ -962,13 +1021,20 @@ def cosine_near_dup_pairs_banded(
     eb = embeddings.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
     )
+    # exact-fold Arrow cosine; the 6dp round (the emitted value) stays in
+    # the JVM, so sim is bit-identical to the in-expression route
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        _with_cosine_arrow(
+            cand.join(ea, "vec_a").join(eb, "vec_b"),
+            "emb_a",
+            "emb_b",
+            "_cos",
+            keep=["vec_a", "vec_b"],
+        )
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), SIM_SCALE).alias("sim"),
+            F.round(F.col("_cos"), SIM_SCALE).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -1559,12 +1625,15 @@ SEMDEDUP_SPLIT_MAX_E = 24  # bound * 2^24 ≈ 10^9 members — beyond any cell
 # factor either way: the bound's ≤ occ_bound²-per-cell invariant becomes
 # ≤ 2·1.93·occ_bound² and stays flat in corpus size.
 SEMDEDUP_PROBE_MARGIN = 0.95
-# Materialize the assignment (localCheckpoint) only when the corpus is
-# big enough that re-running the O(N·sqrt(k)) assignment once per pair
-# side costs more than the materialization round-trip. Below the
-# threshold the pipelined (re-computing) plan is faster — measured at
-# 1x/N=2000: ~5.6 s pipelined vs ~10.5 s checkpointed.
-SEMDEDUP_CHECKPOINT_MIN = 50_000
+# The assignment is ALWAYS materialized (localCheckpoint) before the
+# pair stage: it feeds three consumers, and re-running the O(N·sqrt(k))
+# fold per consumer loses at every measured size once the pair cosine
+# moved to the Arrow kernel (r11 re-measure at 1x/N=2000: ~6.1 s
+# pipelined vs ~4.0 s checkpointed per run; at x100/N=200k the r9
+# measurement stands: 187 s un-materialized vs 104 s). The old
+# size gate (SEMDEDUP_CHECKPOINT_MIN = 50_000) also cost an eager
+# corpus-count probe job per query even when n_centroids was explicit —
+# both the gate and the probe are gone.
 
 
 def semantic_dedup(
@@ -1591,12 +1660,11 @@ def semantic_dedup(
     (64 at base scale, doubling with the corpus), which routes through
     the two-level assignment so total FLOPs stay O(N·sqrt(k)).
 
-    Note: the checkpoint gate below consults ``corpus_count`` even when
-    ``n_centroids`` is explicit — one eager count job per fresh
-    DataFrame (memoized per object). That probe is the price of the
-    measured 187 s → 104 s materialization win at x100; callers that
-    know their corpus is small and want a probe-free plan can pre-seed
-    the memo (``_COUNT_CACHE[df] = n``).
+    With an explicit ``n_centroids`` the plan runs NO eager probe jobs:
+    the assignment is unconditionally materialized (localCheckpoint)
+    before the pair stage — measured faster at every size (see the
+    module comment above), and it is what production does anyway
+    (persist the IVF index table once).
 
     ``occupancy_bound`` (default 64) bounds the pair stage itself:
     clusters with more than bound members are deterministically sub-split
@@ -1638,14 +1706,12 @@ def semantic_dedup(
     )
     # The assignment feeds THREE consumers (both pair sides + the final
     # projection); without materialization Spark re-runs the O(N·sqrt(k))
-    # assignment fold once per consumer, which dominates at scale
-    # (measured at x100/N=200k: 187 s un-materialized, 104 s
-    # checkpointed). Below the threshold the re-computation is cheaper
-    # than the materialization round-trip, so small corpora keep the
-    # pipelined plan. localCheckpoint is the local-mode stand-in for
-    # what production does anyway: persist the IVF index table once.
-    if corpus_count(embeddings) >= SEMDEDUP_CHECKPOINT_MIN:
-        cs = cs.localCheckpoint(eager=False)
+    # assignment fold once per consumer, which loses at every measured
+    # size (x100/N=200k: 187 s un-materialized vs 104 s checkpointed;
+    # 1x/N=2000 after the Arrow pair kernel: ~6.1 s vs ~4.0 s).
+    # localCheckpoint is the local-mode stand-in for what production
+    # does anyway: persist the IVF index table once.
+    cs = cs.localCheckpoint(eager=False)
     if occupancy_bound:
         # Occupancy comes from a cent_id-partitioned window — ONE shuffle
         # keyed like the pair join, no extra assignment-recomputing
@@ -1809,10 +1875,19 @@ def _pair_partners(
         F.col("embedding").alias("eb"),
         F.col("cent_sim").alias("sb"),
     )
+    # pair cosine: exact Arrow fold (guide §4.2), threshold applied in the
+    # JVM on the 6dp round of the bit-identical double — same qualifying
+    # set as the in-expression filter, at vectorized instead of
+    # interpreted-HOF cost (the pair stage's dominant term).
     fwd = (
-        x.join(y, ["cent_id", "sub_key"])
-        .filter(F.col("va") != F.col("vb"))
-        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= threshold)
+        _with_cosine_arrow(
+            x.join(y, ["cent_id", "sub_key"]).filter(F.col("va") != F.col("vb")),
+            "ea",
+            "eb",
+            "_cos",
+            keep=["va", "sa", "vb", "sb"],
+        )
+        .filter(F.round(F.col("_cos"), 6) >= threshold)
         .select("va", "sa", "vb", "sb")
     )
     if symmetric:
@@ -1843,11 +1918,16 @@ def _pair_partners(
             F.col("cent_sim").alias("sb"),
         )
         rev = (
-            xp.join(ye, ["cent_id", "sub_key"])
-            .filter(F.col("va") != F.col("vb"))
-            .filter(
-                F.round(cosine(F.col("ea"), F.col("eb")), 6) >= threshold
+            _with_cosine_arrow(
+                xp.join(ye, ["cent_id", "sub_key"]).filter(
+                    F.col("va") != F.col("vb")
+                ),
+                "ea",
+                "eb",
+                "_cos",
+                keep=["va", "sa", "vb", "sb"],
             )
+            .filter(F.round(F.col("_cos"), 6) >= threshold)
             .select("va", "sa", "vb", "sb")
         )
     # multi-probe can surface the same pair through both directions (and
@@ -1962,8 +2042,7 @@ def incremental_semantic_dedup(
         )
 
     c_cells, b_cells = cells(corpus_assign), cells(batch_assign)
-    # Unlike the full operator (one consumer set — pipelined wins below
-    # SEMDEDUP_CHECKPOINT_MIN), the incremental cells feed occupancy,
+    # Like the full operator, the incremental cells feed occupancy,
     # a pair side, AND the final projection each, so re-running the
     # assignment fold per consumer loses at every size (measured at
     # N=500: ~9.7 s pipelined vs ~2.5 s checkpointed). Materializing the

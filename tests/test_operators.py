@@ -2047,3 +2047,104 @@ def test_rp_arrow_route_matches_expression_route(spark):
     bad = {b: [wv[:-1] for wv in per] for b, per in w.items()}
     with _pytest.raises(ValueError, match="weights but dim"):
         similarity._rp_band_buckets_arrow(e, n_bits, n_bands, dim, rp_weights=bad)
+
+
+def test_cosine_arrow_matches_expression_route(spark):
+    """_with_cosine_arrow must reproduce the HOF cosine() fold
+    bit-for-bit (same left-associated accumulation over dims, same
+    float32->float64 widening), so callers' F.round(_, 6) thresholds and
+    emitted sims cannot move. Checked on float32 vectors including
+    negative, zero-leading, and anti-parallel rows."""
+    import math
+
+    rows = []
+    for i in range(80):
+        v = [((i * 13 + j * 7) % 29 - 14) / 8.0 for j in range(16)]
+        w = [((i * 5 + j * 11) % 23 - 11) / 8.0 for j in range(16)]
+        if i % 7 == 0:
+            v[0] = 0.0
+        rows.append((i, v, w))
+    d = spark.createDataFrame(
+        rows, "pid long, ea array<float>, eb array<float>"
+    )
+    expr = d.select(
+        "pid", similarity.cosine(F.col("ea"), F.col("eb")).alias("c")
+    ).collect()
+    arrow = similarity._with_cosine_arrow(
+        d, "ea", "eb", "c", keep=["pid"]
+    ).collect()
+    ce = {r.pid: r.c for r in expr}
+    ca = {r.pid: r.c for r in arrow}
+    assert ce.keys() == ca.keys()
+    for k in ce:
+        if math.isnan(ce[k]):
+            assert math.isnan(ca[k])
+        else:
+            # bit-identical doubles, not approx-equal
+            assert ce[k].hex() == ca[k].hex(), (k, ce[k], ca[k])
+
+
+def test_shingle_arrow_matches_expression_route(spark):
+    """with_word_shingles / positional_ngrams (Arrow n-gram assembly over
+    the JVM-tokenized word array) must emit byte-identical rows to the
+    original pure-expression forms, including degenerate docs (empty
+    text, fewer tokens than n, repeated shingles, multi-space runs)."""
+    d = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "a"),
+            (3, "a b"),
+            (4, "a b c"),
+            (5, "  x   y  "),
+            (6, "a a a a a"),
+            (7, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    for n in (2, 3, 5):
+        words = F.split(F.trim(F.col("text")), r"\s+")
+        expr_sh = d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.size(words) - (n - 1), F.lit(1)),
+                        ),
+                        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+                    )
+                )
+            ).alias("shingle"),
+        )
+        got = dedup.with_word_shingles(d, n)
+        assert (
+            got.exceptAll(expr_sh).count() == 0
+            and expr_sh.exceptAll(got).count() == 0
+        ), f"shingles diverge at n={n}"
+        base = d.select(
+            "doc_id", words.alias("w"), F.size(words).cast("long").alias("n_tok")
+        ).filter(F.col("n_tok") >= n)
+        expr_g = (
+            base.select(
+                "doc_id",
+                "n_tok",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), (F.col("n_tok") - (n - 1)).cast("int")
+                        ),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, n)),
+                    )
+                ).alias("p", "gram"),
+            )
+            .withColumn("start", (F.col("p") + 1).cast("long"))
+            .select("doc_id", "n_tok", "start", "gram")
+        )
+        got_g = dedup.positional_ngrams(d, n).select(
+            "doc_id", "n_tok", "start", "gram"
+        )
+        assert (
+            got_g.exceptAll(expr_g).count() == 0
+            and expr_g.exceptAll(got_g).count() == 0
+        ), f"positional ngrams diverge at n={n}"
