@@ -411,7 +411,23 @@ def connected_components(
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    checked = labels  # labels as of the last convergence check
+    # Convergence witness: labels are MONOTONE non-increasing per node, so
+    # the exact sum of labels (decimal(38,0) — integral ids sum exactly at
+    # any corpus size) is strictly decreasing until the fixpoint; equal
+    # sums at two consecutive checks force equality at every round between
+    # them. This replaces the previous join-with-last-checked + count
+    # (one extra exchange + the checked lineage per check) with a single
+    # aggregate over the new labels — same span semantics, same detected
+    # round (the first check can never signal convergence on a non-empty
+    # edge set either way: round 1 always lowers some label).
+    from pyspark.sql import types as T
+
+    numeric_ids = isinstance(
+        labels.schema["node"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
+    checked = labels  # non-numeric-id fallback: labels at the last check
+    prev_sum = None
     n_rounds = n_checks = 0
     for i in range(max_iter):
         n_rounds += 1
@@ -423,9 +439,9 @@ def connected_components(
             .join(labels.alias("b"), F.col("a.label") == F.col("b.node"))
             .select(F.col("a.node").alias("node"), F.col("b.label").alias("label"))
         )
-        # lazy checkpoint: the convergence count below is the span's ONE
-        # action — it materializes the pending checkpoints and measures the
-        # delta in the same job (an eager checkpoint would double the jobs).
+        # lazy checkpoint: the convergence aggregate below is the span's
+        # ONE action — it materializes the pending checkpoints and measures
+        # the sum in the same job (an eager checkpoint would double the jobs).
         new_labels = (
             labels.union(nbr)
             .union(jump)
@@ -436,15 +452,28 @@ def connected_components(
         labels = new_labels
         if (i + 1) % max(check_every, 1) == 0 or i == max_iter - 1:
             n_checks += 1
-            changed = (
-                new_labels.withColumnRenamed("label", "new_label")
-                .join(checked, "node")
-                .filter(F.col("new_label") != F.col("label"))
-                .count()
-            )
-            checked = new_labels
-            if changed == 0:
-                break
+            if numeric_ids:
+                row = new_labels.agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+                ).first()
+                if row["n"] == 0 or (
+                    prev_sum is not None and row["s"] == prev_sum
+                ):
+                    break
+                prev_sum = row["s"]
+            else:
+                # non-integral node ids can't sum exactly — keep the
+                # join-based changed-count witness for them
+                changed = (
+                    new_labels.withColumnRenamed("label", "new_label")
+                    .join(checked, "node")
+                    .filter(F.col("new_label") != F.col("label"))
+                    .count()
+                )
+                checked = new_labels
+                if changed == 0:
+                    break
     if stats is not None:
         stats["rounds"] = n_rounds
         stats["checks"] = n_checks
@@ -706,29 +735,52 @@ def dup_span_removal(docs: DataFrame, n: int = 8, min_df: int = 2) -> DataFrame:
         "_starts",
         F.coalesce(F.col("_starts"), F.array().cast("array<bigint>")),
     )
-    # 1-based position of each token; keep it iff NO dup span covers it
-    kept = F.filter(
-        F.transform(
-            F.col("_w"),
-            lambda tok, i: F.struct(
-                (i + 1).cast("long").alias("pos"), tok.alias("tok")
-            ),
-        ),
-        lambda s: ~F.exists(
-            F.col("_starts"),
-            lambda st: (s.getField("pos") >= st)
-            & (s.getField("pos") < st + F.lit(n)),
-        ),
-    )
-    clean = F.array_join(F.transform(kept, lambda s: s.getField("tok")), " ")
-    return joined.select(
-        "doc_id",
-        F.size("_w").cast("long").alias("n_tok"),
-        (F.size("_w") - F.size(kept)).cast("long").alias("tokens_removed"),
-        (
-            F.length(F.array_join(F.col("_w"), " ")) - F.length(clean)
-        ).cast("long").alias("chars_removed"),
-        clean.alias("clean_text"),
+    # Excision as an Arrow pass (guide §4.2): a token at 1-based position
+    # p is kept iff NO start s in _starts covers it (s <= p < s+n) — the
+    # transform/filter/exists expression form is interpreted
+    # CodegenFallback at O(n_tok · n_spans) per row; here it is one
+    # boolean cover mask per doc. Pure integer/string ops, byte-identical
+    # output (clean_text = kept tokens space-joined; chars measured
+    # against the same single-space normalization).
+    import pandas as pd
+
+    vid = joined.schema["doc_id"].dataType.simpleString()
+
+    def excise(batches):
+        for pdf in batches:
+            ids: list = []
+            ntk: list = []
+            rem: list = []
+            chrem: list = []
+            clean: list = []
+            for did, w, starts in zip(pdf["doc_id"], pdf["_w"], pdf["_starts"]):
+                w = list(w)
+                m = len(w)
+                cover = bytearray(m)
+                for st in starts:
+                    st = int(st)
+                    cover[st - 1 : st - 1 + n] = b"\x01" * min(n, m - st + 1)
+                kept = [tok for tok, c in zip(w, cover) if not c]
+                ct = " ".join(kept)
+                ids.append(did)
+                ntk.append(m)
+                rem.append(m - len(kept))
+                chrem.append(len(" ".join(w)) - len(ct))
+                clean.append(ct)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_tok": pd.Series(ntk, dtype="int64"),
+                    "tokens_removed": pd.Series(rem, dtype="int64"),
+                    "chars_removed": pd.Series(chrem, dtype="int64"),
+                    "clean_text": clean,
+                }
+            )
+
+    return joined.select("doc_id", "_w", "_starts").mapInPandas(
+        excise,
+        f"doc_id {vid}, n_tok bigint, tokens_removed bigint, "
+        "chars_removed bigint, clean_text string",
     )
 
 

@@ -2013,8 +2013,16 @@ def incremental_semantic_dedup(
     """
     corpus_ids = corpus if corpus is not None else corpus_index[1]
     if check_ordered:
-        b_lo = batch.agg(F.min("vec_id")).first()[0]
-        c_hi = corpus_ids.agg(F.max("vec_id")).first()[0]
+        # ONE action for both watermarks (1-row aggs cross-joined) — the
+        # guard previously ran two separate jobs per ingest call. With
+        # spark.sql.parquet.aggregatePushdown (on in the session factory)
+        # and a plain file scan these resolve from parquet footer stats.
+        row = (
+            batch.agg(F.min("vec_id").alias("b_lo"))
+            .crossJoin(corpus_ids.agg(F.max("vec_id").alias("c_hi")))
+            .first()
+        )
+        b_lo, c_hi = row["b_lo"], row["c_hi"]
         if b_lo is not None and c_hi is not None and b_lo <= c_hi:
             raise ValueError(
                 "incremental_semantic_dedup: batch vec_ids interleave the "

@@ -105,6 +105,13 @@ def build_session(cfg: SparkConfig | None = None) -> SparkSession:
         # writer pool (observed: all 32 local tasks parked in
         # ChecksumCheckpointFileManager.awaitResult).
         .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+        # MIN/MAX/COUNT over a plain parquet scan answer from footer
+        # statistics instead of a column scan (guide §6; off by default).
+        # Makes watermark guards (incremental ingest ordering) and count
+        # probes O(footers) — at 100 TB the difference between a metadata
+        # read and a full-column pass. Exact per parquet spec for the
+        # integral id columns those guards aggregate.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
     )
     if cfg.shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
