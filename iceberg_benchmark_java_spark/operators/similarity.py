@@ -236,57 +236,113 @@ def seed_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     )
 
 
+def _exact_seq_norm(vec: list[float]) -> float:
+    """Driver-side replay of :func:`_norm`'s fold: left-associated
+    float64 squares accumulation starting at 0.0, then one sqrt —
+    bit-identical to the HOF expression on the same values."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
 def nearest_centroid(
     df: DataFrame, centroids: DataFrame, emb_col: str = "embedding"
 ) -> DataFrame:
     """Map-side nearest-centroid assignment (argmax cosine, ties to the
     lowest cent_id), appended as column ``cent_id``.
 
-    The centroid table collapses to ONE broadcast row holding a
-    cent_id-sorted array; the argmax is a per-row fold over that array.
-    Crucially there is NO Exchange between the corpus scan and the
-    assignment — the previous Window.partitionBy(vec_id) formulation
-    shuffled all N×C scored rows (a C× shuffle amplification) to pick a
-    per-row max that never needed a shuffle at all (plan-asserted in
-    tests/test_plans.py).
+    The centroid table is pulled to the driver once per call (an eager
+    k-row job — k is metadata-sized by construction: ≤ 2^16 lists even at
+    the adaptive dial's cap, the same artifact the serve paths read back
+    from parquet) and shipped to the executors inside an Arrow kernel
+    that emits the RAW per-centroid ratio array: per centroid one
+    sequentially-accumulated float64 dot product over the once-computed
+    row norm — the exact association order of :func:`_dot`/:func:`_norm`,
+    vectorized across rows (guide §4.2; the previous broadcast-array HOF
+    fold was CodegenFallback-interpreted and dominated assignment CPU at
+    every scale — 176 s at N=200k/k=8192 even after norm hoisting).
 
-    Norms are hoisted: each centroid's norm is precomputed into the
-    broadcast struct and the row's norm once per row, so the per-centroid
-    cost is ONE dot-product fold instead of three (dot + both norms —
-    nested-HOF evaluation is the assignment's bottleneck at scale:
-    measured 176 s for the bare two-level assignment at N=200k/k=8192
-    before hoisting). round(dot/(nx*nc), 6) is the SAME arithmetic as
-    round(cosine, 6) — identical operands, identical order — so results
-    and oracles are bit-for-bit unchanged.
+    The DECISION stays in the JVM: csim = round(raw, 6) per centroid and
+    the struct-lexicographic max of (csim, -cent_id) — max csim, ties to
+    the LOWEST cent_id — identical semantics and bit-identical values to
+    the old in-expression fold (pinned by tests/test_operators.py::
+    test_nearest_centroid_arrow_matches_fold). Still NO Exchange between
+    the corpus scan and the assignment: the Arrow stage is a narrow
+    map-side pass (plan-asserted in tests/test_plans.py).
     """
-    cent_arr = centroids.select(
-        "cent_id", "c_emb", _norm(F.col("c_emb")).alias("c_n")
-    ).agg(
-        F.array_sort(
-            F.collect_list(F.struct("cent_id", "c_emb", "c_n"))
-        ).alias("_cents")
+    import numpy as np
+
+    rows = sorted(
+        centroids.select("cent_id", "c_emb").collect(),
+        key=lambda r: r["cent_id"],
     )
-    # score each centroid ONCE (one dot product per centroid), then take
-    # the struct-lexicographic max of (csim, -cent_id): max csim, ties to
-    # the LOWEST cent_id — identical semantics to ORDER BY csim DESC,
-    # cent_id with rn=1, with no per-element double evaluation.
-    scored = F.transform(
-        F.col("_cents"),
-        lambda c: F.struct(
-            F.round(
-                _dot(F.col(emb_col), c.getField("c_emb"))
-                / (F.col("_nx") * c.getField("c_n")),
-                SIM_SCALE,
-            ).alias("csim"),
-            (-c.getField("cent_id")).alias("neg_cent_id"),
+    ids = [r["cent_id"] for r in rows]
+    c_mat = [[float(x) for x in r["c_emb"]] for r in rows]
+    c_norms = [_exact_seq_norm(v) for v in c_mat]
+    cent_type = centroids.schema["cent_id"].dataType.simpleString()
+    in_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def score(batches):
+        C = np.array(c_mat, dtype=np.float64)  # (k, d)
+        cn = np.array(c_norms, dtype=np.float64)
+        k = C.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+            )
+            d = emb.shape[1]
+            nx = 0.0 + emb[:, 0] * emb[:, 0]
+            for i in range(1, d):
+                nx = nx + emb[:, i] * emb[:, i]
+            nx = np.sqrt(nx)
+            if k <= d:
+                # one sequential fold per centroid, vectorized over rows
+                csims = np.empty((len(pdf), k), dtype=np.float64)
+                for j in range(k):
+                    dot = 0.0 + emb[:, 0] * C[j, 0]
+                    for i in range(1, d):
+                        dot = dot + emb[:, i] * C[j, i]
+                    csims[:, j] = dot / (nx * cn[j])
+            else:
+                # large-k dial (k up to 2^16): accumulate over DIMS with a
+                # (rows × k) rank-1 update — the identical left-associated
+                # order per (row, centroid), d passes instead of k — and
+                # chunk rows so the accumulator stays ~4M cells
+                chunk = max(1, 4_000_000 // k)
+                csims = np.empty((len(pdf), k), dtype=np.float64)
+                for lo in range(0, len(pdf), chunk):
+                    sub = emb[lo : lo + chunk]
+                    acc = 0.0 + np.outer(sub[:, 0], C[:, 0])
+                    for i in range(1, d):
+                        acc = acc + np.outer(sub[:, i], C[:, i])
+                    csims[lo : lo + chunk] = acc / (
+                        nx[lo : lo + chunk, None] * cn[None, :]
+                    )
+            out = pdf[cols].copy()
+            out["_csims"] = list(csims)
+            yield out
+
+    scored = df.mapInPandas(score, f"{in_fields}, _csims array<double>")
+    ids_lit = F.lit(ids).cast(f"array<{cent_type}>")
+    pick = F.transform(
+        F.col("_csims"),
+        lambda c, j: F.struct(
+            F.round(c, SIM_SCALE).alias("csim"),
+            (-F.element_at(ids_lit, j + F.lit(1))).alias("neg_cent_id"),
         ),
     )
-    return (
-        df.withColumn("_nx", _norm(F.col(emb_col)))
-        .crossJoin(F.broadcast(cent_arr))
-        .withColumn("cent_id", (-F.array_max(scored).getField("neg_cent_id")))
-        .drop("_cents", "_nx")
-    )
+    return scored.withColumn(
+        "cent_id",
+        (-F.array_max(pick).getField("neg_cent_id")).cast(cent_type),
+    ).drop("_csims")
 
 
 # Flat assignment scores every vector against ALL k centroids — O(N·k)
@@ -361,7 +417,9 @@ def two_level_assignments(
     coarse = seed_centroids(embeddings, k_c).select(
         F.col("cent_id").alias("coarse_id"), F.col("c_emb").alias("co_emb")
     )
-    # fine centroid -> nearest coarse cell (k x sqrt(k), broadcast fold)
+    # fine centroid -> nearest coarse cell (k x sqrt(k)); collected to
+    # the driver once — k is metadata-sized — so the within-cell argmax
+    # below runs as the same Arrow kernel shape as nearest_centroid.
     f2c = nearest_centroid(
         fine.select(
             F.col("cent_id").alias("fine_id"), F.col("c_emb").alias("embedding")
@@ -374,44 +432,102 @@ def two_level_assignments(
         F.col("embedding").alias("f_emb"),
         F.col("cent_id").alias("coarse_id"),
     )
-    # cell membership: coarse_id -> cent_id-sorted array of fine
-    # centroids, each carrying its precomputed norm (the same hoisting as
-    # nearest_centroid: one dot fold per fine centroid instead of three)
-    cells = f2c.groupBy("coarse_id").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("fine_id").alias("cent_id"),
-                    F.col("f_emb").alias("c_emb"),
-                    _norm(F.col("f_emb")).alias("c_n"),
-                )
-            )
-        ).alias("_cell")
-    )
+    # cell membership driver-side: coarse_id -> cent_id-sorted fine
+    # centroids with exact-fold norms (the same values the old broadcast
+    # struct carried)
+    cells_py: dict[int, list[tuple[int, list[float], float]]] = {}
+    for r in f2c.collect():
+        v = [float(x) for x in r["f_emb"]]
+        cells_py.setdefault(r["coarse_id"], []).append(
+            (r["fine_id"], v, _exact_seq_norm(v))
+        )
+    for members in cells_py.values():
+        members.sort(key=lambda t: t[0])
     # vectors -> nearest NONEMPTY coarse cell (a cell no fine centroid
     # mapped to can never win: it has no candidates to offer)
-    nonempty = coarse.join(cells.select("coarse_id"), "coarse_id")
+    nonempty = coarse.filter(
+        F.col("coarse_id").isin([int(c) for c in cells_py])
+    )
     v_coarse = nearest_centroid(
         embeddings.select("vec_id", "embedding"),
         nonempty.select(
             F.col("coarse_id").alias("cent_id"), F.col("co_emb").alias("c_emb")
         ),
     ).withColumnRenamed("cent_id", "coarse_id")
-    scored = F.transform(
-        F.col("_cell"),
-        lambda c: F.struct(
-            F.round(
-                _dot(F.col("embedding"), c.getField("c_emb"))
-                / (F.col("_nx") * c.getField("c_n")),
-                SIM_SCALE,
-            ).alias("csim"),
-            (-c.getField("cent_id")).alias("neg_cent_id"),
+    # within-cell argmax: Arrow kernel emits the row's cell ids + RAW
+    # ratios (exact fold order); the JVM rounds to 6dp and takes the
+    # (csim, -cent_id) struct max — identical decision semantics to the
+    # old broadcast-array fold.
+    import numpy as np
+
+    in_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in v_coarse.schema.fields
+    )
+    cols = [f.name for f in v_coarse.schema.fields]
+
+    def cell_score(batches):
+        import pandas as pd
+
+        mats = {
+            cid: (
+                np.array([m[1] for m in members], dtype=np.float64),
+                np.array([m[2] for m in members], dtype=np.float64),
+                [m[0] for m in members],
+            )
+            for cid, members in cells_py.items()
+        }
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            d = emb.shape[1]
+            nx = 0.0 + emb[:, 0] * emb[:, 0]
+            for i in range(1, d):
+                nx = nx + emb[:, i] * emb[:, i]
+            nx = np.sqrt(nx)
+            csims: list = [None] * len(pdf)
+            cids: list = [None] * len(pdf)
+            coarse_vals = pdf["coarse_id"].to_numpy()
+            for cid in np.unique(coarse_vals):
+                C, cn, fid = mats[int(cid)]
+                sel = np.nonzero(coarse_vals == cid)[0]
+                sub = emb[sel]
+                out = np.empty((len(sel), C.shape[0]), dtype=np.float64)
+                for j in range(C.shape[0]):
+                    dot = 0.0 + sub[:, 0] * C[j, 0]
+                    for i in range(1, d):
+                        dot = dot + sub[:, i] * C[j, i]
+                    out[:, j] = dot / (nx[sel] * cn[j])
+                for row_i, orig in enumerate(sel):
+                    csims[orig] = out[row_i]
+                    cids[orig] = fid
+            out_pdf = pdf[cols].copy()
+            out_pdf["_csims"] = csims
+            out_pdf["_cids"] = cids
+            yield out_pdf
+
+    cent_type = fine.schema["cent_id"].dataType.simpleString()
+    scored = v_coarse.mapInPandas(
+        cell_score,
+        f"{in_fields}, _csims array<double>, _cids array<{cent_type}>",
+    )
+    pick = F.transform(
+        F.col("_csims"),
+        lambda c, j: F.struct(
+            F.round(c, SIM_SCALE).alias("csim"),
+            (-F.element_at(F.col("_cids"), j + F.lit(1))).alias(
+                "neg_cent_id"
+            ),
         ),
     )
     assignments = (
-        v_coarse.withColumn("_nx", _norm(F.col("embedding")))
-        .join(F.broadcast(cells), "coarse_id")
-        .withColumn("cent_id", -F.array_max(scored).getField("neg_cent_id"))
+        scored.withColumn(
+            "cent_id",
+            (-F.array_max(pick).getField("neg_cent_id")).cast(cent_type),
+        )
         .select("vec_id", "embedding", "cent_id")
     )
     return fine, assignments

@@ -2148,3 +2148,108 @@ def test_shingle_arrow_matches_expression_route(spark):
             got_g.exceptAll(expr_g).count() == 0
             and expr_g.exceptAll(got_g).count() == 0
         ), f"positional ngrams diverge at n={n}"
+
+
+def test_nearest_centroid_arrow_matches_fold(spark):
+    """nearest_centroid (Arrow raw-ratio kernel + JVM round/argmax) must
+    reproduce the old broadcast-array fold expression exactly: same
+    cent_id per vector (incl. round-to-6dp ties broken to the LOWEST
+    cent_id) on adversarial near-tie data, and with non-consecutive
+    centroid ids."""
+    rows = [
+        (i, [((i * 17 + j * 3) % 31 - 15) / 16.0 for j in range(8)])
+        for i in range(120)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # near-duplicate centroids to force rounded ties
+    cents = [
+        (0, [1.0, 0.5, -0.25, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.5, -0.25, 0.0, 0.0, 0.0, 0.0, 1e-9]),
+        (7, [-1.0, 0.25, 0.5, 0.0, 0.0, 1.0, 0.0, 0.0]),
+    ]
+    c = spark.createDataFrame(cents, "cent_id int, c_emb array<float>")
+    got = {
+        r.vec_id: r.cent_id
+        for r in similarity.nearest_centroid(e, c).select(
+            "vec_id", "cent_id"
+        ).collect()
+    }
+    # the pre-r11 fold expression, verbatim
+    from iceberg_benchmark_java_spark.operators.similarity import (
+        SIM_SCALE,
+        _dot,
+        _norm,
+    )
+
+    cent_arr = c.select(
+        "cent_id", "c_emb", _norm(F.col("c_emb")).alias("c_n")
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "c_emb", "c_n"))
+        ).alias("_cents")
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda cc: F.struct(
+            F.round(
+                _dot(F.col("embedding"), cc.getField("c_emb"))
+                / (F.col("_nx") * cc.getField("c_n")),
+                SIM_SCALE,
+            ).alias("csim"),
+            (-cc.getField("cent_id")).alias("neg_cent_id"),
+        ),
+    )
+    want = {
+        r.vec_id: r.cent_id
+        for r in e.withColumn("_nx", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "cent_id", (-F.array_max(scored).getField("neg_cent_id"))
+        )
+        .select("vec_id", "cent_id")
+        .collect()
+    }
+    assert got == want
+    # schema parity: cent_id keeps the centroid table's integer type
+    out = similarity.nearest_centroid(e, c)
+    assert dict(out.dtypes)["cent_id"] == "int"
+
+
+def test_nearest_centroid_arrow_large_k_branch(spark):
+    """The k > d accumulate-over-dims branch (rank-1 updates, row
+    chunking) must agree with the k <= d per-centroid fold — identical
+    left-associated order, so identical assignments."""
+    rows = [
+        (i, [((i * 7 + j * 5) % 19 - 9) / 8.0 for j in range(4)])
+        for i in range(90)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [
+        (j, [((j * 3 + t) % 11 - 5) / 4.0 for t in range(4)])
+        for j in range(6)  # k=6 > d=4 -> large-k branch
+    ]
+    c = spark.createDataFrame(cents, "cent_id int, c_emb array<float>")
+    got = {
+        r.vec_id: r.cent_id
+        for r in similarity.nearest_centroid(e, c)
+        .select("vec_id", "cent_id")
+        .collect()
+    }
+    # brute-force expected via the expression kernel per (row, centroid)
+    exp_rows = (
+        e.crossJoin(c)
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(
+                similarity.cosine(F.col("embedding"), F.col("c_emb")), 6
+            ).alias("csim"),
+        )
+        .collect()
+    )
+    best: dict = {}
+    for r in exp_rows:
+        cur = best.get(r.vec_id)
+        if cur is None or (r.csim, -r.cent_id) > (cur[0], -cur[1]):
+            best[r.vec_id] = (r.csim, r.cent_id)
+    assert got == {k: v[1] for k, v in best.items()}

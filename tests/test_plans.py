@@ -1020,12 +1020,13 @@ def test_typo_pairs_plan(spark):
 
 
 def test_semantic_dedup_plan(spark):
-    """SemDeDup: centroid assignment broadcasts (no corpus shuffle for
-    assignment); the pairwise stage is an equi-join on cent_id — never a
-    cartesian over the corpus."""
+    """SemDeDup: centroid assignment is a NARROW map-side pass over the
+    corpus (since r11 an Arrow kernel — no corpus shuffle, no per-vector
+    window argmax); the pairwise stage is an equi-join on cent_id — never
+    a cartesian over the corpus."""
     plan = _plan(spark, "pipe_semantic_dedup")
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "windowspecdefinition(vec_id" not in plan
 
 
 def test_source_overlap_broadcasts_sizes(spark):
