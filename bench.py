@@ -111,15 +111,42 @@ HEADLINE = [
 # artifact — compare_bench warns when the tag doesn't match the newer
 # artifact's round, so a stale set can't silently shape the code-stable
 # line (the r9 ADVICE fix).
-CODE_TOUCHED_ROUND = "r11"
+CODE_TOUCHED_ROUND = "r11opt1"
 CODE_TOUCHED_THIS_ROUND = {
-    # r11: new serve-path row (incremental SemDeDup over stored corpus
-    # cells); its in-plan twin also changed (guard reads via corpus_ids)
-    "pipe_incremental_semantic_dedup_served",
-    "pipe_incremental_semantic_dedup",
-    # r11: decontamination gained the size-guarded broadcast (one extra
-    # eval-side counting job inside the timed region)
+    # r11 optimization round 1 (see OPTIMIZATION_r11.md). NOTE: the
+    # session-scoped fixture-view registration fix also made the PROBE
+    # (corpus_tpch_q01) ~8x faster — probe movement vs pre-r11opt
+    # artifacts is CODE, not host; compare probes only within r11opt+.
+    # registration memo (all verbatim-corpus entries):
+    "corpus_tpcds_q14_1",
+    "corpus_tpcds_q64",
+    "corpus_tpcds_q67",
+    "corpus_tpcds_q72",
+    "corpus_tpcds_q95",
+    "corpus_tpch_q01",
+    "corpus_tpch_q21",
+    # Arrow n-gram assembly / CC convergence witness:
+    "pipe_minhash_lsh_candidates",
+    "pipe_dedup_clusters",
     "pipe_decontamination",
+    "pipe_dup_span_coverage",
+    "pipe_dup_span_removal",
+    "pipe_prefix_filter_pairs",
+    "pipe_dedup_method_agreement",
+    # Arrow pair-cosine / RP bucket / nearest-centroid kernels,
+    # unconditional SemDeDup cell materialization, one-action guard,
+    # refreshed stored indexes:
+    "pipe_semantic_dedup",
+    "pipe_semantic_dedup_two_level",
+    "pipe_incremental_semantic_dedup",
+    "pipe_incremental_semantic_dedup_served",
+    "pipe_embedding_near_dup_rp",
+    "pipe_ann_ivf_topk",
+    "pipe_ann_recall",
+    "pipe_ann_ivf_pq_topk",
+    "pipe_ann_ivf_pq_serve",
+    "pipe_ann_two_level_recall_tuned",
+    "pipe_ann_two_level_serve",
 }
 
 
