@@ -1341,7 +1341,6 @@ GLOBAL_WINDOW_ALLOWED = {
     # n_centroids rows BY CONSTRUCTION, broadcast-hinted). The window
     # moves centroid-table rows, never corpus rows; occurrence counts
     # multiply with plan-branch re-execution, not with data.
-    "pipe_ann_ivf_balance",
     "pipe_ann_ivf_pq_probe_sweep",
     "pipe_ann_ivf_pq_recall",
     "pipe_ann_ivf_pq_recall_tuned",
@@ -1353,11 +1352,19 @@ GLOBAL_WINDOW_ALLOWED = {
     "pipe_ann_two_level_probe_sweep",
     "pipe_ann_two_level_recall",
     "pipe_ann_two_level_recall_tuned",
-    "pipe_embedding_cluster_mix",
-    "pipe_incremental_semantic_dedup_reconcile",
-    "pipe_semantic_dedup",
-    "pipe_semantic_dedup_split_price",
-    "pipe_semantic_dedup_two_level",
+    # PRUNED in r11 optimization round 1 (the list's leave-direction in
+    # action): pipe_semantic_dedup, pipe_semantic_dedup_two_level,
+    # pipe_semantic_dedup_split_price, pipe_embedding_cluster_mix,
+    # pipe_ann_ivf_balance(*), pipe_incremental_semantic_dedup_reconcile
+    # no longer show the seed-table window in their FINAL plans: their
+    # only centroid consumer is nearest_centroid, whose argmax now runs
+    # as an Arrow kernel over the driver-collected k-row centroid table —
+    # the bounded window still executes, but inside the plan-build
+    # collect job, not the registered entry's plan. Entries above keep
+    # the window because their plans also consume the centroid table
+    # through routing joins. Re-audited by the committed
+    # WINDOW_INVENTORY_r11opt1.json. ((*) ivf_balance left too: its
+    # remaining windows are cent_id-partitioned.)
 }
 
 
