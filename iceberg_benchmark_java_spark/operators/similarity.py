@@ -93,6 +93,34 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _embedding_matrix(values, col: str):
+    """One Arrow batch's embedding column as a (rows × dim) float64
+    matrix. The kernels require every vector non-null and of equal fixed
+    width (the fixture invariant their docstrings state); a NULL or
+    ragged row used to surface as an opaque numpy shape error deep in the
+    executor — assert the invariant here with a message that names the
+    column instead (ADVICE r11 hardening; the expression routes
+    null-propagated, so corpora that can't guarantee the invariant must
+    stay on those)."""
+    import numpy as np
+
+    try:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in values])
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            f"embedding column {col!r} violates the Arrow-kernel "
+            "invariant: every vector must be non-null with one fixed "
+            "width (got a NULL or ragged row)"
+        ) from exc
+    if m.ndim != 2:
+        raise ValueError(
+            f"embedding column {col!r} violates the Arrow-kernel "
+            "invariant: every vector must be non-null with one fixed "
+            "width (got a NULL or ragged row)"
+        )
+    return m
+
+
 def _with_cosine_arrow(
     df: DataFrame,
     a_col: str,
@@ -130,8 +158,8 @@ def _with_cosine_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            a = np.array([np.asarray(v, dtype=np.float64) for v in pdf[a_col]])
-            b = np.array([np.asarray(v, dtype=np.float64) for v in pdf[b_col]])
+            a = _embedding_matrix(pdf[a_col], a_col)
+            b = _embedding_matrix(pdf[b_col], b_col)
             n = a.shape[1]
             # the HOF fold starts at acc = 0.0, so the first partial is
             # 0.0 + p0 — which canonicalizes a -0.0 product to +0.0;
@@ -248,8 +276,40 @@ def _exact_seq_norm(vec: list[float]) -> float:
     return math.sqrt(acc)
 
 
+# Collected centroid tables, memoized per centroids-DataFrame object (weak
+# keys — entries die with the DF). nearest_centroid pulls the k-row table
+# to the driver once per CALL; callers that assign several frames against
+# the SAME centroid table (incremental ingest: corpus then batch) used to
+# re-execute the whole seeding subtree per call. The memo is a driver-side
+# plan-reference cache in the spirit of corpus_count/_DIAL_CACHE: k is
+# metadata-sized by construction, and the rows are exactly what the call
+# would re-collect.
+_CENTROID_ROWS_CACHE: "weakref.WeakKeyDictionary[DataFrame, list]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _centroid_rows(centroids: DataFrame) -> list:
+    try:
+        return _CENTROID_ROWS_CACHE[centroids]
+    except (KeyError, TypeError):
+        pass
+    rows = sorted(
+        centroids.select("cent_id", "c_emb").collect(),
+        key=lambda r: r["cent_id"],
+    )
+    try:
+        _CENTROID_ROWS_CACHE[centroids] = rows
+    except TypeError:
+        pass
+    return rows
+
+
 def nearest_centroid(
-    df: DataFrame, centroids: DataFrame, emb_col: str = "embedding"
+    df: DataFrame,
+    centroids: DataFrame,
+    emb_col: str = "embedding",
+    _rows: list | None = None,
 ) -> DataFrame:
     """Map-side nearest-centroid assignment (argmax cosine, ties to the
     lowest cent_id), appended as column ``cent_id``.
@@ -272,13 +332,18 @@ def nearest_centroid(
     test_nearest_centroid_arrow_matches_fold). Still NO Exchange between
     the corpus scan and the assignment: the Arrow stage is a narrow
     map-side pass (plan-asserted in tests/test_plans.py).
+
+    The centroid matrix ships to the executors as an explicit Spark
+    BROADCAST variable, not a task-closure capture: at the k = 2^16 dial
+    a closure-captured matrix would be re-pickled into every task
+    description, while a broadcast is fetched once per executor (the r11
+    verdict's #4b). ``_rows`` lets callers that already collected the
+    same centroid table (``_centroid_rows``) inject it and skip the
+    collect job; the decision semantics are unchanged either way.
     """
     import numpy as np
 
-    rows = sorted(
-        centroids.select("cent_id", "c_emb").collect(),
-        key=lambda r: r["cent_id"],
-    )
+    rows = _rows if _rows is not None else _centroid_rows(centroids)
     ids = [r["cent_id"] for r in rows]
     c_mat = [[float(x) for x in r["c_emb"]] for r in rows]
     c_norms = [_exact_seq_norm(v) for v in c_mat]
@@ -287,17 +352,17 @@ def nearest_centroid(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
     cols = [f.name for f in df.schema.fields]
+    bc = df.sparkSession.sparkContext.broadcast((c_mat, c_norms))
 
     def score(batches):
-        C = np.array(c_mat, dtype=np.float64)  # (k, d)
-        cn = np.array(c_norms, dtype=np.float64)
+        mat, norms = bc.value
+        C = np.array(mat, dtype=np.float64)  # (k, d)
+        cn = np.array(norms, dtype=np.float64)
         k = C.shape[0]
         for pdf in batches:
             if not len(pdf):
                 continue
-            emb = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
-            )
+            emb = _embedding_matrix(pdf[emb_col], emb_col)
             d = emb.shape[1]
             nx = 0.0 + emb[:, 0] * emb[:, 0]
             for i in range(1, d):
@@ -417,6 +482,14 @@ def two_level_assignments(
     coarse = seed_centroids(embeddings, k_c).select(
         F.col("cent_id").alias("coarse_id"), F.col("c_emb").alias("co_emb")
     )
+    # The coarse table is collected ONCE (k_c ≈ sqrt(k) rows, metadata-
+    # sized) and injected into both nearest_centroid calls below via
+    # ``_rows`` — previously each call re-executed the coarse seeding
+    # subtree for its own collect (one corpus aggregation per call).
+    coarse_view = coarse.select(
+        F.col("coarse_id").alias("cent_id"), F.col("co_emb").alias("c_emb")
+    )
+    coarse_rows = _centroid_rows(coarse_view)
     # fine centroid -> nearest coarse cell (k x sqrt(k)); collected to
     # the driver once — k is metadata-sized — so the within-cell argmax
     # below runs as the same Arrow kernel shape as nearest_centroid.
@@ -424,9 +497,8 @@ def two_level_assignments(
         fine.select(
             F.col("cent_id").alias("fine_id"), F.col("c_emb").alias("embedding")
         ),
-        coarse.select(
-            F.col("coarse_id").alias("cent_id"), F.col("co_emb").alias("c_emb")
-        ),
+        coarse_view,
+        _rows=coarse_rows,
     ).select(
         F.col("fine_id"),
         F.col("embedding").alias("f_emb"),
@@ -444,15 +516,15 @@ def two_level_assignments(
     for members in cells_py.values():
         members.sort(key=lambda t: t[0])
     # vectors -> nearest NONEMPTY coarse cell (a cell no fine centroid
-    # mapped to can never win: it has no candidates to offer)
-    nonempty = coarse.filter(
-        F.col("coarse_id").isin([int(c) for c in cells_py])
-    )
+    # mapped to can never win: it has no candidates to offer). The
+    # nonempty filter is applied to the already-collected rows — the
+    # argmax only ever consumed the collected table, so no third
+    # execution of the coarse seeding subtree is needed.
+    nonempty_rows = [r for r in coarse_rows if int(r["cent_id"]) in cells_py]
     v_coarse = nearest_centroid(
         embeddings.select("vec_id", "embedding"),
-        nonempty.select(
-            F.col("coarse_id").alias("cent_id"), F.col("co_emb").alias("c_emb")
-        ),
+        coarse_view,
+        _rows=nonempty_rows,
     ).withColumnRenamed("cent_id", "coarse_id")
     # within-cell argmax: Arrow kernel emits the row's cell ids + RAW
     # ratios (exact fold order); the JVM rounds to 6dp and takes the
@@ -465,6 +537,11 @@ def two_level_assignments(
         for f in v_coarse.schema.fields
     )
     cols = [f.name for f in v_coarse.schema.fields]
+    # fine-cell membership ships as an explicit broadcast (fetched once
+    # per executor) instead of a task-closure capture — at the k = 2^16
+    # dial the cells hold every fine centroid vector (same fix as
+    # nearest_centroid, r11 verdict #4b).
+    bc_cells = embeddings.sparkSession.sparkContext.broadcast(cells_py)
 
     def cell_score(batches):
         import pandas as pd
@@ -475,14 +552,12 @@ def two_level_assignments(
                 np.array([m[2] for m in members], dtype=np.float64),
                 [m[0] for m in members],
             )
-            for cid, members in cells_py.items()
+            for cid, members in bc_cells.value.items()
         }
         for pdf in batches:
             if not len(pdf):
                 continue
-            emb = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
+            emb = _embedding_matrix(pdf["embedding"], "embedding")
             d = emb.shape[1]
             nx = 0.0 + emb[:, 0] * emb[:, 0]
             for i in range(1, d):
@@ -1026,9 +1101,7 @@ def _rp_band_buckets_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            emb = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
+            emb = _embedding_matrix(pdf["embedding"], "embedding")
             qx = np.floor(emb * 1e6).astype(np.int64)  # == floor(cast*1e6)
             s = qx @ w_arr  # exact int64, order-free
             bits = np.where(s >= 0, "1", "0")
@@ -1964,17 +2037,17 @@ def _pair_partners(
     Both inputs carry (vec_id, cent_id, embedding, cent_sim, sub_keys)
     with the PRIMARY sub-key at position 1 of ``sub_keys`` (the
     :func:`_attach_probe_keys` invariant). ``symmetric=True`` declares
-    x_cells and y_cells to be the SAME corpus: the reverse direction
-    (b probes a's primary) is then derived by swapping the forward
-    join's qualifying pairs. Physically Spark re-executes the join
-    subtree for both union branches (``rev`` duplicates ``fwd``'s plan;
-    only the shuffles are shared via ReuseExchange) — the saving over
-    ``symmetric=False`` is the avoided SECOND EXCHANGE of the exploded
-    key stream, not the join CPU; materializing ``fwd`` would also share
-    the CPU but would bury the upstream scans in a session-local RDD
-    buffer, breaking the serve-path plan audits. With
-    ``symmetric=False`` (the incremental batch path) the reverse
-    direction runs as a second join with the sides' roles flipped.
+    x_cells and y_cells to be the SAME corpus: the distinct ordered-pair
+    set is then exactly both orderings of every discovered unordered
+    pair, so it is computed from ONE execution of the join subtree —
+    canonicalize each discovered row to (min-id, max-id), distinct, and
+    explode each canonical pair into both directions (a row-local
+    generate). The pre-r12 shape unioned the forward rows with their own
+    swap, which physically re-executed the join + Arrow cosine for the
+    second union branch (only the exchanges were shared via
+    ReuseExchange). With ``symmetric=False`` (the incremental batch
+    path) the reverse direction is a genuinely different join (the
+    sides' probe/primary roles flip), so it runs as a second join.
     Output: DISTINCT qualifying pairs reduced to per-x-member
     n_dup_partners and n_better (the keep rule's numerator)."""
     x = x_cells.select(
@@ -2008,16 +2081,43 @@ def _pair_partners(
     )
     if symmetric:
         # x == y: the reverse-direction pairs are exactly the forward
-        # pairs swapped. Logically a projection of the qualifying set;
-        # physically the join subtree runs once per union branch with
-        # the exploded-key shuffle shared via ReuseExchange (see
-        # docstring).
-        rev = fwd.select(
-            F.col("vb").alias("va"),
-            F.col("sb").alias("sa"),
-            F.col("va").alias("vb"),
-            F.col("sa").alias("sb"),
+        # pairs swapped, so the DISTINCT ordered-pair set is, for every
+        # UNORDERED qualifying pair {a, b}, both of its ordered rows.
+        # Compute that with ONE execution of the join subtree: project
+        # each discovered row to its canonical (min-id, max-id) form,
+        # distinct, then explode every canonical pair into both
+        # directions (a row-local generate — no second join, no second
+        # Arrow pass). The previous shape unioned fwd with its own swap,
+        # which re-executed the join + cosine kernel for the second
+        # branch (only the exchanges were shared via ReuseExchange) —
+        # this halves the pair-stage CPU (r11 verdict Next #3) while
+        # keeping the whole subtree plan-visible (no RDD buffer).
+        lo_first = F.col("va") < F.col("vb")
+        canon = (
+            fwd.select(
+                F.when(lo_first, F.col("va")).otherwise(F.col("vb")).alias("va"),
+                F.when(lo_first, F.col("sa")).otherwise(F.col("sb")).alias("sa"),
+                F.when(lo_first, F.col("vb")).otherwise(F.col("va")).alias("vb"),
+                F.when(lo_first, F.col("sb")).otherwise(F.col("sa")).alias("sb"),
+            )
+            .distinct()
         )
+        pr = canon.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("va"), F.col("sa"), F.col("vb"), F.col("sb")
+                    ),
+                    F.struct(
+                        F.col("vb").alias("va"),
+                        F.col("sb").alias("sa"),
+                        F.col("va").alias("vb"),
+                        F.col("sa").alias("sb"),
+                    ),
+                )
+            ).alias("p")
+        ).select("p.va", "p.sa", "p.vb", "p.sb")
+        return _partner_counts(pr)
     else:
         xp = x_cells.select(
             "cent_id",
@@ -2051,6 +2151,12 @@ def _pair_partners(
     # counts (sa/sb are functions of va/vb, so pair distinctness == row
     # distinctness here)
     pr = fwd.unionAll(rev).distinct()
+    return _partner_counts(pr)
+
+
+def _partner_counts(pr: DataFrame) -> DataFrame:
+    """Distinct ordered qualifying pairs (va, sa, vb, sb) reduced to
+    per-va n_dup_partners and n_better — the keep rule's numerators."""
     return pr.groupBy(F.col("va").alias("vec_id")).agg(
         F.count("*").alias("n_dup_partners"),
         F.sum(
