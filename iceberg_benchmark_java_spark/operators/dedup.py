@@ -68,6 +68,13 @@ _DIAL_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = (
     weakref.WeakKeyDictionary()
 )
 
+# Output-row flush bound for the exploding Arrow kernels (shingles /
+# positional n-grams): one input batch of long documents fans out to
+# ~n_tok rows per doc, so the generators emit in bounded chunks instead
+# of one frame per input batch (ADVICE r11 — bounds per-batch memory at
+# the default 10k-row Arrow batch size regardless of document length).
+_NGRAM_FLUSH_ROWS = 200_000
+
 
 def corpus_shingle_dial(docs: DataFrame) -> int:
     """One probe pass over the corpus (doc count + distinct-token count,
@@ -121,6 +128,11 @@ def with_word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             ids: list = []
             shs: list = []
             for did, w in zip(pdf["doc_id"], pdf["_w"]):
+                if w is None:
+                    # NULL text → NULL token array: the expression route
+                    # (explode over a NULL array) emits no rows — match it
+                    # instead of raising (ADVICE r11 null-semantics parity)
+                    continue
                 w = list(w)
                 upper = len(w) - (n - 1)
                 if upper < 1:
@@ -130,7 +142,15 @@ def with_word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
                 ):
                     ids.append(did)
                     shs.append(s)
-            yield pd.DataFrame({"doc_id": ids, "shingle": shs})
+                if len(ids) >= _NGRAM_FLUSH_ROWS:
+                    # long-document corpora amplify one input batch into
+                    # n_tok× output rows — flush in bounded chunks so the
+                    # exploded frame never holds the whole batch's fan-out
+                    # (ADVICE r11 memory bound)
+                    yield pd.DataFrame({"doc_id": ids, "shingle": shs})
+                    ids, shs = [], []
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "shingle": shs})
 
     return base.mapInPandas(gen, f"doc_id {vid}, shingle string")
 
@@ -422,10 +442,14 @@ def connected_components(
     # edge set either way: round 1 always lowers some label).
     from pyspark.sql import types as T
 
+    node_dt = labels.schema["node"].dataType
+    # DecimalType qualifies only at scale 0: cast('decimal(38,0)') ROUNDS
+    # fractional-scale decimals, so two distinct label multisets could
+    # collide on equal sums — the monotone-sum argument needs exactly-
+    # summable integral ids (ADVICE r11).
     numeric_ids = isinstance(
-        labels.schema["node"].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
-    )
+        node_dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ) or (isinstance(node_dt, T.DecimalType) and node_dt.scale == 0)
     checked = labels  # non-numeric-id fallback: labels at the last check
     prev_sum = None
     n_rounds = n_checks = 0
@@ -453,13 +477,24 @@ def connected_components(
         if (i + 1) % max(check_every, 1) == 0 or i == max_iter - 1:
             n_checks += 1
             if numeric_ids:
+                # try_sum: a 38-digit overflow yields NULL under BOTH ANSI
+                # modes (plain SUM throws under the session's ANSI default)
                 row = new_labels.agg(
                     F.count("*").alias("n"),
-                    F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+                    F.try_sum(F.col("label").cast("decimal(38,0)")).alias("s"),
                 ).first()
-                if row["n"] == 0 or (
-                    prev_sum is not None and row["s"] == prev_sum
-                ):
+                if row["n"] == 0:
+                    break
+                if row["s"] is None:
+                    # the decimal(38,0) accumulator overflowed (ids so
+                    # large the exact total doesn't fit) — the sum is no
+                    # longer a witness. Degrade to the join-based
+                    # changed-count witness from the NEXT check instead
+                    # of silently running to max_iter (r11 verdict #4a).
+                    numeric_ids = False
+                    checked = new_labels
+                    continue
+                if prev_sum is not None and row["s"] == prev_sum:
                     break
                 prev_sum = row["s"]
             else:
@@ -595,12 +630,24 @@ def positional_ngrams(docs: DataFrame, n: int = 8) -> DataFrame:
     vid = base.schema["doc_id"].dataType.simpleString()
 
     def gen(batches):
+        def frame(ids, toks, starts, grams):
+            return pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_tok": pd.Series(toks, dtype="int64"),
+                    "start": pd.Series(starts, dtype="int64"),
+                    "gram": grams,
+                }
+            )
+
         for pdf in batches:
             ids: list = []
             toks: list = []
             starts: list = []
             grams: list = []
             for did, w in zip(pdf["doc_id"], pdf["_w"]):
+                if w is None:
+                    continue  # NULL token array → no rows (expression parity)
                 w = list(w)
                 m = len(w)
                 if m < n:
@@ -610,14 +657,11 @@ def positional_ngrams(docs: DataFrame, n: int = 8) -> DataFrame:
                     toks.append(m)
                     starts.append(i + 1)
                     grams.append(" ".join(w[i : i + n]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "n_tok": pd.Series(toks, dtype="int64"),
-                    "start": pd.Series(starts, dtype="int64"),
-                    "gram": grams,
-                }
-            )
+                if len(ids) >= _NGRAM_FLUSH_ROWS:
+                    yield frame(ids, toks, starts, grams)
+                    ids, toks, starts, grams = [], [], [], []
+            if ids:
+                yield frame(ids, toks, starts, grams)
 
     return base.mapInPandas(
         gen, f"doc_id {vid}, n_tok bigint, start bigint, gram string"
@@ -754,6 +798,8 @@ def dup_span_removal(docs: DataFrame, n: int = 8, min_df: int = 2) -> DataFrame:
             chrem: list = []
             clean: list = []
             for did, w, starts in zip(pdf["doc_id"], pdf["_w"], pdf["_starts"]):
+                if w is None:
+                    continue  # NULL token array → no row (expression parity)
                 w = list(w)
                 m = len(w)
                 cover = bytearray(m)

@@ -499,6 +499,97 @@ def test_connected_components_batched_check_same_clusters(spark):
         assert batched == per_round
 
 
+def test_connected_components_fractional_decimal_ids_use_join_witness(spark):
+    """decimal(p, s>0) node ids must NOT ride the sum witness: the
+    decimal(38,0) cast ROUNDS them, so an 8-node path whose ids all round
+    to the same integer has EQUAL sums at every check while labels are
+    still collapsing — the sum route would declare convergence at the
+    second check and return wrong components. The scale gate must route
+    these ids through the join-based changed-count witness instead."""
+    from decimal import Decimal
+
+    from iceberg_benchmark_java_spark.operators.dedup import connected_components
+
+    ids = [Decimal(f"10.0{i}") for i in range(1, 9)]  # all round to 10
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(7)],
+        "doc_a DECIMAL(4,2), doc_b DECIMAL(4,2)",
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {i: ids[0] for i in ids}
+
+
+def test_connected_components_sum_overflow_falls_back(spark):
+    """Node ids so large that the exact decimal(38,0) label sum overflows:
+    try_sum yields NULL, and the witness must degrade to the join-based
+    changed-count check — still detecting the fixpoint well before
+    max_iter (never a wrong result, and no longer a silent run-to-cap)."""
+    from decimal import Decimal
+
+    from iceberg_benchmark_java_spark.operators.dedup import connected_components
+
+    base = Decimal(9 * 10**37)
+    ids = [base + i for i in range(9)]  # any 3+ labels overflow the sum
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(8)],
+        "doc_a DECIMAL(38,0), doc_b DECIMAL(38,0)",
+    )
+    stats: dict = {}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, max_iter=12, stats=stats).collect()
+    }
+    assert got == {i: ids[0] for i in ids}
+    assert stats["rounds"] < 12  # convergence was DETECTED, not capped
+
+
+def test_ngram_kernels_skip_null_text_rows(spark):
+    """NULL text tokenizes to a NULL array; the expression route's explode
+    emitted no rows for it — the Arrow kernels must match instead of
+    raising TypeError in the executor (ADVICE r11)."""
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "a b c d e")],
+        "doc_id BIGINT, text STRING",
+    )
+    sh = dedup.with_word_shingles(d, 3).collect()
+    assert {r.doc_id for r in sh} == {1, 3}
+    g = dedup.positional_ngrams(d, 3).collect()
+    assert {r.doc_id for r in g} == {1, 3}
+    spans = dedup.dup_span_removal(d, n=3, min_df=2).collect()
+    assert {r.doc_id for r in spans} == {1, 3}
+
+
+def test_cosine_kernel_rejects_null_embeddings(spark):
+    """The Arrow cosine/assignment kernels require non-null fixed-width
+    vectors; a NULL row must fail with an error naming the column, not an
+    opaque numpy shape error (ADVICE r11)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], [1.0, 2.0]), (2, None, [3.0, 4.0])],
+        "vec_id BIGINT, emb_a ARRAY<DOUBLE>, emb_b ARRAY<DOUBLE>",
+    )
+    out = similarity._with_cosine_arrow(df, "emb_a", "emb_b", "c", keep=["vec_id"])
+    with pytest.raises(Exception, match="emb_a"):
+        out.collect()
+
+
+def test_ngram_kernel_chunked_flush_matches(spark, monkeypatch):
+    """The bounded-chunk flush inside the exploding kernels must be
+    invisible in the output: force a tiny flush bound and compare against
+    the default."""
+    d = spark.createDataFrame(
+        [(i, "w%d x y z a b c d" % i) for i in range(6)],
+        "doc_id BIGINT, text STRING",
+    )
+    expect = sorted(
+        (r.doc_id, r.shingle) for r in dedup.with_word_shingles(d, 3).collect()
+    )
+    monkeypatch.setattr(dedup, "_NGRAM_FLUSH_ROWS", 2)
+    got = sorted(
+        (r.doc_id, r.shingle) for r in dedup.with_word_shingles(d, 3).collect()
+    )
+    assert got == expect
+
+
 def test_ppm_decode_kernel_parses_real_netpbm():
     """The stdlib netpbm parser: P6/P5 headers with comments and arbitrary
     whitespace; truncated rasters and bad maxvals rejected."""
