@@ -89,6 +89,14 @@ HEADLINE = [
     # reads the materialized corpus cells instead of re-deriving the
     # corpus seeding + argmax — the third build-vs-serve row pair).
     "pipe_incremental_semantic_dedup_served",
+    # round-12 addition (new computation, disclosed in
+    # OPTIMIZATION_r12.md / BENCH_DELTA_r12opt2): the deliberately
+    # compute-bound core-scaling witness. After the r11 optimizations
+    # every headline entry at sf0.1 is fixed-overhead-bound, so the
+    # driver's 8-vs-32-core probe read ≈1.0 everywhere and flagged
+    # suspect_cpus_ignored despite session.py honoring $SPARK_GRAFT_CPUS
+    # — this row's ratio tracks cores directly (VERDICT r11 Next #2).
+    "pipe_cpu_scaling_witness",
     # Verbatim reference corpus headliners (fixtures/ warehouse, fixed
     # scale): the marquee TPC-DS shapes named in the round-1 review plus
     # two verbatim TPC-H texts. These time the reference's own SQL files
@@ -111,43 +119,14 @@ HEADLINE = [
 # artifact — compare_bench warns when the tag doesn't match the newer
 # artifact's round, so a stale set can't silently shape the code-stable
 # line (the r9 ADVICE fix).
-CODE_TOUCHED_ROUND = "r11opt1"
-CODE_TOUCHED_THIS_ROUND = {
-    # r11 optimization round 1 (see OPTIMIZATION_r11.md). NOTE: the
-    # session-scoped fixture-view registration fix also made the PROBE
-    # (corpus_tpch_q01) ~8x faster — probe movement vs pre-r11opt
-    # artifacts is CODE, not host; compare probes only within r11opt+.
-    # registration memo (all verbatim-corpus entries):
-    "corpus_tpcds_q14_1",
-    "corpus_tpcds_q64",
-    "corpus_tpcds_q67",
-    "corpus_tpcds_q72",
-    "corpus_tpcds_q95",
-    "corpus_tpch_q01",
-    "corpus_tpch_q21",
-    # Arrow n-gram assembly / CC convergence witness:
-    "pipe_minhash_lsh_candidates",
-    "pipe_dedup_clusters",
-    "pipe_decontamination",
-    "pipe_dup_span_coverage",
-    "pipe_dup_span_removal",
-    "pipe_prefix_filter_pairs",
-    "pipe_dedup_method_agreement",
-    # Arrow pair-cosine / RP bucket / nearest-centroid kernels,
-    # unconditional SemDeDup cell materialization, one-action guard,
-    # refreshed stored indexes:
-    "pipe_semantic_dedup",
-    "pipe_semantic_dedup_two_level",
-    "pipe_incremental_semantic_dedup",
-    "pipe_incremental_semantic_dedup_served",
-    "pipe_embedding_near_dup_rp",
-    "pipe_ann_ivf_topk",
-    "pipe_ann_recall",
-    "pipe_ann_ivf_pq_topk",
-    "pipe_ann_ivf_pq_serve",
-    "pipe_ann_two_level_recall_tuned",
-    "pipe_ann_two_level_serve",
-}
+CODE_TOUCHED_ROUND = "r12opt2"
+# r12 optimization round 2 (see OPTIMIZATION_r12.md): the session-scoped
+# load_table memo sits on EVERY non-corpus entry's build path (it is what
+# makes the adaptive-dial probes hit across builds), so the whole
+# tpch/agg/win/sub/set/pipe surface is code-touched this round; only the
+# verbatim corpus_* entries (fixture registration path, untouched) remain
+# code-stable. The probe (corpus_tpch_q01) is code-stable this round.
+CODE_TOUCHED_THIS_ROUND = {q for q in HEADLINE if not q.startswith("corpus_")}
 
 
 def main() -> None:
@@ -250,24 +229,30 @@ def main() -> None:
         "sf": sf_val,
     }
     # Full payload goes to a committed sidecar file; stdout carries ONE
-    # compact line. The driver keeps only a ~2 kB tail of stdout, so the
-    # full 4.5 kB payload never parsed (BENCH_r0{4,5,6}.json all show
-    # "parsed": null). Compact = totals + probe + failure count + top-10
-    # slowest per-query bests + pointer — everything a round-over-round
-    # grader needs, well under 1 kB.
+    # compact line. Since round 12 the compact line carries EVERY
+    # per-query best (2-decimal): the old top-10-slowest dict made the
+    # driver's round-over-round PERF comparison fabricate
+    # "dropped_from_bench" statuses whenever an entry got fast enough to
+    # rotate out of the top 10 (r11: five phantom drops). 53 entries at
+    # 2 decimals is ~1.9 kB — within the driver's stdout tail. Entries
+    # are ordered slowest-first so any tail truncation costs the
+    # cheapest rows, never the headline ones.
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_latest.json"
     )
     with open(local_path, "w") as fh:
         json.dump(full, fh, indent=1)
         fh.write("\n")
-    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    by_time = dict(
+        (k, round(v, 2))
+        for k, v in sorted(timings.items(), key=lambda kv: -kv[1])
+    )
     line = json.dumps(
         {
             "metric": "headline_total_wall_sec_noop_sink",
             "value": total,
             "unit": "sec",
-            "queries": top10,
+            "queries": by_time,
             "n_queries": len(timings),
             "probe": min(probe_runs),
             "n_failed": len(failed),

@@ -2218,10 +2218,11 @@ def incremental_semantic_dedup(
     ``check_ordered`` (default True) GUARDS that precondition instead of
     trusting the caller: two min/max aggregate jobs (min batch vec_id,
     max corpus vec_id — note these are single-column SCANS, not free:
-    vanilla Spark does not answer min/max from parquet footers unless
-    ``spark.sql.parquet.aggregatePushdown`` is enabled AND the input is a
-    plain file scan, so at 100 TB either enable the pushdown, pin the
-    ingest watermark in table metadata, or accept an O(corpus) id-column
+    vanilla Spark only answers min/max from parquet footers on a DSv2
+    scan with ``spark.sql.parquet.aggregatePushdown`` — parquet is v1 by
+    default, and the v2 pushdown is unsafe for float columns with NaNs —
+    so at 100 TB either pin the ingest watermark in table metadata
+    (e.g. Iceberg snapshot summaries) or accept an O(corpus) id-column
     scan per batch) and a
     ValueError when the batch interleaves, because an interleaved ingest
     would silently return decisions that are still well-defined but
@@ -2236,9 +2237,9 @@ def incremental_semantic_dedup(
     corpus_ids = corpus if corpus is not None else corpus_index[1]
     if check_ordered:
         # ONE action for both watermarks (1-row aggs cross-joined) — the
-        # guard previously ran two separate jobs per ingest call. With
-        # spark.sql.parquet.aggregatePushdown (on in the session factory)
-        # and a plain file scan these resolve from parquet footer stats.
+        # guard previously ran two separate jobs per ingest call. These
+        # are id-column scans under the default v1 parquet reader (see
+        # the docstring for the 100 TB watermark alternatives).
         row = (
             batch.agg(F.min("vec_id").alias("b_lo"))
             .crossJoin(corpus_ids.agg(F.max("vec_id").alias("c_hi")))
@@ -2285,22 +2286,22 @@ def incremental_semantic_dedup(
     if corpus_index is None:
         c_cells = c_cells.localCheckpoint(eager=False)
     b_cells = b_cells.localCheckpoint(eager=False)
+    # ONE occupancy join + ONE probe-key derivation over the tagged union
+    # (r12; was one of each per side — double the driver-side expression
+    # build and a second broadcast materialization of the occupancy rows).
+    # The _b tag is a per-branch literal, so the batch-side filter below
+    # constant-folds the corpus branch away entirely: the corpus cells
+    # still appear ONLY as the probed y-side of the pair join
+    # (plan-asserted by test_incremental_semantic_dedup_batch_shape).
+    u = c_cells.withColumn("_b", F.lit(False)).unionAll(
+        b_cells.withColumn("_b", F.lit(True))
+    )
     if occupancy_bound:
-        occ = (
-            c_cells.select("cent_id")
-            .unionAll(b_cells.select("cent_id"))
-            .groupBy("cent_id")
-            .agg(F.count("*").alias("_occ"))
-        )
-        c_cells = c_cells.join(F.broadcast(occ), "cent_id")
-        b_cells = b_cells.join(F.broadcast(occ), "cent_id")
-    c_keys = _attach_probe_keys(
-        c_cells, n_centroids, occupancy_bound, probe_margin
-    )
-    b_keys = _attach_probe_keys(
-        b_cells, n_centroids, occupancy_bound, probe_margin
-    )
-    d = _pair_partners(b_keys, b_keys.unionAll(c_keys), threshold)
+        occ = u.groupBy("cent_id").agg(F.count("*").alias("_occ"))
+        u = u.join(F.broadcast(occ), "cent_id")
+    u_keys = _attach_probe_keys(u, n_centroids, occupancy_bound, probe_margin)
+    b_keys = u_keys.filter(F.col("_b")).drop("_b")
+    d = _pair_partners(b_keys, u_keys.drop("_b"), threshold)
     return b_keys.join(d, "vec_id", "left").select(
         "vec_id",
         "cent_id",

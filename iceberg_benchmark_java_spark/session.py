@@ -105,13 +105,17 @@ def build_session(cfg: SparkConfig | None = None) -> SparkSession:
         # writer pool (observed: all 32 local tasks parked in
         # ChecksumCheckpointFileManager.awaitResult).
         .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-        # MIN/MAX/COUNT over a plain parquet scan answer from footer
-        # statistics instead of a column scan (guide §6; off by default).
-        # Makes watermark guards (incremental ingest ordering) and count
-        # probes O(footers) — at 100 TB the difference between a metadata
-        # read and a full-column pass. Exact per parquet spec for the
-        # integral id columns those guards aggregate.
-        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # NOTE (r12 audit): spark.sql.parquet.aggregatePushdown was set
+        # here in r11 with a footer-statistics justification, but the
+        # conf only applies to DSv2 parquet scans and parquet sits in the
+        # default spark.sql.sources.useV1SourceList — so it was inert for
+        # every spark.read.parquet in this engine (verified: no
+        # PushedAggregation in any v1 plan). Worse, under v2 it pushes
+        # MIN/MAX for float/double columns where NaN rows make footer
+        # stats unreliable (measured: FAILED_READ_FILE on a NaN-bearing
+        # double column). Removed rather than scoped; a production
+        # deployment wanting footer-stat watermarks should pin them in
+        # table metadata (Iceberg snapshot summaries) instead.
     )
     if cfg.shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
