@@ -88,41 +88,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if cache is not None and key in cache:
             return cache[key]
     df = _load_table_uncached(spark, sf_dir, name)
-    df = _rebalance_starved_scan(spark, name, df)
     if key is not None and cache is not None:
         cache[key] = df
     return df
 
 
-# Tables exempt from the rebalance gate: their downstream operators pin
-# "no corpus Exchange before the map-side pass" plan shapes (the ANN
-# assignment / text-kernel contracts, plan-asserted in tests/test_plans.py)
-# that hold at every scale — and their per-row Arrow-kernel cost
-# parallelizes at the first keyed shuffle anyway.
-_NO_REBALANCE = frozenset({"documents", "embeddings"})
-
-
-def _rebalance_starved_scan(spark: SparkSession, name: str, df: DataFrame):
+def rebalance_starved_scan(df: DataFrame) -> DataFrame:
     """Scale-adaptive scan-parallelism floor (guide §2: derive the
-    partitioning from the input, never from a constant).
+    partitioning from the input, never from a constant) — OPT-IN per
+    query, for builders whose heavy compute runs BEFORE their first
+    exchange (map-side partial aggregation, per-row hashing).
 
     Parquet scans cannot split below one ROW GROUP, and the driver's
-    fixtures ship as single-file single-row-group tables — so every scan
-    arrived as ONE task and serialized the whole downstream stage at any
-    core count (measured: tpch_q01's 8-aggregate pass over 600k lineitem
-    rows ran 1.6 s single-task on local[32]). When the scan provides
-    fewer partitions than the session's parallelism, insert one
-    round-robin rebalance sized to ``defaultParallelism``: the exchanged
-    bytes are bounded by what a handful of row groups can hold (if the
-    input were big it would HAVE more row groups and the gate would not
-    fire), and the partition count tracks the session (cores locally,
-    executors×cores on a cluster) rather than any tuned constant. At
-    production scale inputs carry thousands of row groups, the scan
-    count exceeds the parallelism, and the gate is a no-op — exactly the
-    adaptive behavior guide §2 prescribes instead of local-mode knobs.
+    fixtures ship as single-file single-row-group tables — so such a
+    scan arrives as ONE task and serializes the pre-exchange compute at
+    any core count (measured: tpch_q01's 8-aggregate pass over 600k
+    lineitem rows ran 1.6 s single-task on local[32]; 1.31 s with the
+    floor). When the scan provides fewer partitions than the session's
+    ``defaultParallelism``, insert one round-robin rebalance sized to
+    the session; at production row-group counts the gate is a no-op.
+
+    Deliberately NOT applied inside load_table for every table (an r12
+    A/B measured it): a query whose compute sits downstream of a keyed
+    exchange (joins, windows) is already parallel past its first shuffle
+    and only pays the rebalance's extra sort+exchange — the events/join
+    families regressed 0.3–0.6 s each under a blanket gate while only
+    the map-side-aggregation shapes gained.
     """
-    if name in _NO_REBALANCE:
-        return df
+    spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     try:
         n_scan = df.rdd.getNumPartitions()

@@ -9247,10 +9247,10 @@ def sampler_bias_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at local[8] on the sandbox — ratio ≈ 3.3 against a measured pure-JVM
 # ceiling of ≈ 3.1 at this box's SMT topology). The fan-out factor is a
 # constant of the QUERY (not a tuned local knob); the parallelism comes
-# from catalog.load_table's scale-adaptive rebalance gate (the fixture
-# parquet ships as one single-row-group file, so the raw scan would
-# otherwise arrive as one task and serialize the sweep at any core
-# count).
+# from catalog.rebalance_starved_scan — the scale-adaptive floor (the
+# fixture parquet ships as one single-row-group file, so the raw scan
+# would otherwise arrive as one task and serialize the sweep at any
+# core count; at production row-group counts the floor is a no-op).
 _CPU_WITNESS_FANOUT = 192
 
 
@@ -9271,9 +9271,11 @@ def cpu_scaling_witness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     over core count, so the bench's 8↔32-core ratio on this entry is a
     direct measurement of whether the session's parallelism dial works
     (every other headline entry is fixed-overhead-bound at sf0.1)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber"
-    )
+    from ..catalog import rebalance_starved_scan
+
+    li = rebalance_starved_scan(
+        load_table(spark, sf_dir, "lineitem")
+    ).select("l_orderkey", "l_linenumber")
     return (
         li.select(
             F.explode(

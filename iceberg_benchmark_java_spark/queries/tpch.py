@@ -52,7 +52,13 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable — the partial aggregate runs per input partition and only
     6 groups shuffle.
     """
-    l = load_table(spark, sf_dir, "lineitem")
+    from ..catalog import rebalance_starved_scan
+
+    # Q1's 8 decimal aggregates are MAP-SIDE work: on a starved scan
+    # (single-row-group fixture = one task) the whole pass serializes, so
+    # the scan gets the adaptive parallelism floor (no-op at production
+    # row-group counts; see catalog.rebalance_starved_scan).
+    l = rebalance_starved_scan(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

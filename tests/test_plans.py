@@ -644,18 +644,10 @@ def test_runtime_bloom_filter_on_selective_fact_join(spark):
     scan via might_contain BEFORE the shuffle. The size thresholds are
     lowered to emulate cluster-scale scan sizes — at 100 TB the default
     10 GB application-side threshold passes naturally and this is the
-    plan Spark produces with our session defaults. The fact tables are
-    read RAW (spark.read.parquet) rather than through load_table: at
-    cluster scale the inputs carry enough row groups that load_table's
-    starved-scan rebalance gate is a no-op and the join sits directly on
-    the scans — the shape this test emulates; at fixture scale the gate
-    would interpose a round-robin exchange and mask the injection."""
+    plan Spark produces with our session defaults."""
     from pyspark.sql import functions as F
 
-    from iceberg_benchmark_java_spark.catalog import table_path
-
-    def load_table(spark, sf_dir, name):  # raw scan, see docstring
-        return spark.read.parquet(table_path(sf_dir, name))
+    from iceberg_benchmark_java_spark.catalog import load_table
 
     assert (
         spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
